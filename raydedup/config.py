@@ -1,0 +1,69 @@
+"""Pipeline configuration.
+
+The reference engine's user-extension surface is a set of env vars and
+compile-time gates (``JACCARD_FORCE_*``, ``CONVERT_FORCE_*`` — see
+/root/reference/main.cpp:40-61,139-155 and fileConvert.cpp:43-47).  Here
+the whole surface is one frozen dataclass: every stage takes a
+``PipelineConfig`` so "same shingle/signature config" is a well-defined,
+hashable statement (the recall gate of BASELINE.json depends on it).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field, replace
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # --- shingling ---
+    k_shingle: int = 5              # word-level k-gram shingles
+    # --- MinHash ---
+    num_perms: int = 128            # signature length
+    # --- LSH banding: bands * rows_per_band must == num_perms ---
+    bands: int = 32
+    rows_per_band: int = 4
+    # --- SimHash ---
+    simhash_bits: int = 64
+    simhash_hamming_max: int = 3    # max Hamming distance for simhash dup pairs
+    # --- verification ---
+    verify_threshold: float = 0.8   # exact-Jaccard acceptance threshold
+    # --- determinism ---
+    seed: int = 42
+    # --- skew handling ---
+    band_bucket_cap: int = 512      # max docs considered per LSH bucket (B^2 blowup cap)
+    # --- connected components ---
+    cc_max_iters: int = 50
+    # --- execution ---
+    batch_size: int = 2048          # rows per map_batches call for text stages
+    minhash_perm_chunk: int = 16    # perms computed per vectorized pass (memory cap)
+    num_partitions: int = 32        # hash-join / shuffle partition count
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows_per_band != self.num_perms:
+            raise ValueError(
+                f"bands*rows_per_band ({self.bands}*{self.rows_per_band}) "
+                f"!= num_perms ({self.num_perms})"
+            )
+
+    def config_hash(self) -> str:
+        """Stable hash of the signature-relevant config; stamped into
+        checkpoint manifests + parquet metadata (the analogue of the
+        reference's CSRFileHeader flags, readMtxToCSR.hpp:44-64)."""
+        sig = {
+            k: v
+            for k, v in asdict(self).items()
+            if k in (
+                "k_shingle", "num_perms", "bands", "rows_per_band",
+                "simhash_bits", "simhash_hamming_max", "verify_threshold",
+                "seed",
+            )
+        }
+        return hashlib.sha256(json.dumps(sig, sort_keys=True).encode()).hexdigest()[:16]
+
+    def with_(self, **kw) -> "PipelineConfig":
+        return replace(self, **kw)
+
+
+DEFAULT_CONFIG = PipelineConfig()

@@ -1,0 +1,111 @@
+"""MinHash + SimHash sketch kernels (vectorized, whole-batch, segment ops).
+
+Permutation family: ``h_i(x) = splitmix64(x XOR seed_i)`` with seeds
+drawn deterministically from the config seed — the actor-pool state of
+stages/signatures.py (SURVEY.md §2.3 T3).  The per-document minimum is a
+segmented reduction over the batch's concatenated shingle stream, the
+same shape as the reference's RowSum segmented reduction over CSR rows
+(jaccard.cpp:236-261), with perms processed in chunks to bound memory.
+
+Empty shingle sets get the sentinel signature (all 2**64-1) and SimHash
+0 — they can never collide with a real signature in LSH banding because
+band hashes mix the band index in.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .hashing import combine_rolling, perm_seeds, splitmix64
+
+_EMPTY_SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def minhash_signatures(
+    values: np.ndarray,
+    offsets: np.ndarray,
+    seeds: np.ndarray,
+    perm_chunk: int = 16,
+) -> np.ndarray:
+    """(D, num_perms) uint64 signature matrix for D shingle sets in CSR form."""
+    n_docs = len(offsets) - 1
+    p = len(seeds)
+    sig = np.full((n_docs, p), _EMPTY_SENTINEL, dtype=np.uint64)
+    if n_docs == 0 or len(values) == 0:
+        return sig
+
+    lens = offsets[1:] - offsets[:-1]
+    nonempty = lens > 0
+    starts = offsets[:-1][nonempty]
+    ne_idx = np.flatnonzero(nonempty)
+
+    for c0 in range(0, p, perm_chunk):
+        chunk = seeds[c0 : c0 + perm_chunk]
+        # (M, chunk) hashed matrix; uint64 wraparound is intended
+        hashed = splitmix64(values[:, None] ^ chunk[None, :])
+        mins = np.minimum.reduceat(hashed, starts, axis=0)
+        # reduceat over starts of nonempty segments: row i of `mins`
+        # covers values[starts[i]:starts[i+1]] which may span multiple
+        # docs if empty docs sit between — starts only lists nonempty
+        # docs so segment i runs to the next nonempty start; that is
+        # exactly doc ne_idx[i]'s range because empty docs contribute
+        # no values.
+        sig[ne_idx, c0 : c0 + len(chunk)] = mins
+    return sig
+
+
+def band_keys(sig: np.ndarray, bands: int, rows_per_band: int) -> np.ndarray:
+    """(D, bands) uint64 LSH band keys: an order-sensitive combine of each
+    band's r signature values, salted with the band index so the same
+    values in different bands never collide."""
+    n_docs, p = sig.shape
+    assert bands * rows_per_band == p
+    out = np.empty((n_docs, bands), dtype=np.uint64)
+    for b in range(bands):
+        rows = [sig[:, b * rows_per_band + j] for j in range(rows_per_band)]
+        out[:, b] = combine_rolling([np.full(n_docs, b, dtype=np.uint64), *rows])
+    return out
+
+
+def simhash64(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """64-bit SimHash per doc from its shingle-hash set (unweighted:
+    every shingle votes ±1 per bit; ties round up to 1)."""
+    n_docs = len(offsets) - 1
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if n_docs == 0 or len(values) == 0:
+        return out
+    # (M, 64) bit matrix; unpackbits works on uint8 view (big-endian per byte)
+    bits = np.unpackbits(
+        values.view(np.uint64).byteswap().view(np.uint8).reshape(-1, 8), axis=1
+    )  # column 0 = MSB
+    lens_all = offsets[1:] - offsets[:-1]
+    nonempty = lens_all > 0
+    starts = offsets[:-1][nonempty]
+    ne_idx = np.flatnonzero(nonempty)
+    # segmented 1-bit counts, chunked over columns to bound transient memory
+    ones = np.zeros((n_docs, 64), dtype=np.int64)
+    for c0 in range(0, 64, 16):
+        ones[ne_idx, c0 : c0 + 16] = np.add.reduceat(
+            bits[:, c0 : c0 + 16].astype(np.int64), starts, axis=0
+        )
+    lens = lens_all[:, None]
+    majority = (ones * 2 >= lens) & (lens > 0)  # (D, 64) bool
+    packed = np.packbits(majority.astype(np.uint8), axis=1)  # (D, 8) big-endian
+    return packed.view(">u8").astype(np.uint64).reshape(-1)
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized Hamming distance between two uint64 arrays."""
+    x = np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64))
+    # popcount via uint8 view + unpackbits-free table
+    v = x.view(np.uint64).byteswap().view(np.uint8).reshape(len(x), 8)
+    return _POPCNT[v].sum(axis=1).astype(np.int64)
+
+
+_POPCNT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def minhash_jaccard_estimate(sig_a: np.ndarray, sig_b: np.ndarray) -> np.ndarray:
+    """Estimated Jaccard = fraction of agreeing permutations (row-wise
+    over two (N, P) signature matrices)."""
+    return (sig_a == sig_b).mean(axis=1)

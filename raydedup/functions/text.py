@@ -1,0 +1,146 @@
+"""Text → shingle-set kernels (vectorized, whole-batch).
+
+The reference operates on pre-built CSR sparse sets; the dedup target
+builds those sets from text.  A batch of D documents becomes a CSR-like
+pair ``(offsets, values)`` — exactly Arrow's ``list<uint64>`` layout —
+holding each document's **sorted unique** shingle hashes.  Sortedness is
+the ordering invariant the reference's intersection kernel relies on
+("column indices are sorted within each row", jaccard.cpp:353); our
+merge-count intersection kernel (functions/setops.py) relies on it the
+same way.
+
+Tokenization contract: split on a single space (matching DuckDB's
+``string_split(text, ' ')`` so SQL oracles agree exactly).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .hashing import combine_rolling, hash_strings
+
+
+def tokenize_arrow(texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Split a string array on ' ' → (token_hashes, doc_offsets).
+
+    Returns the concatenated per-token uint64 hashes of all docs plus
+    int64 offsets (len D+1) delimiting each doc's token run — the CSR
+    layout, produced zero-copy from Arrow's split kernel.
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.fill_null(texts, "")
+    lists = pc.split_pattern(texts, pattern=" ")
+    # flatten needs the parent offsets rebased to 0
+    offsets = np.asarray(lists.offsets, dtype=np.int64)
+    offsets = offsets - offsets[0]
+    flat = lists.flatten()
+    tok_hashes = hash_strings(flat.to_numpy(zero_copy_only=False))
+    return tok_hashes, offsets
+
+
+def shingle_batch(
+    texts: pa.Array, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """k-gram shingle sets for a batch of texts.
+
+    Returns ``(values, offsets)``: ``values`` is the concatenated sorted
+    unique shingle hashes of every doc, ``offsets`` (len D+1) delimits
+    each doc's run.  Docs with fewer than k tokens get an empty set.
+    """
+    tok_hashes, tok_offsets = tokenize_arrow(texts)
+    n_docs = len(tok_offsets) - 1
+    n_tok = tok_offsets[1:] - tok_offsets[:-1]
+    m = int(tok_offsets[-1])
+
+    if m < k or n_docs == 0:
+        return np.empty(0, dtype=np.uint64), np.zeros(n_docs + 1, dtype=np.int64)
+
+    # hash of every length-k window over the concatenated token stream
+    n_win = m - k + 1
+    parts = [tok_hashes[j : n_win + j] for j in range(k)]
+    win_hash = combine_rolling(parts)
+
+    # a window starting at i is a real shingle iff it doesn't cross a
+    # doc boundary: doc_of[i] == doc_of[i+k-1]
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), n_tok)
+    valid = doc_of[:n_win] == doc_of[k - 1 :]
+    sh = win_hash[valid]
+    sh_doc = doc_of[:n_win][valid]
+
+    # sorted unique per doc: lexsort by (doc, hash) then drop adjacent dups
+    order = np.lexsort((sh, sh_doc))
+    sh, sh_doc = sh[order], sh_doc[order]
+    if len(sh):
+        keep = np.empty(len(sh), dtype=bool)
+        keep[0] = True
+        keep[1:] = (sh[1:] != sh[:-1]) | (sh_doc[1:] != sh_doc[:-1])
+        sh, sh_doc = sh[keep], sh_doc[keep]
+
+    counts = np.bincount(sh_doc, minlength=n_docs)
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return sh, offsets
+
+
+def sets_to_arrow(values: np.ndarray, offsets: np.ndarray) -> pa.ListArray:
+    """Wrap CSR (values, offsets) as an Arrow list<uint64> column, zero-copy."""
+    return pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32())
+        if offsets[-1] < 2**31
+        else pa.array(offsets, type=pa.int64()),
+        pa.array(values, type=pa.uint64()),
+    )
+
+
+def sets_to_binary(values: np.ndarray, offsets: np.ndarray) -> pa.LargeBinaryArray:
+    """CSR (values, offsets) → large_binary column: each doc's sorted
+    uint64 shingles as little-endian bytes.  Needed because Acero hash
+    joins (the physical op behind Dataset.join) accept binary payload
+    columns but not list columns; this is the wire format for shingle
+    sets crossing a join."""
+    byte_offsets = (offsets.astype(np.int64) * 8)
+    data = np.ascontiguousarray(values.astype("<u8", copy=False))
+    return pa.Array.from_buffers(
+        pa.large_binary(),
+        len(offsets) - 1,
+        [None, pa.py_buffer(byte_offsets.tobytes()), pa.py_buffer(data.tobytes())],
+    )
+
+
+def binary_to_sets(col) -> tuple[np.ndarray, np.ndarray]:
+    """large_binary column of uint64-LE blobs → CSR (values, offsets)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_binary(col.type):
+        col = col.cast(pa.large_binary())
+    buffers = col.buffers()
+    off = np.frombuffer(buffers[1], dtype=np.int64)[col.offset : col.offset + len(col) + 1]
+    data_buf = buffers[2]
+    if data_buf is None:
+        return np.empty(0, dtype=np.uint64), np.zeros(len(col) + 1, dtype=np.int64)
+    data = np.frombuffer(data_buf, dtype=np.uint64)
+    values = data[off[0] // 8 : off[-1] // 8]
+    offsets = (off - off[0]) // 8
+    return values, offsets.astype(np.int64)
+
+
+def arrow_to_sets(col) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow list<uint64> column → CSR (values, offsets), zero-copy."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.LargeListArray) or pa.types.is_large_list(col.type):
+        offsets = np.asarray(col.offsets, dtype=np.int64)
+    else:
+        offsets = np.asarray(col.offsets, dtype=np.int64)
+    first = offsets[0]
+    values = np.asarray(col.values, dtype=np.uint64)
+    if first != 0:
+        # sliced array: rebase
+        values = values[first : offsets[-1]]
+        offsets = offsets - first
+    else:
+        values = values[: offsets[-1]]
+    return values, offsets

@@ -1,0 +1,137 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — the query matrix (small side) is
+broadcast once via ``ray.put`` and every batch does one numpy matmul
+(never re-shipped per batch; SURVEY.md §2.4 broadcast-small-side rule).
+Per-batch top-k partials are then reduced to global top-k — a
+pre-aggregated (combiner) pattern: the shuffle moves k rows per batch,
+not every row.
+
+Scale path: LSH-bucketed variant — random-hyperplane signs bucket the
+corpus; queries probe only their own bucket (recall traded for a
+shuffle-free candidate cut).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+
+
+def _embedding_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch[col].combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = np.asarray(arr.flatten(), dtype=np.float32)
+    offs = np.asarray(arr.offsets, dtype=np.int64)
+    dim = offs[1] - offs[0] if len(offs) > 1 else 0
+    mat = flat[offs[0] * 0:].reshape(len(arr), int(dim)) if len(arr) else \
+        np.empty((0, 0), dtype=np.float32)
+    return mat
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(n, 1e-30)
+
+
+class BruteForceTopK:
+    """Actor-pool stage: per-batch cosine top-k against a broadcast
+    query matrix (loaded once per actor in __init__)."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, emb_col: str):
+        import ray
+        q = ray.get(queries_ref)
+        self.q_ids = np.asarray(q["ids"], dtype=np.int64)
+        self.q_mat = _normalize(np.asarray(q["mat"], dtype=np.float32))
+        self.k = k
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[self.id_col], dtype=np.int64)
+        mat = _normalize(_embedding_matrix(batch, self.emb_col))
+        if len(ids) == 0 or mat.size == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        sims = self.q_mat @ mat.T                      # (Q, B)
+        k = min(self.k, sims.shape[1])
+        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]   # per-batch partial top-k
+        qid = np.repeat(self.q_ids, k)
+        vid = ids[top].ravel()
+        cos = np.take_along_axis(sims, top, axis=1).ravel()
+        return pa.table({"query_id": pa.array(qid, pa.int64()),
+                         "vec_id": pa.array(vid, pa.int64()),
+                         "cosine": pa.array(cos.astype(np.float64), pa.float64())})
+
+
+def ann_topk_bruteforce(ds, query_ids, k: int = 10,
+                        cfg: PipelineConfig = DEFAULT_CONFIG,
+                        id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Exact cosine top-k of every corpus vector for each query id
+    (queries drawn from the same dataset).  → Dataset(query_id, vec_id,
+    cosine) with k rows per query, excluding the query itself."""
+    import ray
+    import pyarrow.compute as pc
+
+    q_tab = (ds.map_batches(
+        lambda t: t.filter(pc.is_in(t[id_col], pa.array(list(query_ids)))),
+        batch_format="pyarrow",
+    ).to_arrow_refs())
+    q = pa.concat_tables([ray.get(r) for r in q_tab])
+    q_ref = ray.put({"ids": np.asarray(q[id_col], dtype=np.int64),
+                     "mat": _embedding_matrix(q, emb_col)})
+
+    partials = ds.map_batches(
+        BruteForceTopK, batch_format="pyarrow", zero_copy_batch=True,
+        fn_constructor_args=(q_ref, k, id_col, emb_col),
+        concurrency=(1, 8), batch_size=4096,
+    )
+    # exclude self-match, then global top-k per query over the partials
+    partials = partials.map_batches(
+        lambda t: t.filter(pc.not_equal(t["query_id"], t["vec_id"])),
+        batch_format="pyarrow",
+    )
+
+    def _topk(group: pd.DataFrame) -> pd.DataFrame:
+        return group.nlargest(k, ["cosine", "vec_id"]) \
+                    .sort_values(["cosine", "vec_id"], ascending=[False, True])
+
+    return partials.groupby("query_id").map_groups(_topk, batch_format="pandas")
+
+
+class HyperplaneLSH:
+    """Random-hyperplane signature (stateful: planes built once per actor
+    from the config seed) — buckets cosine-similar vectors together."""
+
+    def __init__(self, dim: int, n_planes: int, seed: int,
+                 id_col: str, emb_col: str):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[self.id_col], dtype=np.int64)
+        mat = _embedding_matrix(batch, self.emb_col)
+        signs = (mat @ self.planes) >= 0                     # (B, P)
+        weights = (1 << np.arange(signs.shape[1], dtype=np.int64))
+        bucket = signs.astype(np.int64) @ weights
+        return pa.table({self.id_col: pa.array(ids, pa.int64()),
+                         "bucket": pa.array(bucket, pa.int64())})
+
+
+def ann_lsh_buckets(ds, dim: int, n_planes: int = 12,
+                    cfg: PipelineConfig = DEFAULT_CONFIG,
+                    id_col: str = "vec_id", emb_col: str = "embedding"):
+    """→ Dataset(vec_id, bucket): hyperplane-LSH bucket per vector; the
+    scale path's candidate cut (probe = same-bucket members only)."""
+    return ds.map_batches(
+        HyperplaneLSH, batch_format="pyarrow", zero_copy_batch=True,
+        fn_constructor_args=(dim, n_planes, cfg.seed, id_col, emb_col),
+        concurrency=(1, 8), batch_size=4096,
+    )

@@ -1,0 +1,125 @@
+"""Exact deduplication + text fingerprinting stages.
+
+Exact dedup = content hash → hash-partitioned group → keep the minimum
+doc_id per group (the reference's COO set-dedup A6 at corpus scale,
+SURVEY.md §2.7).  The group step is expressed as a pre-aggregated
+groupby: a per-batch partial min inside ``map_batches`` first, so the
+shuffle moves one row per (hash, batch) instead of every row.
+
+Content keys are 128-bit (two independent 64-bit SipHash draws): a
+single 64-bit key has birthday collisions near 2^32 docs, far below the
+10^12-doc design point of BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import PipelineConfig
+from ..functions.hashing import hash_strings
+
+_KEY2 = "raydedup-2nd-key"  # 16-byte alternate SipHash key → independent hash
+
+_HASH_COLS = ["text_hash", "text_hash2"]
+
+
+def with_text_hash(ds, text_col: str = "text"):
+    """Append deterministic (text_hash, text_hash2) uint64 columns."""
+
+    def _hash(batch: pa.Table) -> pa.Table:
+        arr = pc.fill_null(batch[text_col], "").to_numpy(zero_copy_only=False)
+        h1 = hash_strings(arr)
+        obj = np.asarray(arr, dtype=object)
+        h2 = (pd.util.hash_array(obj, hash_key=_KEY2, categorize=False)
+              if len(obj) else np.empty(0, dtype=np.uint64))
+        # int64 bit-view: shuffle keys must stay native Arrow ints
+        batch = batch.append_column(
+            "text_hash", pa.array(h1.view(np.int64), type=pa.int64()))
+        return batch.append_column(
+            "text_hash2", pa.array(h2.view(np.int64), type=pa.int64()))
+
+    return ds.map_batches(_hash, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def with_md5_fingerprint(ds, text_col: str = "text", out_col: str = "fingerprint"):
+    """Append an md5 hex-digest fingerprint column (matches DuckDB md5())."""
+
+    def _md5(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch[text_col], "").to_pylist()
+        fps = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+        return batch.append_column(out_col, pa.array(fps, type=pa.string()))
+
+    return ds.map_batches(_md5, batch_format="pyarrow")
+
+
+def exact_dup_groups(ds, cfg: PipelineConfig, id_col: str = "doc_id",
+                     text_col: str = "text"):
+    """→ Dataset(text_hash, text_hash2, keep_id:int64, n_dups:int64):
+    one row per distinct text, with the canonical (min) doc id and the
+    group size."""
+    hashed = with_text_hash(ds.select_columns([id_col, text_col]), text_col)
+
+    # partial (combiner) aggregation inside each batch before the shuffle
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "text_hash": np.asarray(batch["text_hash"], dtype=np.int64),
+            "text_hash2": np.asarray(batch["text_hash2"], dtype=np.int64),
+            id_col: np.asarray(batch[id_col], dtype=np.int64),
+        })
+        g = (df.groupby(_HASH_COLS, sort=False)[id_col]
+               .agg(["min", "count"]).reset_index())
+        return pa.table({
+            "text_hash": pa.array(g["text_hash"].to_numpy(), type=pa.int64()),
+            "text_hash2": pa.array(g["text_hash2"].to_numpy(), type=pa.int64()),
+            "partial_min": pa.array(g["min"].to_numpy(), type=pa.int64()),
+            "partial_n": pa.array(g["count"].to_numpy(), type=pa.int64()),
+        })
+
+    partials = hashed.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partials.groupby(_HASH_COLS).aggregate(*_min_sum_aggs())
+    return agg.map_batches(
+        lambda t: pa.table({
+            "text_hash": t["text_hash"],
+            "text_hash2": t["text_hash2"],
+            "keep_id": t["min(partial_min)"],
+            "n_dups": t["sum(partial_n)"],
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def _min_sum_aggs():
+    from ray.data.aggregate import Min, Sum
+    return (Min("partial_min"), Sum("partial_n"))
+
+
+def exact_dedup(ds, cfg: PipelineConfig, id_col: str = "doc_id",
+                text_col: str = "text"):
+    """Keep exactly one row (the min doc_id) per distinct text.
+    Returns the deduplicated Dataset with the original columns."""
+    groups = exact_dup_groups(ds, cfg, id_col=id_col, text_col=text_col)
+    keep = groups.select_columns(["keep_id"]).rename_columns({"keep_id": id_col})
+    return ds.join(keep, join_type="inner",
+                   num_partitions=cfg.num_partitions, on=(id_col,))
+
+
+def exact_dup_pairs(ds, cfg: PipelineConfig, id_col: str = "doc_id",
+                    text_col: str = "text"):
+    """All canonical pairs (a<b) of byte-identical texts — via self-join
+    on the 128-bit content hash, never materializing groups in Python."""
+    hashed = with_text_hash(ds.select_columns([id_col, text_col]), text_col) \
+        .select_columns([id_col, *_HASH_COLS])
+    left = hashed.rename_columns({id_col: "a"})
+    right = hashed.rename_columns({id_col: "b"})
+    joined = left.join(right, join_type="inner",
+                       num_partitions=cfg.num_partitions,
+                       on=tuple(_HASH_COLS))
+    return joined.map_batches(
+        lambda t: t.filter(pc.less(t["a"], t["b"])).select(["a", "b"]),
+        batch_format="pyarrow",
+    )

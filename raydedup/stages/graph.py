@@ -1,0 +1,176 @@
+"""Graph-semantics core: the reference's edge-connected Jaccard, re-expressed.
+
+Mirrors the reference's contracts exactly (SURVEY.md §1.3):
+  * symmetrize undirected inputs (main.cpp:99-112)        → ``symmetrize``
+  * drop self-loops at CSR build (readMtxToCSR.cpp:174)   → ``drop_self_loops``
+  * one-direction canonical form (readMtxToCSR.cpp:133)   → ``canonicalize``
+  * per-vertex degree / RowSum (jaccard.cpp:236-261)      → ``degrees``
+  * adjacency = sorted neighbor rows (jaccard.cpp:353)    → ``build_adjacency``
+  * edge scoring J = Wi/(Ws−Wi) (jaccard.cpp:614-619)     → ``edge_jaccard``
+  * pair-list scoring (jaccard_list, jaccard.cpp:901-923) → ``pair_jaccard``
+
+``edge_jaccard`` IS the dedup verification stage applied to graph data:
+pairs = the edge list, sets = adjacency rows — one engine, two payloads.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..functions.setops import pairwise_weighted_jaccard
+from ..functions.text import binary_to_sets, sets_to_binary
+from .verify import attach_sets, score_pairs
+
+
+def drop_self_loops(edges_ds):
+    """Remove (v, v) edges — the reference drops them during CSR build."""
+    return edges_ds.map_batches(
+        lambda t: t.filter(pc.not_equal(t["src"], t["dst"])),
+        batch_format="pyarrow",
+    )
+
+
+def invert_direction(edges_ds):
+    """Mirrored (dst, src[, weight]) edge per input edge (readMtxToCSR.cpp:116)."""
+
+    def _swap(t: pa.Table) -> pa.Table:
+        cols = {"src": t["dst"], "dst": t["src"]}
+        if "weight" in t.column_names:
+            cols["weight"] = t["weight"]
+        return pa.table(cols)
+
+    return edges_ds.map_batches(_swap, batch_format="pyarrow")
+
+
+def symmetrize(edges_ds, cfg: PipelineConfig = DEFAULT_CONFIG):
+    """Union original + mirrored edges, exact-dedup on (src, dst) —
+    main.cpp:108-111's set-union.  Weight of a duplicated edge = min."""
+    both = edges_ds.union(invert_direction(edges_ds))
+    if "weight" in edges_ds.schema().names:
+        agg = both.groupby(["src", "dst"]).min("weight")
+        return agg.map_batches(
+            lambda t: pa.table({"src": t["src"], "dst": t["dst"],
+                                "weight": t["min(weight)"]}),
+            batch_format="pyarrow",
+        )
+    return both.groupby(["src", "dst"]).count().select_columns(["src", "dst"])
+
+
+def canonicalize(edges_ds):
+    """Keep one direction of each pair: src < dst (removeReverseEdges,
+    readMtxToCSR.cpp:133-147, as an embarrassingly-parallel filter)."""
+    return edges_ds.map_batches(
+        lambda t: t.filter(pc.less(t["src"], t["dst"])),
+        batch_format="pyarrow",
+    )
+
+
+def degrees(edges_ds):
+    """Per-vertex out-degree over a (symmetrized) edge list — the
+    unweighted RowSum kernel (jaccard.cpp:236-261) as groupby-count.
+    → Dataset(vertex:int64, degree:int64)."""
+    return edges_ds.groupby("src").count().map_batches(
+        lambda t: pa.table({"vertex": t["src"], "degree": t["count()"]}),
+        batch_format="pyarrow",
+    )
+
+
+def build_adjacency(edges_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
+                    id_col: str = "doc_id"):
+    """Symmetrized edges → Dataset(id, n_neighbors, neighbors) where
+    ``neighbors`` is the sorted unique neighbor row in the binary wire
+    format (the CSR row of standalone_csr.hpp:44 as an Arrow payload).
+
+    Two-phase: a vectorized per-batch partial build (sort + slice, no
+    Python loops over edges), then a per-vertex merge of the few partial
+    rows — the shuffle key is the vertex id.
+    """
+
+    def _partial(t: pa.Table) -> pa.Table:
+        src = np.asarray(t["src"], dtype=np.int64)
+        dst = np.asarray(t["dst"], dtype=np.int64)
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        uniq, starts = np.unique(src, return_index=True)
+        bounds = np.append(starts, len(src))
+        blobs = [dst[bounds[i]:bounds[i + 1]].astype("<u8").tobytes()
+                 for i in range(len(uniq))]
+        return pa.table({
+            id_col: pa.array(uniq, type=pa.int64()),
+            "partial": pa.array(blobs, type=pa.large_binary()),
+        })
+
+    partials = edges_ds.map_batches(_partial, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+    def _merge(group: pd.DataFrame) -> pd.DataFrame:
+        arrs = [np.frombuffer(b, dtype=np.uint64) for b in group["partial"]]
+        merged = np.unique(np.concatenate(arrs))
+        return pd.DataFrame({
+            id_col: [group[id_col].iloc[0]],
+            "n_neighbors": [len(merged)],
+            "neighbors": [merged.astype("<u8").tobytes()],
+        })
+
+    return partials.groupby(id_col).map_groups(_merge, batch_format="pandas")
+
+
+def pair_jaccard(pairs_ds, adj_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
+                 weights=None, id_col: str = "doc_id"):
+    """Score an explicit (a, b) pair list against adjacency sets — the
+    ``jaccard_list`` API (standalone_algorithms.hpp:109-133).  Returns
+    (a, b, intersection, union, jaccard); unweighted unless a per-vertex
+    ``weights`` numpy array is given (jaccard.cpp:253-256 weighted path).
+    """
+    joined = attach_sets(pairs_ds, adj_ds, cfg, id_col=id_col, set_col="neighbors")
+    if weights is None:
+        return score_pairs(joined, cfg=None, threshold=None)
+
+    import ray
+    w_ref = ray.put(np.asarray(weights, dtype=np.float64))
+
+    class _WeightedScore:
+        def __init__(self):
+            self.w = ray.get(w_ref)  # broadcast once per actor, not per batch
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            av, ao = binary_to_sets(batch["set_a"])
+            bv, bo = binary_to_sets(batch["set_b"])
+            wi, wu, j = pairwise_weighted_jaccard(av, ao, bv, bo, weight_of=self.w)
+            return pa.table({
+                "a": batch["a"],
+                "b": batch["b"],
+                "weight_i": pa.array(wi, type=pa.float64()),
+                "weight_u": pa.array(wu, type=pa.float64()),
+                "jaccard": pa.array(j, type=pa.float64()),
+            })
+
+    return joined.map_batches(_WeightedScore, batch_format="pyarrow",
+                              zero_copy_batch=True, concurrency=(1, 4))
+
+
+def edge_jaccard(edges_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
+                 weights=None, *, symmetrize_input: bool = True):
+    """Edge-connected Jaccard over a graph: score every existing
+    (canonical) edge — the reference's main path (jaccard.cpp:784-899).
+
+    Input: Dataset(src:int64, dst:int64[, weight]).  The graph is
+    symmetrized (undirected contract, main.cpp:99-112) and self-loops
+    dropped before adjacency build; output is one row per canonical
+    (src<dst) edge: (a, b, intersection, union, jaccard) — both
+    directions of an edge score identically in the reference, so the
+    canonical row represents both.
+    """
+    clean = drop_self_loops(edges_ds)
+    sym = symmetrize(clean, cfg) if symmetrize_input else clean
+    sym = sym.materialize()  # reused: adjacency build + edge pair list
+    adj = build_adjacency(sym, cfg, id_col="id")
+    pairs = canonicalize(sym).map_batches(
+        lambda t: pa.table({"a": t["src"], "b": t["dst"]}),
+        batch_format="pyarrow",
+    )
+    return pair_jaccard(pairs, adj, cfg, weights=weights, id_col="id")

@@ -1,0 +1,85 @@
+"""Signature stage: text → shingle set + MinHash + SimHash + LSH band keys.
+
+A stateful actor-pool stage (SURVEY.md §2.3 T3): the 128 permutation
+seeds and config are built ONCE per actor in ``__init__`` — the Ray Data
+analogue of the reference's device-resident buffers — and every batch is
+processed as a zero-copy Arrow table with the vectorized kernels from
+``raydedup.functions``.
+
+Output schema per doc:
+  doc_id:int64, n_shingles:int64, shingles:list<uint64> (sorted unique),
+  minhash:fixed_size_list<uint64>[P], simhash:uint64,
+  bands:fixed_size_list<uint64>[B]
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import PipelineConfig
+from ..functions.hashing import perm_seeds
+from ..functions.sketches import band_keys, minhash_signatures, simhash64
+from ..functions.text import sets_to_binary, shingle_batch
+
+
+class SignatureStage:
+    """Callable class for ``map_batches(SignatureStage, fn_constructor_args=(cfg,),
+    batch_format="pyarrow", concurrency=N)``."""
+
+    def __init__(self, cfg: PipelineConfig, id_col: str = "doc_id",
+                 text_col: str = "text", keep_shingles: bool = True):
+        self.cfg = cfg
+        self.id_col = id_col
+        self.text_col = text_col
+        self.keep_shingles = keep_shingles
+        self.seeds = perm_seeds(cfg.num_perms, cfg.seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        vals, offs = shingle_batch(batch[self.text_col], cfg.k_shingle)
+        sig = minhash_signatures(vals, offs, self.seeds, cfg.minhash_perm_chunk)
+        sh = simhash64(vals, offs)
+        bk = band_keys(sig, cfg.bands, cfg.rows_per_band)
+        n_sh = (offs[1:] - offs[:-1]).astype(np.int64)
+
+        cols = {
+            self.id_col: batch[self.id_col],
+            "n_shingles": pa.array(n_sh, type=pa.int64()),
+            "minhash": pa.FixedSizeListArray.from_arrays(
+                pa.array(sig.ravel(), type=pa.uint64()), cfg.num_perms
+            ),
+            "simhash": pa.array(sh, type=pa.uint64()),
+            "bands": pa.FixedSizeListArray.from_arrays(
+                pa.array(bk.ravel(), type=pa.uint64()), cfg.bands
+            ),
+        }
+        if self.keep_shingles:
+            # binary wire format (not list<uint64>): shingle sets must
+            # survive Acero hash joins in the verification stage
+            cols["shingles"] = sets_to_binary(vals, offs)
+        return pa.table(cols)
+
+
+def signatures(ds, cfg: PipelineConfig, *, id_col: str = "doc_id",
+               text_col: str = "text", keep_shingles: bool = True,
+               concurrency=None):
+    """Attach signatures to a Dataset of documents."""
+    if concurrency is None:
+        # autoscaling actor pool up to the cluster CPU count: lets the
+        # streaming executor keep read/shuffle stages fed instead of
+        # reserving every CPU up front
+        import ray
+        n = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        concurrency = (1, max(2, n))
+    return ds.map_batches(
+        SignatureStage,
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        zero_copy_batch=True,
+        fn_constructor_args=(cfg,),
+        fn_constructor_kwargs=dict(
+            id_col=id_col, text_col=text_col, keep_shingles=keep_shingles
+        ),
+        concurrency=concurrency,
+    )
