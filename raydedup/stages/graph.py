@@ -107,13 +107,14 @@ def build_adjacency(edges_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
     partials = edges_ds.map_batches(_partial, batch_format="pyarrow",
                                     zero_copy_batch=True)
 
-    def _merge(group: pd.DataFrame) -> pd.DataFrame:
+    def _merge(group: pd.DataFrame) -> pa.Table:
         arrs = [np.frombuffer(b, dtype=np.uint64) for b in group["partial"]]
         merged = np.unique(np.concatenate(arrs))
-        return pd.DataFrame({
-            id_col: [group[id_col].iloc[0]],
-            "n_neighbors": [len(merged)],
-            "neighbors": [merged.astype("<u8").tobytes()],
+        # emit Arrow (not pandas): downstream Project/join ops need Arrow blocks
+        return pa.table({
+            id_col: pa.array([int(group[id_col].iloc[0])], pa.int64()),
+            "n_neighbors": pa.array([len(merged)], pa.int64()),
+            "neighbors": pa.array([merged.astype("<u8").tobytes()], pa.large_binary()),
         })
 
     return partials.groupby(id_col).map_groups(_merge, batch_format="pandas")

@@ -1,0 +1,155 @@
+"""Phase-1 reference-parity tests: edge-connected Jaccard on fixture
+graphs (FIXTURES.md §2), checked against a NumPy brute-force oracle
+implementing jaccard.cpp's semantics: score every existing edge,
+J = |N(u)∩N(v)| / |N(u)∪N(v)| over symmetrized adjacency with
+self-loops dropped."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from raydedup.config import PipelineConfig
+
+CFG = PipelineConfig(num_partitions=2)
+
+
+def brute_edge_jaccard(edges, weights=None):
+    """Oracle: dict[(u,v)] -> J for canonical u<v over symmetrized,
+    self-loop-free edges."""
+    adj: dict[int, set] = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    out = {}
+    for s in adj:
+        for d in adj[s]:
+            if s < d:
+                na, nb = adj[s], adj[d]
+                if weights is None:
+                    inter = len(na & nb)
+                    union = len(na) + len(nb) - inter
+                    out[(s, d)] = inter / union if union else 0.0
+                else:
+                    wi = sum(weights[x] for x in na & nb)
+                    ws = sum(weights[x] for x in na) + sum(weights[x] for x in nb)
+                    wu = ws - wi
+                    out[(s, d)] = wi / wu if wu else 0.0
+    return out
+
+
+def _run_edge_jaccard(edges, weights=None):
+    import ray.data as rd
+    from raydedup.stages.graph import edge_jaccard
+    tab = pa.table({
+        "src": pa.array([e[0] for e in edges], pa.int64()),
+        "dst": pa.array([e[1] for e in edges], pa.int64()),
+    })
+    out = edge_jaccard(rd.from_arrow(tab), CFG, weights=weights).to_pandas()
+    return dict(zip(zip(out["a"], out["b"]), out["jaccard"]))
+
+
+TRI_PLUS_TAIL = [(0, 1), (0, 2), (1, 2), (2, 3)]
+SELF_LOOPS = [(0, 0), (0, 1), (1, 1), (1, 2), (2, 0)]
+ONE_DIRECTION = [(0, 1), (1, 2), (2, 3), (3, 0)]  # square, one direction only
+
+
+class TestEdgeJaccard:
+    def test_triangle_plus_tail(self, ray_session):
+        got = _run_edge_jaccard(TRI_PLUS_TAIL)
+        want = brute_edge_jaccard(TRI_PLUS_TAIL)
+        # hand-checked: N(0)={1,2}, N(1)={0,2}, N(2)={0,1,3}, N(3)={2}
+        assert want[(0, 1)] == pytest.approx(1 / 3)   # {2} / {0,1,2}
+        assert got.keys() == want.keys()
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=1e-12), k
+
+    def test_self_loops_dropped(self, ray_session):
+        got = _run_edge_jaccard(SELF_LOOPS)
+        want = brute_edge_jaccard(SELF_LOOPS)
+        assert (0, 0) not in got and (1, 1) not in got
+        assert got.keys() == want.keys()
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+    def test_one_direction_symmetrized(self, ray_session):
+        got = _run_edge_jaccard(ONE_DIRECTION)
+        want = brute_edge_jaccard(ONE_DIRECTION)
+        assert got.keys() == want.keys()
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+    def test_skewed_star(self, ray_session):
+        hub = [(0, i) for i in range(1, 60)] + [(1, 2), (3, 4)]
+        got = _run_edge_jaccard(hub)
+        want = brute_edge_jaccard(hub)
+        assert got.keys() == want.keys()
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+    def test_random_gnp(self, ray_session):
+        rng = np.random.default_rng(42)
+        n = 120
+        mask = rng.random((n, n)) < 0.05
+        edges = [(int(i), int(j)) for i in range(n) for j in range(i + 1, n)
+                 if mask[i, j]]
+        got = _run_edge_jaccard(edges)
+        want = brute_edge_jaccard(edges)
+        assert len(want) > 100
+        assert got.keys() == want.keys()
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+    def test_weighted(self, ray_session):
+        rng = np.random.default_rng(7)
+        w = rng.uniform(0.5, 2.0, size=10)
+        edges = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (4, 0)]
+        got = _run_edge_jaccard(edges, weights=w)
+        want = brute_edge_jaccard(edges, weights=w)
+        assert got.keys() == want.keys()
+        for k in want:
+            assert got[k] == pytest.approx(want[k], rel=1e-12)
+
+
+class TestGraphOps:
+    def test_degrees(self, ray_session):
+        import ray.data as rd
+        from raydedup.stages.graph import degrees, symmetrize
+        tab = pa.table({"src": pa.array([0, 0, 1, 2], pa.int64()),
+                        "dst": pa.array([1, 2, 2, 3], pa.int64())})
+        deg = degrees(symmetrize(rd.from_arrow(tab), CFG)).to_pandas()
+        want = {0: 2, 1: 2, 2: 3, 3: 1}
+        assert dict(zip(deg["vertex"], deg["degree"])) == want
+
+    def test_symmetrize_dedups(self, ray_session):
+        import ray.data as rd
+        from raydedup.stages.graph import symmetrize
+        # (0,1) stored both directions plus duplicate
+        tab = pa.table({"src": pa.array([0, 1, 0], pa.int64()),
+                        "dst": pa.array([1, 0, 1], pa.int64())})
+        sym = symmetrize(rd.from_arrow(tab), CFG).to_pandas()
+        assert sorted(map(tuple, sym[["src", "dst"]].values.tolist())) == \
+            [(0, 1), (1, 0)]
+
+    def test_canonicalize(self, ray_session):
+        import ray.data as rd
+        from raydedup.stages.graph import canonicalize
+        tab = pa.table({"src": pa.array([0, 1, 2], pa.int64()),
+                        "dst": pa.array([1, 0, 2], pa.int64())})
+        out = canonicalize(rd.from_arrow(tab)).to_pandas()
+        assert out[["src", "dst"]].values.tolist() == [[0, 1]]
+
+    def test_adjacency_sorted_unique(self, ray_session):
+        import ray.data as rd
+        from raydedup.stages.graph import build_adjacency, symmetrize
+        from raydedup.functions.text import binary_to_sets
+        tab = pa.table({"src": pa.array([0, 0, 0, 1], pa.int64()),
+                        "dst": pa.array([5, 3, 3, 0], pa.int64())})
+        adj = build_adjacency(symmetrize(rd.from_arrow(tab), CFG), CFG,
+                              id_col="id").to_pandas()
+        row0 = adj[adj["id"] == 0].iloc[0]
+        nbrs = np.frombuffer(row0["neighbors"], dtype=np.uint64)
+        assert nbrs.tolist() == [1, 3, 5]
+        assert row0["n_neighbors"] == 3
