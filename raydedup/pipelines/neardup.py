@@ -22,7 +22,7 @@ from ..stages.verify import verify_pairs
 
 def near_dup_pairs(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
                    id_col: str = "doc_id", text_col: str = "text",
-                   threshold: float | None = None, sig_ds=None):
+                   threshold: float | None = ..., sig_ds=None):
     """→ Dataset(a, b, intersection, union, jaccard) of verified
     near-duplicate pairs with jaccard ≥ threshold (default
     cfg.verify_threshold)."""
@@ -36,7 +36,7 @@ def near_dup_pairs(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
 
 def near_dup_clusters(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
                       id_col: str = "doc_id", text_col: str = "text",
-                      threshold: float | None = None, checkpoint_fn=None):
+                      threshold: float | None = ..., checkpoint_fn=None):
     """→ Dataset(node, component): connected components of the verified
     near-dup graph; component = min doc_id of each cluster.  Docs that
     belong to no cluster are absent (their implicit component is

@@ -1,0 +1,500 @@
+"""Driver-contract query registry: every operator from SURVEY.md §2 as a
+``(sf_dir) -> Dataset/DataFrame/Table`` callable, with the matching
+ANSI-SQL oracle for DuckDB where the semantics are SQL-expressible.
+
+Column names and float formulas are mirrored EXACTLY between the Ray
+implementation and the SQL string — the driver hash-compares values
+after sorting columns by name.  Float outputs that depend on summation
+order (cosine, sum of doubles) are rounded identically on both sides;
+pure IEEE divisions of integer-derived operands (jaccard) are compared
+exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import DEFAULT_CONFIG
+from ..sources.pages import pages_from_documents
+from ..stages import dedup as dd
+from ..stages import graph as gr
+from ..stages import textstats as ts
+from ..stages.ann import ann_topk_bruteforce
+from ..stages.cc import connected_components
+from ..stages.lsh import simhash_candidate_pairs
+from ..stages.signatures import signatures
+from ..stages.verify import verify_pairs
+
+CFG = DEFAULT_CONFIG.with_(num_partitions=8)
+
+
+def _docs(sf_dir, columns=None):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------- text maps
+
+def q_token_count(sf_dir):
+    return ts.token_counts(_docs(sf_dir, ["doc_id", "text"])) \
+             .select_columns(["doc_id", "n_tokens"])
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents
+"""
+
+
+def q_shingle_count(sf_dir):
+    sig = signatures(_docs(sf_dir, ["doc_id", "text"]), CFG, keep_shingles=False)
+    return sig.select_columns(["doc_id", "n_shingles"])
+
+
+SQL_SHINGLE_COUNT = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i)
+  WHERE len(t) >= 5
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+SELECT d.doc_id, coalesce(cnt.n, 0)::BIGINT AS n_shingles
+FROM documents d LEFT JOIN cnt ON cnt.doc_id = d.doc_id
+"""
+
+
+def q_fingerprint(sf_dir):
+    return dd.with_md5_fingerprint(_docs(sf_dir, ["doc_id", "text"])) \
+             .select_columns(["doc_id", "fingerprint"])
+
+
+SQL_FINGERPRINT = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
+
+
+def q_quality(sf_dir):
+    return ts.quality_scores(_docs(sf_dir, ["doc_id", "text"])).select_columns(
+        ["doc_id", "n_chars_measured", "n_tokens", "mean_token_len", "alpha_ratio"]
+    )
+
+
+SQL_QUALITY = """
+WITH b AS (
+  SELECT doc_id,
+         length(text)::DOUBLE AS n_chars,
+         len(string_split(text, ' '))::DOUBLE AS n_tok,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE AS n_alpha
+  FROM documents
+)
+SELECT doc_id,
+       n_chars::BIGINT AS n_chars_measured,
+       n_tok::BIGINT AS n_tokens,
+       greatest(n_chars - (n_tok - 1), 0) / greatest(n_tok, 1) AS mean_token_len,
+       n_alpha / greatest(n_chars, 1) AS alpha_ratio
+FROM b
+"""
+
+
+# ---------------------------------------------------------------- exact dedup
+
+def q_exact_dedup_groups(sf_dir):
+    return dd.exact_dup_groups(_docs(sf_dir, ["doc_id", "text"]), CFG) \
+             .select_columns(["keep_id", "n_dups"])
+
+
+SQL_EXACT_DEDUP_GROUPS = """
+SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY text
+"""
+
+
+def q_exact_dup_pairs(sf_dir):
+    out = dd.exact_dup_pairs(_docs(sf_dir, ["doc_id", "text"]), CFG).materialize()
+    if out.count() == 0:
+        # empty Ray Datasets lose their schema through to_pandas; the
+        # driver's schema compare needs the typed empty frame
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64())})
+    return out
+
+
+SQL_EXACT_DUP_PAIRS = """
+SELECT x.doc_id AS a, y.doc_id AS b
+FROM documents x JOIN documents y ON x.text = y.text AND x.doc_id < y.doc_id
+"""
+
+
+def q_exact_dup_components(sf_dir):
+    pairs = dd.exact_dup_pairs(_docs(sf_dir, ["doc_id", "text"]), CFG).materialize()
+    if pairs.count() == 0:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "component": pa.array([], pa.int64())})
+    return connected_components(pairs, CFG)
+
+
+SQL_EXACT_DUP_COMPONENTS = """
+WITH g AS (SELECT doc_id,
+                  min(doc_id) OVER (PARTITION BY text) AS component,
+                  count(*) OVER (PARTITION BY text) AS n
+           FROM documents)
+SELECT doc_id AS node, component FROM g WHERE n > 1
+"""
+
+
+# ---------------------------------------------------------------- near dedup
+
+def q_near_dup_pairs(sf_dir):
+    from .neardup import near_dup_pairs
+    return near_dup_pairs(_docs(sf_dir, ["doc_id", "text"]), CFG)
+
+
+SQL_NEAR_DUP_PAIRS = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i)
+  WHERE len(t) >= 5
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b, i.c AS intersection, (ca.n + cb.n - i.c) AS "union",
+       i.c::DOUBLE / (ca.n + cb.n - i.c) AS jaccard
+FROM inter i JOIN cnt ca ON ca.doc_id = i.a JOIN cnt cb ON cb.doc_id = i.b
+WHERE i.c::DOUBLE / (ca.n + cb.n - i.c) >= 0.8
+"""
+
+
+def q_near_dup_components(sf_dir):
+    from .neardup import near_dup_clusters
+    return near_dup_clusters(_docs(sf_dir, ["doc_id", "text"]), CFG)
+
+
+SQL_NEAR_DUP_COMPONENTS = """
+WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i)
+  WHERE len(t) >= 5
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.a, i.b FROM inter i
+  JOIN cnt ca ON ca.doc_id = i.a JOIN cnt cb ON cb.doc_id = i.b
+  WHERE i.c::DOUBLE / (ca.n + cb.n - i.c) >= 0.8
+),
+edges AS (SELECT a AS n, b AS m FROM pairs UNION SELECT b, a FROM pairs),
+reach(n, m) AS (
+  SELECT n, m FROM edges
+  UNION
+  SELECT r.n, e.m FROM reach r JOIN edges e ON r.m = e.n
+)
+SELECT n AS node, least(n, min(m)) AS component FROM reach GROUP BY n
+"""
+
+
+def q_simhash_dup_pairs(sf_dir):
+    """SimHash-blocked near-identical pairs (rows-only check: the 64-bit
+    signature family is not SQL-expressible)."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    sig = signatures(docs, CFG).materialize()
+    cands = simhash_candidate_pairs(sig, CFG)
+    return verify_pairs(cands, sig, CFG, threshold=0.9)
+
+
+# ---------------------------------------------------------------- graph ops
+
+def _lineitem_edges(sf_dir):
+    import ray.data as rd
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey"])
+    return li.map_batches(
+        lambda t: pa.table({"src": t["l_partkey"].cast(pa.int64()),
+                            "dst": t["l_suppkey"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+def q_edge_jaccard(sf_dir):
+    return gr.edge_jaccard(_lineitem_edges(sf_dir), CFG)
+
+
+SQL_EDGE_JACCARD = """
+WITH e0 AS (SELECT DISTINCT l_partkey AS s, l_suppkey AS d FROM lineitem
+            WHERE l_partkey <> l_suppkey),
+sym AS (SELECT s, d FROM e0 UNION SELECT d, s FROM e0),
+deg AS (SELECT s AS v, count(*) AS dg FROM sym GROUP BY s),
+can AS (SELECT s AS a, d AS b FROM sym WHERE s < d),
+inter AS (
+  SELECT e.a, e.b, count(*) AS c
+  FROM can e JOIN sym n1 ON n1.s = e.a JOIN sym n2 ON n2.s = e.b AND n2.d = n1.d
+  GROUP BY 1, 2
+)
+SELECT c.a, c.b, coalesce(i.c, 0) AS intersection,
+       (da.dg + db.dg - coalesce(i.c, 0)) AS "union",
+       coalesce(i.c, 0)::DOUBLE / (da.dg + db.dg - coalesce(i.c, 0)) AS jaccard
+FROM can c LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+JOIN deg da ON da.v = c.a JOIN deg db ON db.v = c.b
+"""
+
+
+def q_degrees(sf_dir):
+    sym = gr.symmetrize(gr.drop_self_loops(_lineitem_edges(sf_dir)), CFG)
+    return gr.degrees(sym)
+
+
+SQL_DEGREES = """
+WITH e0 AS (SELECT DISTINCT l_partkey AS s, l_suppkey AS d FROM lineitem
+            WHERE l_partkey <> l_suppkey),
+sym AS (SELECT s, d FROM e0 UNION SELECT d, s FROM e0)
+SELECT s AS vertex, count(*) AS degree FROM sym GROUP BY s
+"""
+
+
+def q_pair_jaccard_adjacent(sf_dir):
+    """jaccard_list analogue: token-set (k=1) Jaccard of (i, i+1) doc pairs."""
+    import ray.data as rd
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    cfg1 = CFG.with_(k_shingle=1)
+    sig = signatures(docs, cfg1).materialize()
+    max_id = docs.max("doc_id")
+    pairs = docs.select_columns(["doc_id"]).map_batches(
+        lambda t, m=max_id: (lambda ids: pa.table({
+            "a": pa.array(ids, pa.int64()),
+            "b": pa.array(ids + 1, pa.int64()),
+        }))(np.asarray(t["doc_id"], dtype=np.int64)),
+        batch_format="pyarrow",
+    ).map_batches(
+        lambda t, m=max_id: t.filter(pc.less_equal(t["b"], m)),
+        batch_format="pyarrow",
+    )
+    return verify_pairs(pairs, sig, cfg1, threshold=None)
+
+
+SQL_PAIR_JACCARD_ADJACENT = """
+WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+             FROM documents),
+cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+pairs AS (SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+          WHERE doc_id + 1 <= (SELECT max(doc_id) FROM documents)),
+inter AS (
+  SELECT p.a, p.b, count(*) AS c
+  FROM pairs p JOIN tok x ON x.doc_id = p.a
+               JOIN tok y ON y.doc_id = p.b AND y.tok = x.tok
+  GROUP BY 1, 2
+)
+SELECT p.a, p.b, coalesce(i.c, 0) AS intersection,
+       (ca.n + cb.n - coalesce(i.c, 0)) AS "union",
+       coalesce(i.c, 0)::DOUBLE / (ca.n + cb.n - coalesce(i.c, 0)) AS jaccard
+FROM pairs p
+LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+JOIN cnt ca ON ca.doc_id = p.a JOIN cnt cb ON cb.doc_id = p.b
+"""
+
+
+# ------------------------------------------------------------- aggregations
+
+def q_doc_stats_by_lang(sf_dir):
+    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+    out = _docs(sf_dir, ["lang", "n_chars"]).groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="sum_chars"),
+        Mean("n_chars", alias_name="avg_chars"),
+        Min("n_chars", alias_name="min_chars"),
+        Max("n_chars", alias_name="max_chars"),
+    )
+    return out
+
+
+SQL_DOC_STATS_BY_LANG = """
+SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+       avg(n_chars) AS avg_chars, min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_events_hourly(sf_dir):
+    import ray.data as rd
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+    from ray.data.aggregate import Count, Sum
+    hourly = ev.map_batches(
+        lambda t: pa.table({
+            "ts_hour": pc.floor_temporal(t["ts"], unit="hour"),
+            "event_type": t["event_type"],
+            "value": t["value"],
+        }),
+        batch_format="pyarrow",
+    ).groupby(["ts_hour", "event_type"]).aggregate(
+        Count(alias_name="n_events"),
+        Sum("value", alias_name="sum_value_raw"),
+    )
+    # integer cents: double-sum order differs between engines, so a float
+    # column can never be hash-compared bit-exactly — values have 2
+    # decimals, so cents are exact integers
+    return hourly.map_batches(
+        lambda t: pa.table({
+            "ts_hour": t["ts_hour"],
+            "event_type": t["event_type"],
+            "n_events": t["n_events"],
+            "sum_value_cents": pc.round(
+                pc.multiply(t["sum_value_raw"], 100.0), 0).cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS ts_hour, event_type,
+       count(*) AS n_events, round(sum(value) * 100)::BIGINT AS sum_value_cents
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_top_sources(sf_dir):
+    from ray.data.aggregate import Count
+    out = _docs(sf_dir, ["source"]).groupby("source") \
+        .aggregate(Count(alias_name="n_docs"))
+    return out.sort(["n_docs", "source"], descending=[True, False]).limit(5)
+
+
+SQL_TOP_SOURCES = """
+SELECT source, count(*) AS n_docs FROM documents
+GROUP BY source ORDER BY n_docs DESC, source ASC LIMIT 5
+"""
+
+
+def q_filter_lang(sf_dir):
+    import ray.data as rd
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"],
+        filter=(pc.field("lang") == "en"),
+    )
+
+
+SQL_FILTER_LANG = "SELECT doc_id, n_chars FROM documents WHERE lang = 'en'"
+
+
+# --------------------------------------------------------------------- ANN
+
+def q_ann_topk(sf_dir):
+    import ray.data as rd
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    out = ann_topk_bruteforce(emb, query_ids=[0, 1, 2], k=10, cfg=CFG)
+    # integer micro-units: dot-product summation order differs between
+    # engines, so raw doubles can't be hash-compared bit-exactly
+    return out.map_batches(
+        lambda t: pa.table({
+            "query_id": t["query_id"],
+            "vec_id": t["vec_id"],
+            "cosine_e6": pc.round(
+                pc.multiply(t["cosine"], 1e6), 0).cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings
+           WHERE vec_id IN (0, 1, 2)),
+s AS (SELECT q.qid AS query_id, e.vec_id,
+             list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS cosine
+      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id ASC) AS rn
+      FROM s)
+SELECT query_id, vec_id, round(cosine * 1e6)::BIGINT AS cosine_e6
+FROM r WHERE rn <= 10
+"""
+
+
+def q_ann_lsh_buckets(sf_dir):
+    """Hyperplane-LSH bucket assignment (rows-only: random planes are
+    seed-derived, not SQL-expressible)."""
+    import ray.data as rd
+    from ..stages.ann import ann_lsh_buckets
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    first = emb.take(1)[0]
+    dim = len(first["embedding"])
+    return ann_lsh_buckets(emb, dim=dim, cfg=CFG)
+
+
+# -------------------------------------------------------------- pages / misc
+
+def q_pages_meta(sf_dir):
+    return pages_from_documents(sf_dir).select_columns(
+        ["url", "warc_ts", "text", "lang"]
+    )
+
+
+SQL_PAGES_META = """
+SELECT source || '/' || doc_id AS url,
+       TIMESTAMP '2024-01-01 00:00:00' + to_microseconds(doc_id * 1000000) AS warc_ts,
+       text, lang
+FROM documents
+"""
+
+
+def q_lang_id(sf_dir):
+    """Stopword-vote language ID (rows-only: heuristic table not in SQL)."""
+    return ts.lang_id(_docs(sf_dir, ["doc_id", "text"])) \
+             .select_columns(["doc_id", "lang_pred"])
+
+
+QUERIES = {
+    "token_count": q_token_count,
+    "shingle_count": q_shingle_count,
+    "fingerprint": q_fingerprint,
+    "quality_scores": q_quality,
+    "exact_dedup_groups": q_exact_dedup_groups,
+    "exact_dup_pairs": q_exact_dup_pairs,
+    "exact_dup_components": q_exact_dup_components,
+    "near_dup_pairs": q_near_dup_pairs,
+    "near_dup_components": q_near_dup_components,
+    "simhash_dup_pairs": q_simhash_dup_pairs,
+    "edge_jaccard": q_edge_jaccard,
+    "degrees": q_degrees,
+    "pair_jaccard_adjacent": q_pair_jaccard_adjacent,
+    "doc_stats_by_lang": q_doc_stats_by_lang,
+    "events_hourly": q_events_hourly,
+    "top_sources": q_top_sources,
+    "filter_lang": q_filter_lang,
+    "ann_topk": q_ann_topk,
+    "ann_lsh_buckets": q_ann_lsh_buckets,
+    "pages_meta": q_pages_meta,
+    "lang_id": q_lang_id,
+}
+
+ORACLES = {
+    "token_count": SQL_TOKEN_COUNT,
+    "shingle_count": SQL_SHINGLE_COUNT,
+    "fingerprint": SQL_FINGERPRINT,
+    "quality_scores": SQL_QUALITY,
+    "exact_dedup_groups": SQL_EXACT_DEDUP_GROUPS,
+    "exact_dup_pairs": SQL_EXACT_DUP_PAIRS,
+    "exact_dup_components": SQL_EXACT_DUP_COMPONENTS,
+    "near_dup_pairs": SQL_NEAR_DUP_PAIRS,
+    "near_dup_components": SQL_NEAR_DUP_COMPONENTS,
+    "edge_jaccard": SQL_EDGE_JACCARD,
+    "degrees": SQL_DEGREES,
+    "pair_jaccard_adjacent": SQL_PAIR_JACCARD_ADJACENT,
+    "doc_stats_by_lang": SQL_DOC_STATS_BY_LANG,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "top_sources": SQL_TOP_SOURCES,
+    "filter_lang": SQL_FILTER_LANG,
+    "ann_topk": SQL_ANN_TOPK,
+    "pages_meta": SQL_PAGES_META,
+    # rows-only (non-SQL-expressible): simhash_dup_pairs, ann_lsh_buckets,
+    # lang_id
+}

@@ -21,16 +21,18 @@ import pyarrow as pa
 from ..config import DEFAULT_CONFIG, PipelineConfig
 
 
-def _embedding_matrix(batch: pa.Table, col: str) -> np.ndarray:
+def _embedding_matrix(batch: pa.Table, col: str, dtype=np.float64) -> np.ndarray:
+    """list<float> column → (N, dim) matrix.  float64 by default so the
+    cosine math agrees with the DuckDB oracle to rounding precision."""
     arr = batch[col].combine_chunks()
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    flat = np.asarray(arr.flatten(), dtype=np.float32)
+    if len(arr) == 0:
+        return np.empty((0, 0), dtype=dtype)
+    flat = np.asarray(arr.flatten(), dtype=dtype)
     offs = np.asarray(arr.offsets, dtype=np.int64)
-    dim = offs[1] - offs[0] if len(offs) > 1 else 0
-    mat = flat[offs[0] * 0:].reshape(len(arr), int(dim)) if len(arr) else \
-        np.empty((0, 0), dtype=np.float32)
-    return mat
+    dim = int(offs[1] - offs[0])
+    return flat[: len(arr) * dim].reshape(len(arr), dim)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -46,7 +48,7 @@ class BruteForceTopK:
         import ray
         q = ray.get(queries_ref)
         self.q_ids = np.asarray(q["ids"], dtype=np.int64)
-        self.q_mat = _normalize(np.asarray(q["mat"], dtype=np.float32))
+        self.q_mat = _normalize(np.asarray(q["mat"], dtype=np.float64))
         self.k = k
         self.id_col = id_col
         self.emb_col = emb_col
@@ -59,6 +61,10 @@ class BruteForceTopK:
                              "vec_id": pa.array([], pa.int64()),
                              "cosine": pa.array([], pa.float64())})
         sims = self.q_mat @ mat.T                      # (Q, B)
+        # exclude self-matches BEFORE the partial top-k, or a query's own
+        # batch would surrender one of its k slots to the query itself
+        self_mask = self.q_ids[:, None] == ids[None, :]
+        sims = np.where(self_mask, -np.inf, sims)
         k = min(self.k, sims.shape[1])
         top = np.argpartition(-sims, k - 1, axis=1)[:, :k]   # per-batch partial top-k
         qid = np.repeat(self.q_ids, k)
@@ -91,15 +97,18 @@ def ann_topk_bruteforce(ds, query_ids, k: int = 10,
         fn_constructor_args=(q_ref, k, id_col, emb_col),
         concurrency=(1, 8), batch_size=4096,
     )
-    # exclude self-match, then global top-k per query over the partials
+    # drop -inf self rows (tiny batches can still emit them), then global
+    # top-k per query over the partials
     partials = partials.map_batches(
-        lambda t: t.filter(pc.not_equal(t["query_id"], t["vec_id"])),
+        lambda t: t.filter(pc.and_(
+            pc.not_equal(t["query_id"], t["vec_id"]),
+            pc.is_finite(t["cosine"]))),
         batch_format="pyarrow",
     )
 
-    def _topk(group: pd.DataFrame) -> pd.DataFrame:
-        return group.nlargest(k, ["cosine", "vec_id"]) \
-                    .sort_values(["cosine", "vec_id"], ascending=[False, True])
+    def _topk(group: pd.DataFrame) -> pa.Table:
+        top = group.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(top, preserve_index=False)
 
     return partials.groupby("query_id").map_groups(_topk, batch_format="pandas")
 

@@ -46,9 +46,11 @@ def quality_scores(ds, text_col: str = "text"):
         sep_chars = pc.subtract(n_tok, 1)
         tok_chars = pc.max_element_wise(pc.subtract(n_chars, sep_chars), 0)
         mean_len = pc.divide(tok_chars, pc.max_element_wise(n_tok, 1))
-        # alpha ratio: fraction of characters that are alphabetic
+        # alpha ratio: fraction of ASCII-alphabetic characters (ASCII
+        # class deliberately, to agree exactly with RE2 [[:alpha:]] in
+        # the DuckDB oracle)
         alpha = pc.utf8_length(
-            pc.replace_substring_regex(texts, pattern=r"[^\pL]", replacement="")
+            pc.replace_substring_regex(texts, pattern=r"[^a-zA-Z]", replacement="")
         ).cast(pa.float64())
         alpha_ratio = pc.divide(alpha, pc.max_element_wise(n_chars, 1))
         batch = batch.append_column("n_chars_measured", n_chars.cast(pa.int64()))

@@ -34,12 +34,14 @@ def attach_sets(pairs_ds, sig_ds, cfg: PipelineConfig, id_col: str = "doc_id",
 
 
 def score_pairs(joined_ds, cfg: PipelineConfig | None = None,
-                threshold: float | None = None):
+                threshold: float | None = ...):
     """(a, b, set_a, set_b) → (a, b, intersection, union, jaccard),
-    optionally filtered to jaccard ≥ threshold."""
-    thr = threshold if threshold is not None else (
-        cfg.verify_threshold if cfg is not None else None
-    )
+    filtered to jaccard ≥ threshold.  ``threshold=...`` (default) takes
+    cfg.verify_threshold; ``threshold=None`` disables the filter."""
+    if threshold is ...:
+        thr = cfg.verify_threshold if cfg is not None else None
+    else:
+        thr = threshold
 
     def _score(batch: pa.Table) -> pa.Table:
         av, ao = binary_to_sets(batch["set_a"])
@@ -60,7 +62,7 @@ def score_pairs(joined_ds, cfg: PipelineConfig | None = None,
 
 
 def verify_pairs(pairs_ds, sig_ds, cfg: PipelineConfig,
-                 threshold: float | None = None, id_col: str = "doc_id",
+                 threshold: float | None = ..., id_col: str = "doc_id",
                  set_col: str = "shingles"):
     """Full verification: join shingle sets onto pairs, score, filter."""
     joined = attach_sets(pairs_ds, sig_ds, cfg, id_col=id_col, set_col=set_col)
