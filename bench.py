@@ -1,0 +1,139 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR testdata plus
+a compute-dominated synthetic near-dup run; prints ONE JSON line.
+
+    python bench.py              # full run at $RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling    # same job at 8 and 32 CPUs in fresh
+                                 # processes; reports throughputs +
+                                 # scaling efficiency
+
+The scaling run is the sandbox stand-in for the N-node vs 4N-node
+cluster criterion (BASELINE.json): same input, two parallelism levels,
+fresh Ray sessions, efficiency = (t_lo / t_hi) / (cpus_hi / cpus_lo).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SYNTH_DOCS = int(os.environ.get("GRAFT_SYNTH_DOCS", "40000"))
+
+
+def run_bench() -> dict:
+    import ray
+    ray.init(address="local", num_cpus=NCPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import ray.data as rd
+    from raydedup.config import DEFAULT_CONFIG
+    from raydedup.pipelines.neardup import near_dup_clusters, near_dup_pairs
+    from raydedup.sources.synth import synth_pages_ds
+    from raydedup.stages.ann import ann_topk_bruteforce
+    from raydedup.stages.dedup import exact_dup_groups
+    from raydedup.stages.graph import edge_jaccard
+    from raydedup.stages.signatures import signatures
+
+    cfg = DEFAULT_CONFIG.with_(num_partitions=max(8, NCPUS))
+
+    # warm the page cache (untimed) so we measure compute + shuffle
+    for t in ("documents", "lineitem", "embeddings"):
+        rd.read_parquet(f"{SF_DIR}/{t}.parquet").count()
+    # pre-generate the synthetic corpus (untimed) and pin it
+    synth = synth_pages_ds(SYNTH_DOCS, seed=42).materialize()
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    timed("signatures_sf", lambda: signatures(docs, cfg).count())
+    timed("neardup_clusters_sf",
+          lambda: near_dup_clusters(docs, cfg).count())
+    timed("exact_dedup_sf", lambda: exact_dup_groups(docs, cfg).count())
+
+    li = rd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey"])
+    import pyarrow as pa
+
+    def _edges():
+        return li.map_batches(
+            lambda t: pa.table({"src": t["l_partkey"].cast(pa.int64()),
+                                "dst": t["l_suppkey"].cast(pa.int64())}),
+            batch_format="pyarrow")
+
+    timed("edge_jaccard_sf", lambda: edge_jaccard(_edges(), cfg).count())
+
+    emb = rd.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    timed("ann_topk_sf",
+          lambda: ann_topk_bruteforce(emb, query_ids=[0, 1, 2], k=10,
+                                      cfg=cfg).count())
+
+    # headline: compute-dominated near-dup detection on the synthetic corpus
+    n_pairs = timed("neardup_synth",
+                    lambda: near_dup_pairs(synth, cfg).count())
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "graft_bench_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NCPUS,
+        "synth_docs": SYNTH_DOCS,
+        "synth_dup_pairs": int(n_pairs),
+        "docs_per_sec_neardup": round(SYNTH_DOCS / timings["neardup_synth"], 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    import subprocess
+    lo, hi = 8, NCPUS if NCPUS > 8 else 32
+
+    def once(n):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    r_lo = once(lo)
+    r_hi = once(hi)
+    t_lo = r_lo["queries"]["neardup_synth"]
+    t_hi = r_hi["queries"]["neardup_synth"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo, "cpus_hi": hi,
+        "sec_lo": t_lo, "sec_hi": t_hi,
+        "docs_per_sec_lo": round(SYNTH_DOCS / t_lo, 1),
+        "docs_per_sec_hi": round(SYNTH_DOCS / t_hi, 1),
+        "total_sec_lo": r_lo["value"], "total_sec_hi": r_hi["value"],
+        "synth_docs": SYNTH_DOCS,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -21,6 +21,11 @@ class PipelineConfig:
     k_shingle: int = 5              # word-level k-gram shingles
     # --- MinHash ---
     num_perms: int = 128            # signature length
+    # "oph": one-permutation hashing + rotation densification (one O(M)
+    #   pass — the scale default; same LSH collision family);
+    # "perm": 128 independent permutation functions (the literal
+    #   k-permutation construction; ~50x more hashing work)
+    minhash_mode: str = "oph"
     # --- LSH banding: bands * rows_per_band must == num_perms ---
     bands: int = 32
     rows_per_band: int = 4

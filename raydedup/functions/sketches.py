@@ -21,6 +21,61 @@ from .hashing import combine_rolling, perm_seeds, splitmix64
 _EMPTY_SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
+def minhash_signatures_oph(
+    values: np.ndarray,
+    offsets: np.ndarray,
+    num_bins: int,
+    seed_salt: np.uint64,
+) -> np.ndarray:
+    """One-permutation MinHash with rotation densification
+    (Li/Owen/Zhang-style OPH): hash every shingle ONCE, route it to one
+    of ``num_bins`` bins by its top bits, keep the per-(doc, bin)
+    minimum, and fill empty bins from the next non-empty bin to the
+    right (circularly).  Collision probability per bin ≈ Jaccard — the
+    same LSH family as k independent permutations at 1/k the cost
+    (one O(M) pass + one sort instead of k passes).
+
+    Returns (D, num_bins) uint64; empty docs get the all-sentinel row.
+    """
+    n_docs = len(offsets) - 1
+    sig = np.full((n_docs, num_bins), _EMPTY_SENTINEL, dtype=np.uint64)
+    if n_docs == 0 or len(values) == 0:
+        return sig
+
+    h = splitmix64(values ^ seed_salt)
+    bins = h % np.uint64(num_bins)  # exact-uniform when num_bins is 2^k
+    lens = offsets[1:] - offsets[:-1]
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    key = doc_of * num_bins + bins.astype(np.int64)
+
+    order = np.argsort(key, kind="stable")
+    sk, sh_ = key[order], h[order]
+    starts = np.empty(len(sk), dtype=bool)
+    starts[0] = True
+    starts[1:] = sk[1:] != sk[:-1]
+    start_idx = np.flatnonzero(starts)
+    mins = np.minimum.reduceat(sh_, start_idx)
+    cells = sk[start_idx]
+    sig.ravel()[cells] = mins
+
+    # rotation densification: circular forward-fill of empty bins from
+    # the next filled bin (two passes over the doubled row axis)
+    filled = sig != _EMPTY_SENTINEL
+    any_filled = filled.any(axis=1)
+    if (~any_filled).any() or not filled.all():
+        dbl = np.concatenate([sig, sig], axis=1)  # (D, 2B)
+        fmask = dbl != _EMPTY_SENTINEL
+        # backward-fill along axis 1 (borrow from the RIGHT neighbor):
+        # reverse, forward-fill, reverse
+        rev = fmask[:, ::-1]
+        idx = np.where(rev, np.arange(2 * num_bins)[None, :], 0)
+        np.maximum.accumulate(idx, axis=1, out=idx)
+        filled_rev = dbl[:, ::-1][np.arange(n_docs)[:, None], idx]
+        densified = filled_rev[:, ::-1][:, :num_bins]
+        sig = np.where(any_filled[:, None], densified, sig)
+    return sig
+
+
 def minhash_signatures(
     values: np.ndarray,
     offsets: np.ndarray,

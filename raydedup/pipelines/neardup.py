@@ -27,7 +27,8 @@ def near_dup_pairs(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
     near-duplicate pairs with jaccard ≥ threshold (default
     cfg.verify_threshold)."""
     if sig_ds is None:
-        sig_ds = signatures(docs, cfg, id_col=id_col, text_col=text_col)
+        sig_ds = signatures(docs, cfg, id_col=id_col, text_col=text_col,
+                            with_simhash=False)  # not needed on this path
         sig_ds = sig_ds.materialize()  # reused by banding AND verification
     bands = explode_bands(sig_ds, cfg, id_col=id_col)
     cands = candidate_pairs(bands, cfg, id_col=id_col)

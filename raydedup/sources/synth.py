@@ -49,6 +49,44 @@ def _perturb(rng: np.random.Generator, toks: list[str], vocab: np.ndarray,
     return out
 
 
+def synth_pages_ds(n: int, seed: int = 42, avg_tokens: int = 600,
+                   parallelism: int | None = None):
+    """Distributed deterministic pages corpus as a Ray Dataset — for
+    benchmarking at sizes the driver-side generator can't reach.
+
+    Every row is a pure function of (seed, doc_id), so generation is an
+    embarrassingly-parallel ``map_batches`` with no cross-batch state:
+    docs are grouped in quads; every 5th quad is a near-dup group (one
+    base doc + 3 perturbed copies), the rest unique.
+    """
+    import ray.data as rd
+
+    def _gen(batch):
+        ids = batch["id"].astype(np.int64)
+        texts = []
+        for i in ids:
+            quad, pos = divmod(int(i), 4)
+            is_dup_group = quad % 5 == 0
+            base_id = quad * 4 if is_dup_group else int(i)
+            rng = np.random.default_rng((seed << 20) ^ base_id)
+            n_tok = int(rng.integers(avg_tokens // 2, avg_tokens * 2))
+            toks = rng.zipf(1.3, size=n_tok) % 5000
+            if is_dup_group and pos > 0:
+                prng = np.random.default_rng((seed << 21) ^ int(i))
+                n_edit = max(1, int(n_tok * prng.uniform(0.005, 0.08)))
+                idx = prng.integers(0, n_tok, size=n_edit)
+                toks = toks.copy()
+                toks[idx] = prng.zipf(1.3, size=n_edit) % 5000
+            texts.append(" ".join(map(str, toks)))
+        return {
+            "doc_id": ids,
+            "text": np.array(texts, dtype=object),
+        }
+
+    ds = rd.range(n, override_num_blocks=parallelism)
+    return ds.map_batches(_gen, batch_format="numpy", batch_size=1024)
+
+
 def synth_pages(n: int = 5000, seed: int = 42) -> tuple[pa.Table, pa.Table]:
     """→ (pages, truth).
 

@@ -80,53 +80,82 @@ def degrees(edges_ds):
 
 
 def build_adjacency(edges_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
-                    id_col: str = "doc_id"):
-    """Symmetrized edges → Dataset(id, n_neighbors, neighbors) where
-    ``neighbors`` is the sorted unique neighbor row in the binary wire
-    format (the CSR row of standalone_csr.hpp:44 as an Arrow payload).
+                    id_col: str = "doc_id", dedup: bool = True):
+    """Edges → Dataset(id, n_neighbors, neighbors) where ``neighbors`` is
+    the sorted unique neighbor row in the binary wire format (the CSR row
+    of standalone_csr.hpp:44 as an Arrow payload).
 
-    Two-phase: a vectorized per-batch partial build (sort + slice, no
-    Python loops over edges), then a per-vertex merge of the few partial
-    rows — the shuffle key is the vertex id.
+    One shuffle, keyed on ``hash(src) % num_partitions``: each partition
+    group receives ALL edges of its vertices and builds its rows with a
+    single vectorized lexsort + slice — per-partition Python calls (one
+    per shuffle partition), never per-vertex.  Duplicate edges are
+    dropped here (``dedup``), so upstream symmetrize need not pre-dedup.
     """
+    n_parts = cfg.num_partitions
 
-    def _partial(t: pa.Table) -> pa.Table:
+    def _part(t: pa.Table) -> pa.Table:
         src = np.asarray(t["src"], dtype=np.int64)
-        dst = np.asarray(t["dst"], dtype=np.int64)
+        part = (src % n_parts).astype(np.int64)
+        return pa.table({
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(np.asarray(t["dst"], dtype=np.int64), pa.int64()),
+            "part": pa.array(part, pa.int64()),
+        })
+
+    parted = edges_ds.map_batches(_part, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    def _build(group: pd.DataFrame) -> pa.Table:
+        src = group["src"].to_numpy(dtype=np.int64, copy=False)
+        dst = group["dst"].to_numpy(dtype=np.int64, copy=False)
         order = np.lexsort((dst, src))
         src, dst = src[order], dst[order]
+        if dedup and len(src):
+            keep = np.empty(len(src), dtype=bool)
+            keep[0] = True
+            keep[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
+            src, dst = src[keep], dst[keep]
         uniq, starts = np.unique(src, return_index=True)
         bounds = np.append(starts, len(src))
-        blobs = [dst[bounds[i]:bounds[i + 1]].astype("<u8").tobytes()
+        dbytes = dst.astype("<u8").tobytes()
+        blobs = [dbytes[bounds[i] * 8 : bounds[i + 1] * 8]
                  for i in range(len(uniq))]
         return pa.table({
-            id_col: pa.array(uniq, type=pa.int64()),
-            "partial": pa.array(blobs, type=pa.large_binary()),
+            id_col: pa.array(uniq, pa.int64()),
+            "n_neighbors": pa.array(bounds[1:] - bounds[:-1], pa.int64()),
+            "neighbors": pa.array(blobs, pa.large_binary()),
         })
 
-    partials = edges_ds.map_batches(_partial, batch_format="pyarrow",
-                                    zero_copy_batch=True)
+    return parted.groupby("part").map_groups(_build, batch_format="pandas")
 
-    def _merge(group: pd.DataFrame) -> pa.Table:
-        arrs = [np.frombuffer(b, dtype=np.uint64) for b in group["partial"]]
-        merged = np.unique(np.concatenate(arrs))
-        # emit Arrow (not pandas): downstream Project/join ops need Arrow blocks
-        return pa.table({
-            id_col: pa.array([int(group[id_col].iloc[0])], pa.int64()),
-            "n_neighbors": pa.array([len(merged)], pa.int64()),
-            "neighbors": pa.array([merged.astype("<u8").tobytes()], pa.large_binary()),
-        })
 
-    return partials.groupby(id_col).map_groups(_merge, batch_format="pandas")
+BROADCAST_MAX_ROWS = 2_000_000  # adjacency sides below this are shipped
+# via ray.put instead of a shuffle join (broadcast-small-side rule)
 
 
 def pair_jaccard(pairs_ds, adj_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
-                 weights=None, id_col: str = "doc_id"):
+                 weights=None, id_col: str = "doc_id",
+                 broadcast: bool | None = None):
     """Score an explicit (a, b) pair list against adjacency sets — the
     ``jaccard_list`` API (standalone_algorithms.hpp:109-133).  Returns
     (a, b, intersection, union, jaccard); unweighted unless a per-vertex
     ``weights`` numpy array is given (jaccard.cpp:253-256 weighted path).
+
+    Physical variants (the VC/EC duality of the reference, collapsed
+    into one logical op): ``broadcast=True`` ships the packed adjacency
+    to every worker once (no shuffle — right when the graph fits a
+    worker); ``broadcast=False`` gathers via two hash joins on the
+    vertex id (the scale path).  Auto-chosen by adjacency row count.
     """
+    from .verify import verify_pairs_broadcast
+
+    if broadcast is None:
+        broadcast = adj_ds.count() <= BROADCAST_MAX_ROWS
+    if broadcast:
+        return verify_pairs_broadcast(pairs_ds, adj_ds, cfg, threshold=None,
+                                      id_col=id_col, set_col="neighbors",
+                                      weights=weights)
+
     joined = attach_sets(pairs_ds, adj_ds, cfg, id_col=id_col, set_col="neighbors")
     if weights is None:
         return score_pairs(joined, cfg=None, threshold=None)
@@ -151,7 +180,8 @@ def pair_jaccard(pairs_ds, adj_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
             })
 
     return joined.map_batches(_WeightedScore, batch_format="pyarrow",
-                              zero_copy_batch=True, concurrency=(1, 4))
+                              zero_copy_batch=True, batch_size=8192,
+                              concurrency=(1, 4))
 
 
 def edge_jaccard(edges_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
@@ -167,11 +197,21 @@ def edge_jaccard(edges_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
     canonical row represents both.
     """
     clean = drop_self_loops(edges_ds)
-    sym = symmetrize(clean, cfg) if symmetrize_input else clean
-    sym = sym.materialize()  # reused: adjacency build + edge pair list
-    adj = build_adjacency(sym, cfg, id_col="id")
-    pairs = canonicalize(sym).map_batches(
-        lambda t: pa.table({"a": t["src"], "b": t["dst"]}),
-        batch_format="pyarrow",
-    )
+    # no pre-dedup shuffle: adjacency build dedups inside its one shuffle
+    both = clean.union(invert_direction(clean)) if symmetrize_input else clean
+    adj = build_adjacency(both, cfg, id_col="id").materialize()
+    # canonical (a<b) edge list derived FROM the adjacency rows — a pure
+    # map, no extra shuffle: each vertex emits its neighbors greater
+    # than itself (removeReverseEdges as a projection)
+    def _pairs(t: pa.Table) -> pa.Table:
+        from ..functions.text import binary_to_sets
+        vals, offs = binary_to_sets(t["neighbors"])
+        ids = np.asarray(t["id"], dtype=np.int64)
+        a = np.repeat(ids, offs[1:] - offs[:-1])
+        b = vals.view(np.int64)
+        keep = a < b
+        return pa.table({"a": pa.array(a[keep], pa.int64()),
+                         "b": pa.array(b[keep], pa.int64())})
+
+    pairs = adj.map_batches(_pairs, batch_format="pyarrow", zero_copy_batch=True)
     return pair_jaccard(pairs, adj, cfg, weights=weights, id_col="id")

@@ -59,22 +59,30 @@ def candidate_pairs(band_ds, cfg: PipelineConfig, id_col: str = "doc_id"):
 
     Returns a Dataset with columns ``a:int64, b:int64``.
     """
-    counts = band_ds.groupby("band_key").count()
-    kept = counts.map_batches(
-        lambda t: t.filter(
-            pc.and_(pc.greater_equal(t["count()"], 2),
-                    pc.less_equal(t["count()"], cfg.band_bucket_cap))
-        ).select(["band_key"]),
+    import ray
+
+    # skew guard: find over-cap buckets (boilerplate collapse) and
+    # broadcast them as a blocklist — a handful of keys by construction,
+    # so a ray.put lookup replaces a whole semi-join shuffle.  Singleton
+    # buckets need no pre-filter: they contribute exactly their diagonal
+    # row to the self-join, which the a<b filter drops.
+    hot = band_ds.groupby("band_key").count().map_batches(
+        lambda t: t.filter(pc.greater(t["count()"], cfg.band_bucket_cap))
+                   .select(["band_key"]),
         batch_format="pyarrow",
-    )
-    # semi-join: only rows in surviving buckets
-    survivors = band_ds.join(
-        kept, join_type="inner", num_partitions=cfg.num_partitions,
-        on=("band_key",),
-    )
+    ).take_all()
+    hot_keys = [r["band_key"] for r in hot]
+    if hot_keys:
+        hot_arr = pa.array(hot_keys, type=pa.int64())
+        band_ds = band_ds.map_batches(
+            lambda t, h=hot_arr: t.filter(
+                pc.invert(pc.is_in(t["band_key"], value_set=h))),
+            batch_format="pyarrow",
+        )
+
     # pair emission: self-join within bucket, canonical a<b
-    left = survivors.rename_columns({id_col: "a"})
-    right = survivors.rename_columns({id_col: "b"})
+    left = band_ds.rename_columns({id_col: "a"})
+    right = band_ds.rename_columns({id_col: "b"})
     joined = left.join(
         right, join_type="inner", num_partitions=cfg.num_partitions,
         on=("band_key",),

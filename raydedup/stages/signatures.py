@@ -19,7 +19,12 @@ import pyarrow as pa
 
 from ..config import PipelineConfig
 from ..functions.hashing import perm_seeds
-from ..functions.sketches import band_keys, minhash_signatures, simhash64
+from ..functions.sketches import (
+    band_keys,
+    minhash_signatures,
+    minhash_signatures_oph,
+    simhash64,
+)
 from ..functions.text import sets_to_binary, shingle_batch
 
 
@@ -28,18 +33,24 @@ class SignatureStage:
     batch_format="pyarrow", concurrency=N)``."""
 
     def __init__(self, cfg: PipelineConfig, id_col: str = "doc_id",
-                 text_col: str = "text", keep_shingles: bool = True):
+                 text_col: str = "text", keep_shingles: bool = True,
+                 with_simhash: bool = True):
         self.cfg = cfg
         self.id_col = id_col
         self.text_col = text_col
         self.keep_shingles = keep_shingles
+        self.with_simhash = with_simhash
         self.seeds = perm_seeds(cfg.num_perms, cfg.seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
         vals, offs = shingle_batch(batch[self.text_col], cfg.k_shingle)
-        sig = minhash_signatures(vals, offs, self.seeds, cfg.minhash_perm_chunk)
-        sh = simhash64(vals, offs)
+        if cfg.minhash_mode == "oph":
+            sig = minhash_signatures_oph(vals, offs, cfg.num_perms,
+                                         self.seeds[0])
+        else:
+            sig = minhash_signatures(vals, offs, self.seeds,
+                                     cfg.minhash_perm_chunk)
         bk = band_keys(sig, cfg.bands, cfg.rows_per_band)
         n_sh = (offs[1:] - offs[:-1]).astype(np.int64)
 
@@ -49,11 +60,12 @@ class SignatureStage:
             "minhash": pa.FixedSizeListArray.from_arrays(
                 pa.array(sig.ravel(), type=pa.uint64()), cfg.num_perms
             ),
-            "simhash": pa.array(sh, type=pa.uint64()),
             "bands": pa.FixedSizeListArray.from_arrays(
                 pa.array(bk.ravel(), type=pa.uint64()), cfg.bands
             ),
         }
+        if self.with_simhash:
+            cols["simhash"] = pa.array(simhash64(vals, offs), type=pa.uint64())
         if self.keep_shingles:
             # binary wire format (not list<uint64>): shingle sets must
             # survive Acero hash joins in the verification stage
@@ -63,7 +75,7 @@ class SignatureStage:
 
 def signatures(ds, cfg: PipelineConfig, *, id_col: str = "doc_id",
                text_col: str = "text", keep_shingles: bool = True,
-               concurrency=None):
+               with_simhash: bool = True, concurrency=None):
     """Attach signatures to a Dataset of documents."""
     if concurrency is None:
         # autoscaling actor pool up to the cluster CPU count: lets the
@@ -79,7 +91,8 @@ def signatures(ds, cfg: PipelineConfig, *, id_col: str = "doc_id",
         zero_copy_batch=True,
         fn_constructor_args=(cfg,),
         fn_constructor_kwargs=dict(
-            id_col=id_col, text_col=text_col, keep_shingles=keep_shingles
+            id_col=id_col, text_col=text_col, keep_shingles=keep_shingles,
+            with_simhash=with_simhash,
         ),
         concurrency=concurrency,
     )

@@ -44,6 +44,10 @@ def score_pairs(joined_ds, cfg: PipelineConfig | None = None,
         thr = threshold
 
     def _score(batch: pa.Table) -> pa.Table:
+        if len(batch) > 8192:
+            # n·log n kernel: keep slices small even under operator fusion
+            return pa.concat_tables([_score(batch.slice(i, 8192))
+                                     for i in range(0, len(batch), 8192)])
         av, ao = binary_to_sets(batch["set_a"])
         bv, bo = binary_to_sets(batch["set_b"])
         inter, union, j = pairwise_jaccard(av, ao, bv, bo)
@@ -58,7 +62,129 @@ def score_pairs(joined_ds, cfg: PipelineConfig | None = None,
             out = out.filter(pc.greater_equal(out["jaccard"], pa.scalar(thr)))
         return out
 
-    return joined_ds.map_batches(_score, batch_format="pyarrow", zero_copy_batch=True)
+    # explicit batch_size: the merge-count kernel is n·log n and cache
+    # sensitive — scoring whole 100k-row blocks in one lexsort is several
+    # times slower per pair than 8k slices
+    return joined_ds.map_batches(_score, batch_format="pyarrow",
+                                 zero_copy_batch=True, batch_size=8192)
+
+
+def pack_sets(sets_ds, id_col: str, set_col: str) -> dict:
+    """Collect a (id, blob) Dataset into one driver-side CSR pack
+    {ids(sorted), offsets, values} for broadcast.  Only for sides small
+    enough to replicate (the broadcast-small-side rule) — callers gate
+    on row count."""
+    import ray
+    from ..functions.text import binary_to_sets
+
+    tabs = [ray.get(r) for r in
+            sets_ds.select_columns([id_col, set_col]).to_arrow_refs()]
+    tab = pa.concat_tables([t for t in tabs if len(t)])
+    vals, offs = binary_to_sets(tab[set_col])
+    ids = np.asarray(tab[id_col], dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    lens = (offs[1:] - offs[:-1])[order]
+    new_offs = np.zeros(len(ids) + 1, dtype=np.int64)
+    np.cumsum(lens, out=new_offs[1:])
+    total = int(new_offs[-1])
+    gather = (np.repeat(offs[:-1][order], lens)
+              + (np.arange(total) - np.repeat(new_offs[:-1], lens)))
+    return {"ids": ids[order], "offsets": new_offs, "values": vals[gather]}
+
+
+def _gather_csr(pack: dict, keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized lookup: CSR rows of ``keys`` from a broadcast pack.
+    Missing keys get empty rows."""
+    ids, offs, vals = pack["ids"], pack["offsets"], pack["values"]
+    idx = np.searchsorted(ids, keys)
+    idx = np.clip(idx, 0, len(ids) - 1)
+    found = ids[idx] == keys
+    starts = np.where(found, offs[idx], 0)
+    lens = np.where(found, offs[idx + 1] - offs[idx], 0)
+    out_offs = np.zeros(len(keys) + 1, dtype=np.int64)
+    np.cumsum(lens, out=out_offs[1:])
+    total = int(out_offs[-1])
+    gather = (np.repeat(starts, lens)
+              + (np.arange(total) - np.repeat(out_offs[:-1], lens)))
+    return vals[gather], out_offs
+
+
+class BroadcastPairScorer:
+    """Actor-pool stage: scores (a, b) pairs against a broadcast set pack
+    (loaded once per actor via ray.get) — no shuffle join.  Used when the
+    set side is small (e.g. graph adjacency); the shuffle-join path
+    (attach_sets) is the scale path for corpus-sized sides."""
+
+    def __init__(self, pack_ref, threshold=None, weights_ref=None):
+        import ray
+        self.pack = ray.get(pack_ref)
+        self.threshold = threshold
+        self.weights = ray.get(weights_ref) if weights_ref is not None else None
+
+    CHUNK = 8192  # the merge-count kernel is n·log n: score in slices
+    # even when operator fusion hands us a whole block as one batch
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) > self.CHUNK:
+            parts = [self(batch.slice(i, self.CHUNK))
+                     for i in range(0, len(batch), self.CHUNK)]
+            return pa.concat_tables(parts)
+        a = np.asarray(batch["a"], dtype=np.int64)
+        b = np.asarray(batch["b"], dtype=np.int64)
+        av, ao = _gather_csr(self.pack, a)
+        bv, bo = _gather_csr(self.pack, b)
+        if self.weights is None:
+            inter, union, j = pairwise_jaccard(av, ao, bv, bo)
+            out = pa.table({
+                "a": batch["a"], "b": batch["b"],
+                "intersection": pa.array(inter, pa.int64()),
+                "union": pa.array(union, pa.int64()),
+                "jaccard": pa.array(j, pa.float64()),
+            })
+        else:
+            from ..functions.setops import pairwise_weighted_jaccard
+            wi, wu, j = pairwise_weighted_jaccard(av, ao, bv, bo,
+                                                  weight_of=self.weights)
+            out = pa.table({
+                "a": batch["a"], "b": batch["b"],
+                "weight_i": pa.array(wi, pa.float64()),
+                "weight_u": pa.array(wu, pa.float64()),
+                "jaccard": pa.array(j, pa.float64()),
+            })
+        if self.threshold is not None:
+            out = out.filter(pc.greater_equal(out["jaccard"],
+                                              pa.scalar(self.threshold)))
+        return out
+
+
+def verify_pairs_broadcast(pairs_ds, sets_ds, cfg: PipelineConfig,
+                           threshold=None, id_col: str = "doc_id",
+                           set_col: str = "shingles", weights=None):
+    """Broadcast-side verification: the packed sets go into the object
+    store ONCE (ray.put); every scoring task reads them zero-copy from
+    local plasma (ray.get of a shared object).  Stateless tasks, not an
+    actor pool — the state costs nothing to "load", and tasks give the
+    streaming executor full elasticity."""
+    import ray
+    pack_ref = ray.put(pack_sets(sets_ds, id_col, set_col))
+    weights_ref = (ray.put(np.asarray(weights, dtype=np.float64))
+                   if weights is not None else None)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        scorer = BroadcastPairScorer(pack_ref, threshold=threshold,
+                                     weights_ref=weights_ref)
+        return scorer(batch)
+
+    # batch_size=None: one task per input block (a batch_size here would
+    # make the executor bundle several small upstream blocks into one
+    # giant serial task); the scorer slices internally for the kernel
+    return pairs_ds.map_batches(_score, batch_format="pyarrow",
+                                zero_copy_batch=True, batch_size=None)
+
+
+def _cpus() -> int:
+    import ray
+    return int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
 
 
 def verify_pairs(pairs_ds, sig_ds, cfg: PipelineConfig,
