@@ -20,7 +20,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-SYNTH_DOCS = int(os.environ.get("GRAFT_SYNTH_DOCS", "40000"))
+SYNTH_DOCS = int(os.environ.get("GRAFT_SYNTH_DOCS", "20000"))
 
 
 def run_bench() -> dict:

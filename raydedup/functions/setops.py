@@ -17,6 +17,9 @@ from __future__ import annotations
 import numpy as np
 
 
+_PACKABLE_MAX = np.uint64(1) << np.uint64(32)
+
+
 def pairwise_intersection_sizes(
     a_values: np.ndarray,
     a_offsets: np.ndarray,
@@ -25,26 +28,102 @@ def pairwise_intersection_sizes(
 ) -> np.ndarray:
     """Intersection size per pair i of sets A_i and B_i (CSR layout).
 
-    Each A_i / B_i must be duplicate-free (order actually irrelevant for
-    this kernel, but upstream guarantees sorted-unique).  Returns int64
-    array of len n_pairs.
+    Each A_i / B_i must be duplicate-free and sorted ascending (the
+    reference's row invariant, jaccard.cpp:353).  Two physical kernels,
+    mirroring the reference's algorithm choice:
+
+    * **packed searchsorted** (values < 2^32, e.g. graph vertex ids):
+      iterate-the-smaller-set / binary-search-the-larger
+      (jaccard.cpp:332-336, 353-367) — per-pair cost min·log(max), which
+      is what survives hub skew where Σ(|A|+|B|) explodes but Σ min
+      stays linear.  Vectorized by packing (pair_id << 32 | value) into
+      one int64 key space: the concatenated target rows are then
+      globally sorted, so ONE np.searchsorted probes every pair at once.
+    * **merge-count** (full-range 64-bit values, e.g. shingle hashes):
+      lexsort both sides by (pair, value) and count adjacent duplicates.
+
+    Returns int64 array of len n_pairs.
     """
+    n_pairs = len(a_offsets) - 1
+    if n_pairs == 0:
+        return np.zeros(0, dtype=np.int64)
+    if len(a_values) == 0 or len(b_values) == 0:
+        return np.zeros(n_pairs, dtype=np.int64)
+
+    packable = (
+        n_pairs < (1 << 31)
+        and (len(a_values) == 0 or a_values.max() < _PACKABLE_MAX)
+        and (len(b_values) == 0 or b_values.max() < _PACKABLE_MAX)
+    )
+    if packable:
+        return _intersection_packed(a_values, a_offsets, b_values, b_offsets)
+    return _intersection_mergecount(a_values, a_offsets, b_values, b_offsets)
+
+
+def _intersection_mergecount(a_values, a_offsets, b_values, b_offsets):
     n_pairs = len(a_offsets) - 1
     len_a = a_offsets[1:] - a_offsets[:-1]
     len_b = b_offsets[1:] - b_offsets[:-1]
-
     pid_a = np.repeat(np.arange(n_pairs, dtype=np.int64), len_a)
     pid_b = np.repeat(np.arange(n_pairs, dtype=np.int64), len_b)
     vals = np.concatenate([a_values, b_values])
     pids = np.concatenate([pid_a, pid_b])
-    if len(vals) == 0:
-        return np.zeros(n_pairs, dtype=np.int64)
-
     order = np.lexsort((vals, pids))
     sv = vals[order]
     sp = pids[order]
     dup = (sv[1:] == sv[:-1]) & (sp[1:] == sp[:-1])
     return np.bincount(sp[1:][dup], minlength=n_pairs).astype(np.int64)
+
+
+def _gather_selected_rows(values, offsets, sel_lens, out_offsets, sel_mask):
+    """Scatter the rows of pairs selected by ``sel_mask`` into slots
+    [out_offsets[p], out_offsets[p+1]) of a shared output — all numpy."""
+    sel = np.flatnonzero(sel_mask)
+    lens = sel_lens[sel]
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=values.dtype)
+    intra = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(lens)[:-1]]), lens)
+    src_idx = np.repeat(offsets[:-1][sel], lens) + intra
+    dst_idx = np.repeat(out_offsets[:-1][sel], lens) + intra
+    return dst_idx, values[src_idx]
+
+
+def _intersection_packed(a_values, a_offsets, b_values, b_offsets):
+    n_pairs = len(a_offsets) - 1
+    la = (a_offsets[1:] - a_offsets[:-1]).astype(np.int64)
+    lb = (b_offsets[1:] - b_offsets[:-1]).astype(np.int64)
+    swap = la > lb                    # probe the smaller row of each pair
+    probe_lens = np.where(swap, lb, la)
+    target_lens = np.where(swap, la, lb)
+
+    t_offs = np.zeros(n_pairs + 1, dtype=np.int64)
+    np.cumsum(target_lens, out=t_offs[1:])
+    target = np.empty(int(t_offs[-1]), dtype=np.uint64)
+    d1, v1 = _gather_selected_rows(a_values, a_offsets, la, t_offs, swap)
+    target[d1] = v1
+    d2, v2 = _gather_selected_rows(b_values, b_offsets, lb, t_offs, ~swap)
+    target[d2] = v2
+
+    p_offs = np.zeros(n_pairs + 1, dtype=np.int64)
+    np.cumsum(probe_lens, out=p_offs[1:])
+    probe = np.empty(int(p_offs[-1]), dtype=np.uint64)
+    d3, v3 = _gather_selected_rows(b_values, b_offsets, lb, p_offs, swap)
+    probe[d3] = v3
+    d4, v4 = _gather_selected_rows(a_values, a_offsets, la, p_offs, ~swap)
+    probe[d4] = v4
+
+    shift = np.uint64(32)
+    t_pid = np.repeat(np.arange(n_pairs, dtype=np.uint64), target_lens)
+    p_pid = np.repeat(np.arange(n_pairs, dtype=np.uint64), probe_lens)
+    tkey = (t_pid << shift) | target   # ascending: pair-major, sorted rows
+    pkey = (p_pid << shift) | probe
+    pos = np.searchsorted(tkey, pkey)
+    pos = np.minimum(pos, max(len(tkey) - 1, 0))
+    found = tkey[pos] == pkey if len(tkey) else np.zeros(len(pkey), dtype=bool)
+    return np.bincount(p_pid[found].astype(np.int64),
+                       minlength=n_pairs).astype(np.int64)
 
 
 def pairwise_jaccard(

@@ -34,14 +34,60 @@ def _symmetrize_pairs(pairs_ds):
     return fwd.union(rev)
 
 
-def connected_components(pairs_ds, cfg: PipelineConfig, checkpoint_fn=None):
+LOCAL_CC_MAX_EDGES = 5_000_000
+
+
+def connected_components(pairs_ds, cfg: PipelineConfig, checkpoint_fn=None,
+                         mode: str = "auto"):
     """Dataset(a:int64, b:int64) of undirected edges →
     Dataset(node:int64, component:int64) for every node that appears in
     an edge; component = min doc_id of the component.
 
+    ``mode``: "distributed" = iterative hash-min label propagation
+    (shuffle per round — the 10^12-doc path); "local" = driver-side
+    union-find (right when the verified dup-pair graph is a small
+    fraction of the corpus, the common case); "auto" picks by edge
+    count (≤ LOCAL_CC_MAX_EDGES → local).
+
     ``checkpoint_fn(round_idx, labels_ds) -> labels_ds`` is called each
     round when given (hook for Parquet checkpointing).
     """
+    if mode == "auto":
+        mode = "local" if pairs_ds.count() <= LOCAL_CC_MAX_EDGES else "distributed"
+    if mode == "local":
+        return _connected_components_local(pairs_ds)
+    return _connected_components_distributed(pairs_ds, cfg, checkpoint_fn)
+
+
+def _connected_components_local(pairs_ds):
+    """Union-find over a collected pair list — O(E α(E)) on the driver.
+    Only reached when the edge list is provably small (auto threshold)."""
+    import pandas as pd
+    import ray.data as rd
+
+    df = pairs_ds.select_columns(["a", "b"]).to_pandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(df["a"].to_numpy(), df["b"].to_numpy()):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = sorted(parent)
+    out = pd.DataFrame({"node": nodes,
+                        "component": [find(n) for n in nodes]})
+    out["node"] = out["node"].astype("int64")
+    out["component"] = out["component"].astype("int64")
+    return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+
+
+def _connected_components_distributed(pairs_ds, cfg: PipelineConfig,
+                                      checkpoint_fn=None):
     edges = _symmetrize_pairs(pairs_ds).groupby(["node", "nbr"]).count() \
                                        .select_columns(["node", "nbr"])
     edges = edges.materialize()  # reused every round; edge set is the

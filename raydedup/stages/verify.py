@@ -120,11 +120,72 @@ class BroadcastPairScorer:
         self.pack = ray.get(pack_ref)
         self.threshold = threshold
         self.weights = ray.get(weights_ref) if weights_ref is not None else None
+        # direct-probe index (values < 2^32 only, e.g. graph ids): the
+        # reference's Is-kernel searches the SHARED CSR instead of
+        # materializing both rows per pair (jaccard.cpp:353-367).  Keys
+        # (row_rank << 32 | value) over the whole pack are globally
+        # ascending, so ONE searchsorted per batch probes every pair —
+        # per-pair cost min_deg·log, immune to hub skew.
+        vals = self.pack["values"]
+        self._rowlens = self.pack["offsets"][1:] - self.pack["offsets"][:-1]
+        if self.weights is None and len(vals) and vals.max() < (1 << 32) \
+                and len(self._rowlens) < (1 << 31):
+            rank = np.repeat(np.arange(len(self._rowlens), dtype=np.uint64),
+                             self._rowlens)
+            self._tkey = (rank << np.uint64(32)) | vals
+        else:
+            self._tkey = None
+
+    def _score_direct(self, batch: pa.Table) -> pa.Table:
+        pack = self.pack
+        ids, offs = pack["ids"], pack["offsets"]
+        a = np.asarray(batch["a"], dtype=np.int64)
+        b = np.asarray(batch["b"], dtype=np.int64)
+        ra = np.searchsorted(ids, a)
+        rb = np.searchsorted(ids, b)
+        ra = np.clip(ra, 0, len(ids) - 1)
+        rb = np.clip(rb, 0, len(ids) - 1)
+        ok_a, ok_b = ids[ra] == a, ids[rb] == b
+        la = np.where(ok_a, self._rowlens[ra], 0)
+        lb = np.where(ok_b, self._rowlens[rb], 0)
+        swap = la > lb
+        probe_row = np.where(swap, rb, ra)      # smaller row is iterated
+        target_row = np.where(swap, ra, rb)     # larger row is searched
+        probe_lens = np.where(swap, lb, la)
+        p_offs = np.zeros(len(a) + 1, dtype=np.int64)
+        np.cumsum(probe_lens, out=p_offs[1:])
+        total = int(p_offs[-1])
+        intra = np.arange(total, dtype=np.int64) - np.repeat(p_offs[:-1],
+                                                             probe_lens)
+        src = np.repeat(offs[:-1][probe_row], probe_lens) + intra
+        pvals = pack["values"][src]
+        pid = np.repeat(np.arange(len(a), dtype=np.int64), probe_lens)
+        pkey = (np.repeat(target_row.astype(np.uint64), probe_lens)
+                << np.uint64(32)) | pvals
+        pos = np.searchsorted(self._tkey, pkey)
+        pos = np.minimum(pos, max(len(self._tkey) - 1, 0))
+        found = self._tkey[pos] == pkey
+        inter = np.bincount(pid[found], minlength=len(a)).astype(np.int64)
+        union = la + lb - inter
+        with np.errstate(divide="ignore", invalid="ignore"):
+            j = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        out = pa.table({
+            "a": batch["a"], "b": batch["b"],
+            "intersection": pa.array(inter, pa.int64()),
+            "union": pa.array(union, pa.int64()),
+            "jaccard": pa.array(j, pa.float64()),
+        })
+        if self.threshold is not None:
+            out = out.filter(pc.greater_equal(out["jaccard"],
+                                              pa.scalar(self.threshold)))
+        return out
 
     CHUNK = 8192  # the merge-count kernel is n·log n: score in slices
     # even when operator fusion hands us a whole block as one batch
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._tkey is not None:
+            return self._score_direct(batch)
         if len(batch) > self.CHUNK:
             parts = [self(batch.slice(i, self.CHUNK))
                      for i in range(0, len(batch), self.CHUNK)]
@@ -187,9 +248,57 @@ def _cpus() -> int:
     return int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
 
 
+VERIFY_BROADCAST_MAX_PAIRS = 1_000_000
+
+
 def verify_pairs(pairs_ds, sig_ds, cfg: PipelineConfig,
                  threshold: float | None = ..., id_col: str = "doc_id",
-                 set_col: str = "shingles"):
-    """Full verification: join shingle sets onto pairs, score, filter."""
+                 set_col: str = "shingles", assume_small: bool | None = None):
+    """Full verification: gather both shingle sets per pair, score, filter.
+
+    Physical plan choice: when the candidate set is small (the common
+    case — verified candidates are a tiny fraction of the corpus), the
+    needed signature rows are filtered by a broadcast id-set and scored
+    broadcast-side (zero shuffle joins).  Above the threshold — the
+    10^12-doc path — pairs flow through two hash-partitioned joins on
+    doc_id.  ``assume_small=False`` forces the join path without
+    counting (counting materializes the candidate pipeline once).
+    """
+    if assume_small is None or assume_small:
+        pairs_ds = pairs_ds.materialize()
+        small = (assume_small
+                 or pairs_ds.count() <= VERIFY_BROADCAST_MAX_PAIRS)
+        if small:
+            import ray
+            tab = pa.concat_tables(
+                [t for t in (ray.get(r) for r in
+                             pairs_ds.select_columns(["a", "b"]).to_arrow_refs())
+                 if len(t)]) if pairs_ds.count() else None
+            if tab is None or len(tab) == 0:
+                return score_pairs(
+                    _empty_joined(), cfg, threshold=threshold)
+            need = np.unique(np.concatenate([
+                np.asarray(tab["a"], dtype=np.int64),
+                np.asarray(tab["b"], dtype=np.int64)]))
+            need_arr = pa.array(need, type=pa.int64())
+            sub = sig_ds.map_batches(
+                lambda t, na=need_arr: t.filter(pc.is_in(t[id_col],
+                                                         value_set=na)),
+                batch_format="pyarrow",
+            )
+            return verify_pairs_broadcast(pairs_ds, sub, cfg,
+                                          threshold=(cfg.verify_threshold
+                                                     if threshold is ...
+                                                     else threshold),
+                                          id_col=id_col, set_col=set_col)
     joined = attach_sets(pairs_ds, sig_ds, cfg, id_col=id_col, set_col=set_col)
     return score_pairs(joined, cfg, threshold=threshold)
+
+
+def _empty_joined():
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+        "set_a": pa.array([], pa.large_binary()),
+        "set_b": pa.array([], pa.large_binary()),
+    }))

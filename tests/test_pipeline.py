@@ -69,8 +69,15 @@ def engine_labels(ray_session, engine_pairs):
     import ray.data as rd
     from raydedup.stages.cc import connected_components
     pairs_ds = rd.from_pandas(engine_pairs[["a", "b"]])
-    labels = connected_components(pairs_ds, CFG).to_pandas()
-    return dict(zip(labels["node"], labels["component"]))
+    # cross-implementation agreement (the EC-vs-VC analogue): the
+    # distributed hash-min path and the driver union-find path must
+    # produce identical partitions
+    dist = connected_components(pairs_ds, CFG, mode="distributed").to_pandas()
+    local = connected_components(pairs_ds, CFG, mode="local").to_pandas()
+    d = dict(zip(dist["node"], dist["component"]))
+    l = dict(zip(local["node"], local["component"]))
+    assert d == l
+    return d
 
 
 class TestClustering:
