@@ -1,0 +1,90 @@
+"""Resumability tests: stage-granular checkpoint + lineage manifests."""
+
+import json
+import os
+import shutil
+
+import pytest
+
+from raydedup.config import PipelineConfig
+from raydedup.sources.synth import synth_pages
+
+CFG = PipelineConfig(num_partitions=4, batch_size=512)
+
+
+@pytest.fixture()
+def ckpt_root(tmp_path):
+    return str(tmp_path / "ckpt")
+
+
+@pytest.fixture(scope="module")
+def docs_tab():
+    pages, _ = synth_pages(300, seed=42)
+    return pages.select(["doc_id", "text"])
+
+
+class TestCheckpoint:
+    def test_fresh_run_computes_all(self, ray_session, docs_tab, ckpt_root):
+        import ray.data as rd
+        from raydedup.pipelines.checkpoint import near_dup_pipeline_checkpointed
+        labels, mgr = near_dup_pipeline_checkpointed(
+            rd.from_arrow(docs_tab), CFG, ckpt_root)
+        assert [e for _, e in mgr.events] == ["computed"] * 4
+        n1 = labels.count()
+        assert n1 > 0
+
+        # resume: all stages hit, identical output
+        labels2, mgr2 = near_dup_pipeline_checkpointed(
+            rd.from_arrow(docs_tab), CFG, ckpt_root)
+        assert [e for _, e in mgr2.events] == ["hit"] * 4
+        a = sorted(map(tuple, labels.to_pandas().values.tolist()))
+        b = sorted(map(tuple, labels2.to_pandas().values.tolist()))
+        assert a == b
+
+    def test_partial_resume(self, ray_session, docs_tab, ckpt_root):
+        import ray.data as rd
+        from raydedup.pipelines.checkpoint import near_dup_pipeline_checkpointed
+        _, mgr = near_dup_pipeline_checkpointed(
+            rd.from_arrow(docs_tab), CFG, ckpt_root)
+        # kill one mid-pipeline stage: it and only it recomputes
+        shutil.rmtree(os.path.join(ckpt_root, "verified_pairs"))
+        _, mgr2 = near_dup_pipeline_checkpointed(
+            rd.from_arrow(docs_tab), CFG, ckpt_root)
+        assert dict(mgr2.events) == {
+            "signatures": "hit", "candidates": "hit",
+            "verified_pairs": "computed", "components": "hit",
+        }
+
+    def test_config_change_invalidates(self, ray_session, docs_tab, ckpt_root):
+        import ray.data as rd
+        from raydedup.pipelines.checkpoint import near_dup_pipeline_checkpointed
+        near_dup_pipeline_checkpointed(rd.from_arrow(docs_tab), CFG, ckpt_root)
+        cfg2 = CFG.with_(k_shingle=3)
+        _, mgr2 = near_dup_pipeline_checkpointed(
+            rd.from_arrow(docs_tab), cfg2, ckpt_root)
+        assert [e for _, e in mgr2.events] == ["computed"] * 4
+
+    def test_manifest_lineage(self, ray_session, docs_tab, ckpt_root):
+        import ray.data as rd
+        from raydedup.pipelines.checkpoint import near_dup_pipeline_checkpointed
+        _, mgr = near_dup_pipeline_checkpointed(
+            rd.from_arrow(docs_tab), CFG, ckpt_root)
+        man = mgr.manifest("signatures")
+        assert man["complete"] is True
+        assert man["rows"] == 300
+        assert sum(man["partitions"].values()) == 300
+        assert man["config_hash"] == CFG.config_hash()
+
+    def test_torn_write_recomputes(self, ray_session, docs_tab, ckpt_root):
+        import ray.data as rd
+        from raydedup.pipelines.checkpoint import (
+            MANIFEST, near_dup_pipeline_checkpointed)
+        _, _ = near_dup_pipeline_checkpointed(
+            rd.from_arrow(docs_tab), CFG, ckpt_root)
+        # corrupt a manifest (simulated torn write): stage must recompute
+        man_path = os.path.join(ckpt_root, "candidates", MANIFEST)
+        with open(man_path, "w") as f:
+            f.write("{not json")
+        _, mgr2 = near_dup_pipeline_checkpointed(
+            rd.from_arrow(docs_tab), CFG, ckpt_root)
+        assert dict(mgr2.events)["candidates"] == "computed"
