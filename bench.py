@@ -21,6 +21,10 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 SYNTH_DOCS = int(os.environ.get("GRAFT_SYNTH_DOCS", "20000"))
+# scaling runs use a bigger corpus with shorter docs so compute (not
+# per-op fixed cost) dominates the measurement
+SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "300000"))
+SLIM = os.environ.get("GRAFT_BENCH_SLIM") == "1"
 
 
 def run_bench() -> dict:
@@ -43,12 +47,6 @@ def run_bench() -> dict:
 
     cfg = DEFAULT_CONFIG.with_(num_partitions=max(8, NCPUS))
 
-    # warm the page cache (untimed) so we measure compute + shuffle
-    for t in ("documents", "lineitem", "embeddings"):
-        rd.read_parquet(f"{SF_DIR}/{t}.parquet").count()
-    # pre-generate the synthetic corpus (untimed) and pin it
-    synth = synth_pages_ds(SYNTH_DOCS, seed=42).materialize()
-
     timings: dict[str, float] = {}
 
     def timed(name, fn):
@@ -56,6 +54,28 @@ def run_bench() -> dict:
         out = fn()
         timings[name] = round(time.time() - t0, 3)
         return out
+
+    if SLIM:
+        # scaling mode: only the headline near-dup pipeline, on a corpus
+        # big enough to be compute-dominated
+        n = SCALING_DOCS
+        synth = synth_pages_ds(n, seed=42, avg_tokens=300).materialize()
+        n_pairs = timed("neardup_synth", lambda: near_dup_pairs(synth, cfg).count())
+        total = round(sum(timings.values()), 3)
+        result = {
+            "metric": "graft_bench_seconds", "value": total, "unit": "sec",
+            "queries": timings, "sf": SF_DIR, "num_cpus": NCPUS,
+            "synth_docs": n, "synth_dup_pairs": int(n_pairs),
+            "docs_per_sec_neardup": round(n / timings["neardup_synth"], 1),
+        }
+        ray.shutdown()
+        return result
+
+    # warm the page cache (untimed) so we measure compute + shuffle
+    for t in ("documents", "lineitem", "embeddings"):
+        rd.read_parquet(f"{SF_DIR}/{t}.parquet").count()
+    # pre-generate the synthetic corpus (untimed) and pin it
+    synth = synth_pages_ds(SYNTH_DOCS, seed=42).materialize()
 
     docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
                            columns=["doc_id", "text"])
@@ -108,7 +128,7 @@ def run_scaling() -> dict:
     lo, hi = 8, NCPUS if NCPUS > 8 else 32
 
     def once(n):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_BENCH_SLIM="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
@@ -125,10 +145,10 @@ def run_scaling() -> dict:
         "unit": "ratio",
         "cpus_lo": lo, "cpus_hi": hi,
         "sec_lo": t_lo, "sec_hi": t_hi,
-        "docs_per_sec_lo": round(SYNTH_DOCS / t_lo, 1),
-        "docs_per_sec_hi": round(SYNTH_DOCS / t_hi, 1),
+        "docs_per_sec_lo": round(r_lo["synth_docs"] / t_lo, 1),
+        "docs_per_sec_hi": round(r_hi["synth_docs"] / t_hi, 1),
         "total_sec_lo": r_lo["value"], "total_sec_hi": r_hi["value"],
-        "synth_docs": SYNTH_DOCS,
+        "synth_docs": r_lo["synth_docs"],
     }
 
 

@@ -43,7 +43,20 @@ class PipelineConfig:
     # --- execution ---
     batch_size: int = 2048          # rows per map_batches call for text stages
     minhash_perm_chunk: int = 16    # perms computed per vectorized pass (memory cap)
-    num_partitions: int = 32        # hash-join / shuffle partition count
+    num_partitions: int = 32        # hash-join / shuffle partition cap
+
+    def resolved_partitions(self) -> int:
+        """Join/shuffle partition count for the live cluster: capped by
+        config, floored at 8, never more than the CPU count (every
+        partition is an aggregator actor — oversubscribing CPUs doubles
+        fixed cost for nothing)."""
+        try:
+            import ray
+            cpus = int(ray.cluster_resources().get("CPU", 8)) \
+                if ray.is_initialized() else 8
+        except Exception:
+            cpus = 8
+        return max(8, min(self.num_partitions, cpus))
 
     def __post_init__(self) -> None:
         if self.bands * self.rows_per_band != self.num_perms:

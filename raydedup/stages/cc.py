@@ -107,7 +107,7 @@ def _connected_components_distributed(pairs_ds, cfg: PipelineConfig,
         # neighbor labels: edges(node,nbr) ⋈ labels(nbr) → (node, cand)
         nbr_labels = edges.join(
             labels.rename_columns({"node": "nbr", "component": "cand"}),
-            join_type="inner", num_partitions=cfg.num_partitions, on=("nbr",),
+            join_type="inner", num_partitions=cfg.resolved_partitions(), on=("nbr",),
         ).map_batches(
             lambda t: pa.table({"node": t["node"], "component": t["cand"]}),
             batch_format="pyarrow",
@@ -122,7 +122,7 @@ def _connected_components_distributed(pairs_ds, cfg: PipelineConfig,
         # convergence: any label changed?
         changed = labels.rename_columns({"component": "old"}).join(
             new_labels, join_type="inner",
-            num_partitions=cfg.num_partitions, on=("node",),
+            num_partitions=cfg.resolved_partitions(), on=("node",),
         ).map_batches(
             lambda t: t.filter(pc.not_equal(t["old"], t["component"])),
             batch_format="pyarrow",

@@ -105,7 +105,7 @@ def exact_dedup(ds, cfg: PipelineConfig, id_col: str = "doc_id",
     groups = exact_dup_groups(ds, cfg, id_col=id_col, text_col=text_col)
     keep = groups.select_columns(["keep_id"]).rename_columns({"keep_id": id_col})
     return ds.join(keep, join_type="inner",
-                   num_partitions=cfg.num_partitions, on=(id_col,))
+                   num_partitions=cfg.resolved_partitions(), on=(id_col,))
 
 
 def exact_dup_pairs(ds, cfg: PipelineConfig, id_col: str = "doc_id",
@@ -117,7 +117,7 @@ def exact_dup_pairs(ds, cfg: PipelineConfig, id_col: str = "doc_id",
     left = hashed.rename_columns({id_col: "a"})
     right = hashed.rename_columns({id_col: "b"})
     joined = left.join(right, join_type="inner",
-                       num_partitions=cfg.num_partitions,
+                       num_partitions=cfg.resolved_partitions(),
                        on=tuple(_HASH_COLS))
     return joined.map_batches(
         lambda t: t.filter(pc.less(t["a"], t["b"])).select(["a", "b"]),

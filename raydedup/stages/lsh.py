@@ -54,45 +54,174 @@ def explode_bands(sig_ds, cfg: PipelineConfig, id_col: str = "doc_id"):
     return sig_ds.map_batches(_explode, batch_format="pyarrow", zero_copy_batch=True)
 
 
+HOT_DETECT_EXACT_MAX_ROWS = 4_000_000   # exact driver merge below this
+HOT_DETECT_SAMPLE_TARGET = 2_000_000    # sampled rows above it
+
+
+def _merge_partial_counts(parts) -> tuple[np.ndarray, np.ndarray]:
+    keys = np.concatenate([np.asarray(t["band_key"]) for t in parts])
+    cnts = np.concatenate([np.asarray(t["n"]) for t in parts])
+    order = np.argsort(keys, kind="stable")
+    keys, cnts = keys[order], cnts[order]
+    starts = np.empty(len(keys), dtype=bool)
+    starts[0] = True
+    starts[1:] = keys[1:] != keys[:-1]
+    idx = np.flatnonzero(starts)
+    return keys[idx], np.add.reduceat(cnts, idx)
+
+
+def _hot_bucket_keys(band_ds, cfg: PipelineConfig, id_col: str = "doc_id") -> list[int]:
+    """Over-cap bucket keys, without a keyed shuffle.
+
+    Per-block partial counts (one vectorized np.unique per block) are
+    merged on the driver.  Small inputs merge exactly; large inputs are
+    row-sampled first with a DETERMINISTIC hash filter (no RNG — resume
+    runs see identical samples) and thresholded at half the expected
+    sample count of a true over-cap bucket, so a hot bucket is missed
+    only with exponentially small probability.  Ray's built-in
+    groupby-count is avoided entirely: millions of groups pay per-group
+    reduce overhead (~10x a numpy merge), and the heavy-hitter question
+    doesn't need exact counts.
+    """
+    import ray
+    from ..functions.hashing import splitmix64
+
+    n_rows = band_ds.count()
+    if n_rows == 0:
+        return []
+    frac = min(1.0, HOT_DETECT_SAMPLE_TARGET / max(n_rows, 1))
+    cut = np.uint64(min(int(frac * (2**64 - 1)), 2**64 - 1))
+    salt = np.uint64((cfg.seed * 0x9E3779B97F4A7C15) & (2**64 - 1))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        k = np.asarray(t["band_key"], dtype=np.int64)
+        if frac < 1.0:
+            d = np.asarray(t[id_col], dtype=np.int64).view(np.uint64)
+            keep = splitmix64(k.view(np.uint64) ^ d ^ salt) <= cut
+            k = k[keep]
+        uniq, cnt = np.unique(k, return_counts=True)
+        return pa.table({"band_key": pa.array(uniq, pa.int64()),
+                         "n": pa.array(cnt, pa.int64())})
+
+    parts = [ray.get(r) for r in
+             band_ds.map_batches(_partial, batch_format="pyarrow",
+                                 zero_copy_batch=True).to_arrow_refs()]
+    parts = [t for t in parts if len(t)]
+    if not parts:
+        return []
+    keys, totals = _merge_partial_counts(parts)
+    threshold = cfg.band_bucket_cap * frac * (0.5 if frac < 1.0 else 1.0)
+    return [int(k) for k in keys[totals > threshold]]
+
+
+def _emit_run_pairs(keys: np.ndarray, ids: np.ndarray, cap: int
+                    ) -> tuple[np.ndarray, np.ndarray, int]:
+    """Vectorized within-bucket pair emission over (key, id) rows that
+    contain COMPLETE buckets.  Sorts by key, finds runs, drops over-cap
+    runs (returning how many rows were dropped), and generates every
+    canonical (a<b) pair of each run with numpy repeat/arange arithmetic
+    — no Python loop over buckets or pairs."""
+    if len(keys) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64), 0
+    order = np.lexsort((ids, keys))
+    keys, ids = keys[order], ids[order]
+    starts = np.empty(len(keys), dtype=bool)
+    starts[0] = True
+    starts[1:] = keys[1:] != keys[:-1]
+    run_start = np.flatnonzero(starts)
+    run_len = np.diff(np.append(run_start, len(keys)))
+
+    dropped = int(run_len[run_len > cap].sum())
+    keep = (run_len >= 2) & (run_len <= cap)
+    rs, rl = run_start[keep], run_len[keep]
+    if len(rs) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64), dropped
+
+    # element-level: for each kept run, element at local position p
+    # starts (len-1-p) pairs with the elements after it
+    el_idx = np.repeat(rs, rl) + _intra(rl)
+    el_rep = np.repeat(rs + rl - 1, rl) - el_idx        # pairs started here
+    total = int(el_rep.sum())
+    a_idx = np.repeat(el_idx, el_rep)
+    b_idx = a_idx + 1 + _intra(el_rep)
+    a, b = ids[a_idx], ids[b_idx]
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    return lo, hi, dropped
+
+
+def _intra(lens: np.ndarray) -> np.ndarray:
+    """[0..l0), [0..l1), ... concatenated."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    return np.arange(total, dtype=np.int64) - np.repeat(offs, lens)
+
+
 def candidate_pairs(band_ds, cfg: PipelineConfig, id_col: str = "doc_id"):
     """(band_key, doc_id) rows → distinct canonical candidate pairs (a < b).
 
+    Physical plan: two LOW-CARDINALITY partition shuffles, no joins and
+    no per-bucket aggregates (millions of tiny groups pay per-group
+    overhead in both Ray's groupby-count and hash joins):
+
+      1. partition by ``hash(band_key) % P`` → every bucket lands whole
+         in one partition → one vectorized sort-and-emit per partition
+         produces its pairs, with EXACT over-cap bucket dropping (the
+         skew guard) computed locally for free.
+      2. partition by ``hash(a,b) % P`` → per-partition np.unique gives
+         the globally distinct pair set (a pair collides in ≤ bands
+         buckets, all mapping to the same hash partition).
+
     Returns a Dataset with columns ``a:int64, b:int64``.
     """
-    import ray
+    from ..functions.hashing import splitmix64
 
-    # skew guard: find over-cap buckets (boilerplate collapse) and
-    # broadcast them as a blocklist — a handful of keys by construction,
-    # so a ray.put lookup replaces a whole semi-join shuffle.  Singleton
-    # buckets need no pre-filter: they contribute exactly their diagonal
-    # row to the self-join, which the a<b filter drops.
-    hot = band_ds.groupby("band_key").count().map_batches(
-        lambda t: t.filter(pc.greater(t["count()"], cfg.band_bucket_cap))
-                   .select(["band_key"]),
-        batch_format="pyarrow",
-    ).take_all()
-    hot_keys = [r["band_key"] for r in hot]
-    if hot_keys:
-        hot_arr = pa.array(hot_keys, type=pa.int64())
-        band_ds = band_ds.map_batches(
-            lambda t, h=hot_arr: t.filter(
-                pc.invert(pc.is_in(t["band_key"], value_set=h))),
-            batch_format="pyarrow",
-        )
+    n_parts = cfg.resolved_partitions()
+    cap = cfg.band_bucket_cap
 
-    # pair emission: self-join within bucket, canonical a<b
-    left = band_ds.rename_columns({id_col: "a"})
-    right = band_ds.rename_columns({id_col: "b"})
-    joined = left.join(
-        right, join_type="inner", num_partitions=cfg.num_partitions,
-        on=("band_key",),
-    )
-    pairs = joined.map_batches(
-        lambda t: t.filter(pc.less(t["a"], t["b"])).select(["a", "b"]),
-        batch_format="pyarrow",
-    )
-    # exact pair dedup (the reference's set-dedup A6, readMtxToCSR.cpp:112)
-    return pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
+    def _part1(t: pa.Table) -> pa.Table:
+        k = np.asarray(t["band_key"], dtype=np.int64)
+        part = (k.view(np.uint64) % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({
+            "band_key": pa.array(k, pa.int64()),
+            id_col: t[id_col],
+            "part": pa.array(part, pa.int64()),
+        })
+
+    parted = band_ds.map_batches(_part1, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    def _emit(group) -> pa.Table:
+        keys = group["band_key"].to_numpy(dtype=np.int64, copy=False)
+        ids = group[id_col].to_numpy(dtype=np.int64, copy=False)
+        lo, hi, _dropped = _emit_run_pairs(keys, ids, cap)
+        # local pre-dedup: identical pairs from different buckets of the
+        # same partition collapse here before the shuffle
+        if len(lo):
+            pk = np.stack([lo, hi], axis=1)
+            pk = np.unique(pk, axis=0)
+            lo, hi = pk[:, 0], pk[:, 1]
+        part = (splitmix64(lo.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                           ^ hi.view(np.uint64))
+                % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({
+            "a": pa.array(lo, pa.int64()),
+            "b": pa.array(hi, pa.int64()),
+            "part": pa.array(part, pa.int64()),
+        })
+
+    pairs = parted.groupby("part").map_groups(_emit, batch_format="pandas")
+
+    def _dedup(group) -> pa.Table:
+        pk = np.stack([group["a"].to_numpy(dtype=np.int64, copy=False),
+                       group["b"].to_numpy(dtype=np.int64, copy=False)], axis=1)
+        pk = np.unique(pk, axis=0)
+        return pa.table({"a": pa.array(pk[:, 0], pa.int64()),
+                         "b": pa.array(pk[:, 1], pa.int64())})
+
+    return pairs.groupby("part").map_groups(_dedup, batch_format="pandas")
 
 
 def simhash_candidate_pairs(sig_ds, cfg: PipelineConfig, id_col: str = "doc_id"):

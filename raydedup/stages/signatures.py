@@ -73,26 +73,45 @@ class SignatureStage:
         return pa.table(cols)
 
 
+_WORKER_STAGE_CACHE: dict = {}
+
+
 def signatures(ds, cfg: PipelineConfig, *, id_col: str = "doc_id",
                text_col: str = "text", keep_shingles: bool = True,
                with_simhash: bool = True, concurrency=None):
-    """Attach signatures to a Dataset of documents."""
-    if concurrency is None:
-        # autoscaling actor pool up to the cluster CPU count: lets the
-        # streaming executor keep read/shuffle stages fed instead of
-        # reserving every CPU up front
-        import ray
-        n = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        concurrency = (1, max(2, n))
-    return ds.map_batches(
-        SignatureStage,
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-        zero_copy_batch=True,
-        fn_constructor_args=(cfg,),
-        fn_constructor_kwargs=dict(
-            id_col=id_col, text_col=text_col, keep_shingles=keep_shingles,
-            with_simhash=with_simhash,
-        ),
-        concurrency=concurrency,
-    )
+    """Attach signatures to a Dataset of documents.
+
+    Physical execution: stateless Ray tasks with a per-worker-process
+    stage cache — the permutation state is still built once per worker
+    (the actor-pool guarantee) but without actor-pool scheduling
+    constraints: tasks are fully elastic, so the stage scales to
+    whatever CPUs the streaming executor has free.  Pass ``concurrency``
+    to force a fixed actor pool instead (e.g. when future stage state
+    becomes expensive enough to pin)."""
+    if concurrency is not None:
+        return ds.map_batches(
+            SignatureStage,
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            zero_copy_batch=True,
+            fn_constructor_args=(cfg,),
+            fn_constructor_kwargs=dict(
+                id_col=id_col, text_col=text_col, keep_shingles=keep_shingles,
+                with_simhash=with_simhash,
+            ),
+            concurrency=concurrency,
+        )
+
+    key = (cfg.config_hash(), id_col, text_col, keep_shingles, with_simhash)
+
+    def _sig(batch: pa.Table) -> pa.Table:
+        stage = _WORKER_STAGE_CACHE.get(key)
+        if stage is None:
+            stage = SignatureStage(cfg, id_col=id_col, text_col=text_col,
+                                   keep_shingles=keep_shingles,
+                                   with_simhash=with_simhash)
+            _WORKER_STAGE_CACHE[key] = stage
+        return stage(batch)
+
+    return ds.map_batches(_sig, batch_format="pyarrow",
+                          batch_size=cfg.batch_size, zero_copy_batch=True)

@@ -22,15 +22,90 @@ from ..functions.text import binary_to_sets
 
 def attach_sets(pairs_ds, sig_ds, cfg: PipelineConfig, id_col: str = "doc_id",
                 set_col: str = "shingles"):
-    """pairs(a,b) ⋈ sets on a, then on b → (a, b, set_a, set_b)."""
-    side = sig_ds.select_columns([id_col, set_col])
-    a_side = side.rename_columns({id_col: "a", set_col: "set_a"})
-    b_side = side.rename_columns({id_col: "b", set_col: "set_b"})
-    out = pairs_ds.join(a_side, join_type="inner",
-                        num_partitions=cfg.num_partitions, on=("a",))
-    out = out.join(b_side, join_type="inner",
-                   num_partitions=cfg.num_partitions, on=("b",))
-    return out
+    """pairs(a,b) ⋈ sets on a, then on b → (a, b, set_a, set_b).
+
+    Implemented as two partitioned hash joins built from ONE
+    low-cardinality ``groupby(part)`` shuffle each (union the tagged
+    pair rows with the set rows keyed by the same hash partition, then a
+    vectorized searchsorted join inside each partition).  Ray's native
+    ``Dataset.join`` is avoided: its per-partition aggregator actors
+    measured several times slower at every scale we bench."""
+    out = _attach_one_side(pairs_ds, sig_ds, cfg, "a", "set_a",
+                           id_col=id_col, set_col=set_col)
+    return _attach_one_side(out, sig_ds, cfg, "b", "set_b",
+                            id_col=id_col, set_col=set_col)
+
+
+def _attach_one_side(pairs_ds, sig_ds, cfg: PipelineConfig, key: str,
+                     out_col: str, id_col: str, set_col: str):
+    from ..functions.hashing import splitmix64
+
+    n_parts = cfg.resolved_partitions()
+    pair_schema = pairs_ds.schema()
+    pair_cols = list(pair_schema.names)
+    pair_types = dict(zip(pair_schema.names, pair_schema.types))
+    # unified row layout: pair columns + out_col + part + _isset
+    all_cols = pair_cols + [out_col]
+
+    def _tag_pairs(t: pa.Table) -> pa.Table:
+        k = np.asarray(t[key], dtype=np.int64)
+        part = (splitmix64(k.view(np.uint64)) % np.uint64(n_parts)).astype(np.int64)
+        cols = {c: t[c] for c in pair_cols}
+        cols[out_col] = pa.nulls(len(t), pa.large_binary())
+        cols["part"] = pa.array(part, pa.int64())
+        cols["_isset"] = pa.array(np.zeros(len(t), dtype=np.int8), pa.int8())
+        return pa.table(cols)
+
+    def _tag_sets(t: pa.Table) -> pa.Table:
+        k = np.asarray(t[id_col], dtype=np.int64)
+        part = (splitmix64(k.view(np.uint64)) % np.uint64(n_parts)).astype(np.int64)
+        blob = t[set_col]
+        if not pa.types.is_large_binary(blob.type):
+            blob = blob.cast(pa.large_binary())
+        cols = {}
+        for c in pair_cols:
+            cols[c] = (pa.array(k, pair_types[c]) if c == key
+                       else pa.nulls(len(t), pair_types[c]))
+        cols[out_col] = blob
+        cols["part"] = pa.array(part, pa.int64())
+        cols["_isset"] = pa.array(np.ones(len(t), dtype=np.int8), pa.int8())
+        return pa.table(cols)
+
+    tagged_pairs = pairs_ds.map_batches(_tag_pairs, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+    tagged_sets = sig_ds.select_columns([id_col, set_col]).map_batches(
+        _tag_sets, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _join(group: pa.Table) -> pa.Table:
+        isset = np.asarray(group["_isset"], dtype=np.int8) == 1
+        sets_tab = group.filter(pa.array(isset))
+        pairs_tab = group.filter(pa.array(~isset))
+        if len(pairs_tab) == 0:
+            return _empty_like(pairs_tab)
+        sid = np.asarray(sets_tab[key], dtype=np.int64)
+        order = np.argsort(sid, kind="stable")
+        sid_sorted = sid[order]
+        pk = np.asarray(pairs_tab[key], dtype=np.int64)
+        pos = np.searchsorted(sid_sorted, pk)
+        pos = np.clip(pos, 0, max(len(sid_sorted) - 1, 0))
+        found = sid_sorted[pos] == pk if len(sid_sorted) else \
+            np.zeros(len(pk), dtype=bool)
+        pairs_tab = pairs_tab.filter(pa.array(found))
+        take_idx = order[pos[found]]
+        blobs = sets_tab[out_col].combine_chunks().take(
+            pa.array(take_idx, pa.int64()))
+        keep = [c for c in pairs_tab.column_names
+                if c not in ("part", "_isset", out_col)]
+        out = pa.table({**{c: pairs_tab[c] for c in keep}, out_col: blobs})
+        return out
+
+    def _empty_like(pairs_tab: pa.Table) -> pa.Table:
+        keep = [c for c in pairs_tab.column_names
+                if c not in ("part", "_isset")]
+        return pa.table({c: pairs_tab[c] for c in keep})
+
+    both = tagged_pairs.union(tagged_sets)
+    return both.groupby("part").map_groups(_join, batch_format="pyarrow")
 
 
 def score_pairs(joined_ds, cfg: PipelineConfig | None = None,
@@ -79,7 +154,12 @@ def pack_sets(sets_ds, id_col: str, set_col: str) -> dict:
 
     tabs = [ray.get(r) for r in
             sets_ds.select_columns([id_col, set_col]).to_arrow_refs()]
-    tab = pa.concat_tables([t for t in tabs if len(t)])
+    tabs = [t for t in tabs if len(t)]
+    if not tabs:
+        return {"ids": np.empty(0, np.int64),
+                "offsets": np.zeros(1, np.int64),
+                "values": np.empty(0, np.uint64), "tkey": None}
+    tab = pa.concat_tables(tabs)
     vals, offs = binary_to_sets(tab[set_col])
     ids = np.asarray(tab[id_col], dtype=np.int64)
     order = np.argsort(ids, kind="stable")
@@ -89,7 +169,26 @@ def pack_sets(sets_ds, id_col: str, set_col: str) -> dict:
     total = int(new_offs[-1])
     gather = (np.repeat(offs[:-1][order], lens)
               + (np.arange(total) - np.repeat(new_offs[:-1], lens)))
-    return {"ids": ids[order], "offsets": new_offs, "values": vals[gather]}
+    pack = {"ids": ids[order], "offsets": new_offs, "values": vals[gather]}
+    pack["tkey"] = _build_probe_index(pack)
+    return pack
+
+
+def _build_probe_index(pack: dict) -> np.ndarray | None:
+    """Global (row_rank << 32 | value) probe key for the direct-probe
+    kernel — only when values already fit 32 bits (graph vertex ids).
+    Full-range 64-bit shingle hashes stay on the distributed merge-count
+    kernel: dictionary-encoding them costs a serial driver-side sort of
+    every pack value, which measured slower than just scoring the pairs
+    across workers."""
+    values = pack["values"]
+    n_rows = len(pack["ids"])
+    if (len(values) == 0 or n_rows >= (1 << 31)
+            or values.max() >= (1 << 32)):
+        return None
+    rowlens = pack["offsets"][1:] - pack["offsets"][:-1]
+    rank = np.repeat(np.arange(n_rows, dtype=np.uint64), rowlens)
+    return (rank << np.uint64(32)) | values
 
 
 def _gather_csr(pack: dict, keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -120,21 +219,16 @@ class BroadcastPairScorer:
         self.pack = ray.get(pack_ref)
         self.threshold = threshold
         self.weights = ray.get(weights_ref) if weights_ref is not None else None
-        # direct-probe index (values < 2^32 only, e.g. graph ids): the
-        # reference's Is-kernel searches the SHARED CSR instead of
-        # materializing both rows per pair (jaccard.cpp:353-367).  Keys
-        # (row_rank << 32 | value) over the whole pack are globally
-        # ascending, so ONE searchsorted per batch probes every pair —
-        # per-pair cost min_deg·log, immune to hub skew.
-        vals = self.pack["values"]
+        # direct-probe index: the reference's Is-kernel searches the
+        # SHARED CSR instead of materializing both rows per pair
+        # (jaccard.cpp:353-367).  Keys (row_rank << 32 | value32) over
+        # the whole pack are globally ascending, so ONE searchsorted per
+        # batch probes every pair — per-pair cost min_deg·log, immune to
+        # hub skew.  Built once at pack time (_build_probe_index);
+        # weighted scoring needs original element values, so it takes
+        # the row-materializing path.
         self._rowlens = self.pack["offsets"][1:] - self.pack["offsets"][:-1]
-        if self.weights is None and len(vals) and vals.max() < (1 << 32) \
-                and len(self._rowlens) < (1 << 31):
-            rank = np.repeat(np.arange(len(self._rowlens), dtype=np.uint64),
-                             self._rowlens)
-            self._tkey = (rank << np.uint64(32)) | vals
-        else:
-            self._tkey = None
+        self._tkey = self.pack.get("tkey") if self.weights is None else None
 
     def _score_direct(self, batch: pa.Table) -> pa.Table:
         pack = self.pack
@@ -192,8 +286,12 @@ class BroadcastPairScorer:
             return pa.concat_tables(parts)
         a = np.asarray(batch["a"], dtype=np.int64)
         b = np.asarray(batch["b"], dtype=np.int64)
-        av, ao = _gather_csr(self.pack, a)
-        bv, bo = _gather_csr(self.pack, b)
+        pack = self.pack
+        if self.weights is not None and "values_raw" in pack:
+            # weighted lookups key on original element values, not ranks
+            pack = {**pack, "values": pack["values_raw"]}
+        av, ao = _gather_csr(pack, a)
+        bv, bo = _gather_csr(pack, b)
         if self.weights is None:
             inter, union, j = pairwise_jaccard(av, ao, bv, bo)
             out = pa.table({
@@ -248,7 +346,8 @@ def _cpus() -> int:
     return int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
 
 
-VERIFY_BROADCAST_MAX_PAIRS = 1_000_000
+VERIFY_BROADCAST_MAX_PAIRS = 200_000  # above this, the needed signature
+# subset gets too big to collect on the driver — use the shuffle joins
 
 
 def verify_pairs(pairs_ds, sig_ds, cfg: PipelineConfig,
