@@ -1,0 +1,121 @@
+"""CLI: the reference's tool surface (jaccardSYCL / fileConvert /
+readCSRHeader, SURVEY.md §3) as subcommands.
+
+    python -m raydedup inspect  <file.parquet>
+    python -m raydedup convert  <in.{mtx,parquet}> <out.{mtx,parquet}>
+                                 [--keep-reverse-edges] [--drop-weights]
+    python -m raydedup jaccard  <edges.{mtx,parquet}> <out.parquet>
+                                 [--weighted]
+    python -m raydedup neardup  <docs.parquet> <out_dir>
+                                 [--ckpt DIR] [--threshold T] [--k K]
+
+CLI entry points own the Ray session (guarded init); library code never
+calls ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_session():
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_inspect(args):
+    from .sources.mtx import inspect_parquet
+    print(json.dumps(inspect_parquet(args.path), indent=1, sort_keys=True))
+
+
+def cmd_convert(args):
+    _ray_session()
+    from .sources.mtx import convert
+    convert(args.input, args.output,
+            keep_reverse_edges=args.keep_reverse_edges,
+            drop_weights=args.drop_weights)
+    print(f"wrote {args.output}")
+
+
+def cmd_jaccard(args):
+    _ray_session()
+    import ray.data as rd
+    from .config import DEFAULT_CONFIG
+    from .sources.mtx import read_mtx
+    from .stages.graph import edge_jaccard
+
+    cfg = DEFAULT_CONFIG
+    if args.input.endswith(".mtx"):
+        edges, _ = read_mtx(args.input)
+    else:
+        edges = rd.read_parquet(args.input)
+    out = edge_jaccard(edges, cfg)
+    out.write_parquet(args.output)
+    print(f"wrote {args.output}")
+
+
+def cmd_neardup(args):
+    _ray_session()
+    import ray.data as rd
+    from .config import DEFAULT_CONFIG
+    from .pipelines.checkpoint import near_dup_pipeline_checkpointed
+    from .pipelines.neardup import near_dup_clusters
+
+    cfg = DEFAULT_CONFIG.with_(
+        **({"k_shingle": args.k} if args.k else {}),
+        **({"verify_threshold": args.threshold} if args.threshold else {}),
+    )
+    docs = rd.read_parquet(args.input)
+    if args.ckpt:
+        labels, mgr = near_dup_pipeline_checkpointed(docs, cfg, args.ckpt)
+        for stage, what in mgr.events:
+            print(f"  stage {stage}: {what}")
+    else:
+        labels = near_dup_clusters(docs, cfg)
+    labels.write_parquet(args.output)
+    print(f"wrote {args.output}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="raydedup")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("inspect", help="print parquet schema + header metadata")
+    s.add_argument("path")
+    s.set_defaults(fn=cmd_inspect)
+
+    s = sub.add_parser("convert", help="convert between mtx and parquet")
+    s.add_argument("input")
+    s.add_argument("output")
+    s.add_argument("--keep-reverse-edges", action="store_true")
+    s.add_argument("--drop-weights", action="store_true")
+    s.set_defaults(fn=cmd_convert)
+
+    s = sub.add_parser("jaccard", help="edge-connected Jaccard over a graph")
+    s.add_argument("input")
+    s.add_argument("output")
+    s.set_defaults(fn=cmd_jaccard)
+
+    s = sub.add_parser("neardup", help="near-dup clustering over documents")
+    s.add_argument("input")
+    s.add_argument("output")
+    s.add_argument("--ckpt", default=None)
+    s.add_argument("--threshold", type=float, default=None)
+    s.add_argument("--k", type=int, default=None)
+    s.set_defaults(fn=cmd_neardup)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+    import ray
+    if ray.is_initialized():
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

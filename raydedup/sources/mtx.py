@@ -45,33 +45,33 @@ def read_mtx(path: str):
         "is_directed": symmetry != "symmetric",
     }
 
-    lines = rd.read_text(path)
-
-    def _parse(batch: pa.Table) -> pa.Table:
-        src, dst, w = [], [], []
-        first_data_seen = [False]
-        for line in batch["text"].to_pylist():
+    # driver-side parse (the reference reads MTX single-threaded too,
+    # readMtxToCSR.cpp:49): MTX is a test-fixture format here — the
+    # production interchange format is Parquet.  Line-parallel parsing
+    # can't distinguish the size line from a 3-token coordinate line
+    # without global line numbers.
+    src, dst, w = [], [], []
+    size_seen = False
+    with open(path) as f:
+        f.readline()  # banner
+        for line in f:
             s = line.strip()
             if not s or s.startswith("%"):
                 continue
+            if not size_seen:
+                size_seen = True  # the "rows cols nnz" size line
+                continue
             toks = s.split()
-            if not first_data_seen[0]:
-                # the "rows cols nnz" size line: exactly 3 ints, comes
-                # first; distinguishable because we drop it once
-                first_data_seen[0] = True
-                if len(toks) == 3:
-                    continue
             src.append(int(toks[0]) - 1)
             dst.append(int(toks[1]) - 1)
             w.append(float(toks[2]) if len(toks) > 2 and header["is_weighted"]
                      else 1.0)
-        return pa.table({
-            "src": pa.array(src, pa.int64()),
-            "dst": pa.array(dst, pa.int64()),
-            "weight": pa.array(w, pa.float64()),
-        })
-
-    return lines.map_batches(_parse, batch_format="pyarrow"), header
+    tab = pa.table({
+        "src": pa.array(src, pa.int64()),
+        "dst": pa.array(dst, pa.int64()),
+        "weight": pa.array(w, pa.float64()),
+    })
+    return rd.from_arrow(tab), header
 
 
 def write_mtx(ds, path: str, *, is_weighted: bool = True,
