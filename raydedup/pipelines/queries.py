@@ -446,6 +446,62 @@ FROM documents
 """
 
 
+def q_substring_spans(sf_dir):
+    """Duplicated ≥20-token runs (the suffix-array substring-dedup
+    analogue) — maximal spans of later occurrences."""
+    from ..stages.substring import find_duplicate_spans
+    return find_duplicate_spans(_docs(sf_dir, ["doc_id", "text"]), CFG,
+                                min_tokens=20)
+
+
+SQL_SUBSTRING_SPANS = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+win AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+19], ' ') AS w
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 18)) AS i)
+  WHERE len(t) >= 20
+),
+firsts AS (SELECT w, min(doc_id * 1000000 + pos) AS fkey
+           FROM win GROUP BY w HAVING count(*) >= 2),
+dups AS (
+  SELECT win.doc_id, win.pos
+  FROM win JOIN firsts ON firsts.w = win.w
+  WHERE win.doc_id * 1000000 + win.pos <> firsts.fkey
+),
+marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 20
+              THEN 0 ELSE 1 END AS brk
+  FROM dups
+),
+grp AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM marked
+)
+SELECT doc_id, min(pos) AS start_tok, max(pos) + 20 AS end_tok
+FROM grp GROUP BY doc_id, g
+"""
+
+
+def q_media_bytes(sf_dir):
+    """Multimodal plumbing over the pages html payload: stubbed decode
+    stage attaches media_bytes + a deterministic feature vector; the
+    byte count is SQL-checkable."""
+    from ..stages.multimodal import decode_media
+    pages = pages_from_documents(sf_dir).select_columns(["doc_id", "html"])
+    out = decode_media(pages, CFG, media_col="html")
+    return out.select_columns(["doc_id", "media_bytes"])
+
+
+SQL_MEDIA_BYTES = """
+SELECT doc_id,
+       strlen('<html><body><p>' || text || '</p></body></html>') AS media_bytes
+FROM documents
+"""
+
+
 def q_lang_id(sf_dir):
     """Stopword-vote language ID (rows-only: heuristic table not in SQL)."""
     return ts.lang_id(_docs(sf_dir, ["doc_id", "text"])) \
@@ -474,6 +530,8 @@ QUERIES = {
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "pages_meta": q_pages_meta,
     "lang_id": q_lang_id,
+    "substring_spans": q_substring_spans,
+    "media_bytes": q_media_bytes,
 }
 
 ORACLES = {
@@ -495,6 +553,8 @@ ORACLES = {
     "filter_lang": SQL_FILTER_LANG,
     "ann_topk": SQL_ANN_TOPK,
     "pages_meta": SQL_PAGES_META,
+    "substring_spans": SQL_SUBSTRING_SPANS,
+    "media_bytes": SQL_MEDIA_BYTES,
     # rows-only (non-SQL-expressible): simhash_dup_pairs, ann_lsh_buckets,
     # lang_id
 }
