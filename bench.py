@@ -23,7 +23,7 @@ NCPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 SYNTH_DOCS = int(os.environ.get("GRAFT_SYNTH_DOCS", "20000"))
 # scaling runs use a bigger corpus with shorter docs so compute (not
 # per-op fixed cost) dominates the measurement
-SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "300000"))
+SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "1200000"))
 SLIM = os.environ.get("GRAFT_BENCH_SLIM") == "1"
 
 

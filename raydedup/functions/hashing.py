@@ -43,6 +43,61 @@ def hash_strings(values) -> np.ndarray:
     return pd.util.hash_array(arr, categorize=False)
 
 
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+_HASH_FULL_PREFIX = 48  # bytes hashed exactly; longer tokens add length
+# + last-8-bytes mix (see below)
+
+
+def hash_utf8_array(arr) -> np.ndarray:
+    """Deterministic uint64 hash of an Arrow string array, computed
+    directly on the Arrow buffers — no per-token Python objects (the
+    object-array path allocates one PyObject per token, which dominates
+    tokenization cost and contends the allocator across workers).
+
+    Byte-exact FNV-1a over the first _HASH_FULL_PREFIX bytes, mixed with
+    the length and the last 8 bytes, splitmix-finalized.  Tokens that
+    differ anywhere in the first 48 bytes, the last 8 bytes, or in
+    length always hash differently.
+    """
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if pa.types.is_large_string(arr.type):
+        off_dtype = np.int64
+    else:
+        off_dtype = np.int32
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=off_dtype)[arr.offset:
+                                                   arr.offset + n + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
+        else np.empty(0, np.uint8)
+    starts = offs[:-1].astype(np.int64)
+    lens = (offs[1:] - offs[:-1]).astype(np.int64)
+
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    max_j = int(min(lens.max() if n else 0, _HASH_FULL_PREFIX))
+    for j in range(max_j):
+        m = lens > j
+        if not m.any():
+            break
+        b = data[starts[m] + j].astype(np.uint64)
+        h[m] = (h[m] ^ b) * _FNV_PRIME
+    # tail mix: length + last 8 bytes (covers long-token suffix changes)
+    long = lens > _HASH_FULL_PREFIX
+    if long.any():
+        tail = np.zeros(int(long.sum()), dtype=np.uint64)
+        ends = starts[long] + lens[long]
+        for k in range(8):
+            tail = (tail << np.uint64(8)) | data[ends - 8 + k].astype(np.uint64)
+        h[long] ^= splitmix64(tail)
+    return splitmix64(h ^ lens.astype(np.uint64))
+
+
 def hash_int64(values: np.ndarray) -> np.ndarray:
     """Stable uint64 hash of an int64/uint64 array."""
     return splitmix64(np.asarray(values).view(np.uint64)

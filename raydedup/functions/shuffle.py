@@ -1,0 +1,79 @@
+"""Manual two-stage hash shuffle over raw Ray tasks.
+
+Ray Data's keyed exchanges (groupby / join / sort) all funnel through a
+sort-based or aggregator-actor shuffle that measured ~60 MB/s on this
+node regardless of CPU count — the bottleneck for every wide step once
+kernels are vectorized.  A hash partition doesn't need a sort: map tasks
+slice each block into P sub-blocks by the precomputed partition column
+(one argsort per block, zero-copy slices), reduce tasks concatenate a
+partition's sub-blocks and apply the per-partition function.  Both
+stages are plain data-parallel Ray tasks through the object store —
+this is the documented "raw Ray tasks as a last resort" case
+(SURVEY.md §2 custom-operators rule): the Dataset API expresses the
+semantics but not the required exchange throughput.
+
+Contract: ``part_col`` holds int64 values in [0, n_parts); ``fn``
+receives ONE complete partition as a pyarrow Table (part_col dropped)
+and returns a pyarrow Table.  The result is a Dataset of n_parts
+blocks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def hash_partition_map(ds, part_col: str, fn, n_parts: int):
+    import ray
+    import ray.data as rd
+
+    @ray.remote(num_returns=n_parts)
+    def _split(*tabs):
+        # Ray normalizes empty blocks to empty-SCHEMA tables: drop them
+        tabs = [t for t in tabs
+                if len(t) and part_col in t.column_names]
+        if not tabs:
+            empty = pa.table({})
+            return tuple(empty for _ in range(n_parts)) if n_parts > 1 else empty
+        tab = pa.concat_tables(tabs, promote_options="default")
+        part = np.asarray(tab[part_col], dtype=np.int64)
+        tab = tab.drop_columns([part_col])
+        order = np.argsort(part, kind="stable")
+        sorted_part = part[order]
+        bounds = np.searchsorted(sorted_part, np.arange(n_parts + 1))
+        taken = tab.take(pa.array(order, pa.int64()))
+        out = [taken.slice(bounds[p], bounds[p + 1] - bounds[p])
+               for p in range(n_parts)]
+        return tuple(out) if n_parts > 1 else out[0]
+
+    @ray.remote
+    def _reduce(*tabs):
+        tabs = [t for t in tabs
+                if t is not None and len(t) and t.num_columns > 0]
+        if not tabs:
+            return fn(None)
+        tab = pa.concat_tables(tabs, promote_options="default")
+        return fn(tab)
+
+    blocks = ds.to_arrow_refs()
+    # bundle blocks so total shuffle objects stay ~tasks x partitions,
+    # not blocks x partitions — tiny-object overhead otherwise dominates
+    import math
+    n_split_tasks = max(n_parts, _cpu_count() * 2)
+    per_task = max(1, math.ceil(len(blocks) / n_split_tasks))
+    groups = [blocks[i:i + per_task] for i in range(0, len(blocks), per_task)]
+    split_refs = [_split.remote(*g) for g in groups]
+    if n_parts == 1:
+        split_refs = [[r] for r in split_refs]
+    reduced = [_reduce.remote(*[sr[p] for sr in split_refs])
+               for p in range(n_parts)]
+    return rd.from_arrow_refs(reduced)
+
+
+def _cpu_count() -> int:
+    import ray
+    try:
+        return int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        return 8

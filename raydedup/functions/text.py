@@ -19,7 +19,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .hashing import combine_rolling, hash_strings
+from .hashing import combine_rolling, hash_utf8_array
 
 
 def tokenize_arrow(texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
@@ -37,7 +37,8 @@ def tokenize_arrow(texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     offsets = np.asarray(lists.offsets, dtype=np.int64)
     offsets = offsets - offsets[0]
     flat = lists.flatten()
-    tok_hashes = hash_strings(flat.to_numpy(zero_copy_only=False))
+    # buffer-level hashing: no per-token Python objects
+    tok_hashes = hash_utf8_array(flat)
     return tok_hashes, offsets
 
 

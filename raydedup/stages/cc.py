@@ -88,48 +88,141 @@ def _connected_components_local(pairs_ds):
 
 def _connected_components_distributed(pairs_ds, cfg: PipelineConfig,
                                       checkpoint_fn=None):
-    edges = _symmetrize_pairs(pairs_ds).groupby(["node", "nbr"]).count() \
-                                       .select_columns(["node", "nbr"])
-    edges = edges.materialize()  # reused every round; edge set is the
-    # verified dup-pair graph — tiny relative to the corpus
+    """Hash-min label propagation over raw Ray tasks.
 
-    # labels: node → itself
-    labels = edges.groupby("node").min("nbr").map_batches(
-        lambda t: pa.table({
-            "node": t["node"],
-            "component": pc.min_element_wise(t["node"], t["min(nbr)"]),
-        }),
-        batch_format="pyarrow",
-    ).materialize()
-    # note: seeding with min(node, min-neighbor) is already one halved round
+    Physical layout: edges are hash-partitioned ONCE by hash(nbr) % P
+    and never move again; labels are partitioned by the SAME hash of
+    node, so edge partition p can look up every neighbor's label in
+    label partition p (co-partitioned, searchsorted per round — the
+    join without a join).  Each round is P message tasks (each
+    re-splitting its (node, cand) output by hash(node)) + P merge
+    tasks; per-round data movement = the label/message rows only.
+    """
+    import ray
+    import ray.data as rd
+    import numpy as np
+
+    from ..functions.hashing import splitmix64
+    from ..functions.shuffle import hash_partition_map
+
+    n_parts = cfg.resolved_partitions()
+
+    def _hash_part(x: np.ndarray) -> np.ndarray:
+        return (splitmix64(x.view(np.uint64)) % np.uint64(n_parts)).astype(np.int64)
+
+    def _tag(t: pa.Table) -> pa.Table:
+        nbr = np.asarray(t["nbr"], dtype=np.int64)
+        return t.append_column("part", pa.array(_hash_part(nbr), pa.int64()))
+
+    sym = _symmetrize_pairs(pairs_ds).map_batches(_tag, batch_format="pyarrow")
+
+    def _dedup_edges(tab):
+        if tab is None or len(tab) == 0:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "nbr": pa.array([], pa.int64())})
+        node = np.asarray(tab["node"], dtype=np.int64)
+        nbr = np.asarray(tab["nbr"], dtype=np.int64)
+        pk = np.unique(np.stack([nbr, node], axis=1), axis=0)  # sort by nbr!
+        return pa.table({"node": pa.array(pk[:, 1], pa.int64()),
+                         "nbr": pa.array(pk[:, 0], pa.int64())})
+
+    edge_ds = hash_partition_map(sym, "part", _dedup_edges, n_parts)
+    edge_blocks = edge_ds.to_arrow_refs()   # static: never reshuffled
+
+    # initial labels: every node labels itself; co-partition by hash(node)
+    @ray.remote(num_returns=n_parts)
+    def _init_labels(edge_tab):
+        node = np.asarray(edge_tab["node"], dtype=np.int64)
+        nbr = np.asarray(edge_tab["nbr"], dtype=np.int64)
+        nodes = np.unique(np.concatenate([node, nbr]))
+        part = _hash_part(nodes)
+        order = np.argsort(part, kind="stable")
+        nodes, part = nodes[order], part[order]
+        bounds = np.searchsorted(part, np.arange(n_parts + 1))
+        return tuple(
+            pa.table({"node": pa.array(nodes[bounds[p]:bounds[p + 1]], pa.int64()),
+                      "component": pa.array(nodes[bounds[p]:bounds[p + 1]], pa.int64())})
+            for p in range(n_parts))
+
+    @ray.remote
+    def _merge_label_parts(*tabs):
+        tabs = [t for t in tabs if len(t)]
+        if not tabs:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "component": pa.array([], pa.int64())})
+        tab = pa.concat_tables(tabs)
+        node = np.asarray(tab["node"], dtype=np.int64)
+        comp = np.asarray(tab["component"], dtype=np.int64)
+        order = np.lexsort((comp, node))
+        node, comp = node[order], comp[order]
+        first = np.empty(len(node), dtype=bool)
+        first[0] = True
+        first[1:] = node[1:] != node[:-1]
+        return pa.table({"node": pa.array(node[first], pa.int64()),
+                         "component": pa.array(comp[first], pa.int64())})
+
+    init_splits = [_init_labels.remote(b) for b in edge_blocks]
+    label_blocks = [_merge_label_parts.remote(*[s[p] for s in init_splits])
+                    for p in range(n_parts)]
+
+    @ray.remote(num_returns=n_parts + 1)
+    def _messages(edge_tab, label_tab):
+        """Edge partition p + label partition p → per-destination-partition
+        (node, cand) messages; last return = label lookup table size (unused
+        marker kept for arity)."""
+        node = np.asarray(edge_tab["node"], dtype=np.int64)
+        nbr = np.asarray(edge_tab["nbr"], dtype=np.int64)
+        lnode = np.asarray(label_tab["node"], dtype=np.int64)
+        lcomp = np.asarray(label_tab["component"], dtype=np.int64)
+        # label_tab sorted by node (merge keeps sorted); lookup nbr's label
+        pos = np.searchsorted(lnode, nbr)
+        pos = np.clip(pos, 0, max(len(lnode) - 1, 0))
+        ok = lnode[pos] == nbr if len(lnode) else np.zeros(len(nbr), bool)
+        cand = lcomp[pos[ok]]
+        dst = node[ok]
+        part = _hash_part(dst)
+        order = np.argsort(part, kind="stable")
+        dst, cand, part = dst[order], cand[order], part[order]
+        bounds = np.searchsorted(part, np.arange(n_parts + 1))
+        outs = [pa.table({"node": pa.array(dst[bounds[p]:bounds[p + 1]], pa.int64()),
+                          "component": pa.array(cand[bounds[p]:bounds[p + 1]], pa.int64())})
+                for p in range(n_parts)]
+        return (*outs, len(cand))
+
+    @ray.remote(num_returns=2)
+    def _merge_round(old_labels, *msg_tabs):
+        tabs = [t for t in msg_tabs if len(t)]
+        onode = np.asarray(old_labels["node"], dtype=np.int64)
+        ocomp = np.asarray(old_labels["component"], dtype=np.int64)
+        if not tabs:
+            return old_labels, 0
+        m = pa.concat_tables(tabs)
+        node = np.concatenate([onode, np.asarray(m["node"], np.int64)])
+        comp = np.concatenate([ocomp, np.asarray(m["component"], np.int64)])
+        order = np.lexsort((comp, node))
+        node, comp = node[order], comp[order]
+        first = np.empty(len(node), dtype=bool)
+        first[0] = True
+        first[1:] = node[1:] != node[:-1]
+        nnode, ncomp = node[first], comp[first]
+        # old_labels covers every node, sorted; so nnode == onode
+        changed = int((ncomp != ocomp).sum())
+        return (pa.table({"node": pa.array(nnode, pa.int64()),
+                          "component": pa.array(ncomp, pa.int64())}),
+                changed)
 
     for it in range(cfg.cc_max_iters):
-        # neighbor labels: edges(node,nbr) ⋈ labels(nbr) → (node, cand)
-        nbr_labels = edges.join(
-            labels.rename_columns({"node": "nbr", "component": "cand"}),
-            join_type="inner", num_partitions=cfg.resolved_partitions(), on=("nbr",),
-        ).map_batches(
-            lambda t: pa.table({"node": t["node"], "component": t["cand"]}),
-            batch_format="pyarrow",
-        )
-        new_labels = labels.union(nbr_labels) \
-                           .groupby("node").min("component") \
-                           .map_batches(
-            lambda t: pa.table({"node": t["node"], "component": t["min(component)"]}),
-            batch_format="pyarrow",
-        ).materialize()
-
-        # convergence: any label changed?
-        changed = labels.rename_columns({"component": "old"}).join(
-            new_labels, join_type="inner",
-            num_partitions=cfg.resolved_partitions(), on=("node",),
-        ).map_batches(
-            lambda t: t.filter(pc.not_equal(t["old"], t["component"])),
-            batch_format="pyarrow",
-        ).count()
-        labels = new_labels
+        msg_splits = [_messages.remote(edge_blocks[p], label_blocks[p])
+                      for p in range(n_parts)]
+        results = [_merge_round.remote(
+                       label_blocks[q], *[ms[q] for ms in msg_splits])
+                   for q in range(n_parts)]
+        label_blocks = [r[0] for r in results]
+        changed = sum(ray.get([r[1] for r in results]))
         if checkpoint_fn is not None:
-            labels = checkpoint_fn(it, labels)
+            labels_ds = rd.from_arrow_refs(list(label_blocks))
+            labels_ds = checkpoint_fn(it, labels_ds)
+            label_blocks = labels_ds.to_arrow_refs()
         if changed == 0:
             break
-    return labels
+    return rd.from_arrow_refs(list(label_blocks))

@@ -91,7 +91,7 @@ def build_adjacency(edges_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
     per shuffle partition), never per-vertex.  Duplicate edges are
     dropped here (``dedup``), so upstream symmetrize need not pre-dedup.
     """
-    n_parts = cfg.num_partitions
+    n_parts = cfg.resolved_partitions()
 
     def _part(t: pa.Table) -> pa.Table:
         src = np.asarray(t["src"], dtype=np.int64)
@@ -105,9 +105,13 @@ def build_adjacency(edges_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
     parted = edges_ds.map_batches(_part, batch_format="pyarrow",
                                   zero_copy_batch=True)
 
-    def _build(group: pd.DataFrame) -> pa.Table:
-        src = group["src"].to_numpy(dtype=np.int64, copy=False)
-        dst = group["dst"].to_numpy(dtype=np.int64, copy=False)
+    def _build(group) -> pa.Table:
+        if group is None or len(group) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "n_neighbors": pa.array([], pa.int64()),
+                             "neighbors": pa.array([], pa.large_binary())})
+        src = np.asarray(group["src"], dtype=np.int64)
+        dst = np.asarray(group["dst"], dtype=np.int64)
         order = np.lexsort((dst, src))
         src, dst = src[order], dst[order]
         if dedup and len(src):
@@ -126,7 +130,8 @@ def build_adjacency(edges_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
             "neighbors": pa.array(blobs, pa.large_binary()),
         })
 
-    return parted.groupby("part").map_groups(_build, batch_format="pandas")
+    from ..functions.shuffle import hash_partition_map
+    return hash_partition_map(parted, "part", _build, n_parts)
 
 
 BROADCAST_MAX_ROWS = 2_000_000  # adjacency sides below this are shipped

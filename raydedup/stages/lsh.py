@@ -26,6 +26,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..config import PipelineConfig
+from ..functions.shuffle import hash_partition_map
 
 
 def explode_bands(sig_ds, cfg: PipelineConfig, id_col: str = "doc_id"):
@@ -193,16 +194,19 @@ def candidate_pairs(band_ds, cfg: PipelineConfig, id_col: str = "doc_id"):
     parted = band_ds.map_batches(_part1, batch_format="pyarrow",
                                  zero_copy_batch=True)
 
-    def _emit(group) -> pa.Table:
-        keys = group["band_key"].to_numpy(dtype=np.int64, copy=False)
-        ids = group[id_col].to_numpy(dtype=np.int64, copy=False)
-        lo, hi, _dropped = _emit_run_pairs(keys, ids, cap)
+    def _emit(group: pa.Table | None) -> pa.Table:
+        if group is None or len(group) == 0:
+            lo = hi = np.empty(0, np.int64)
+        else:
+            keys = np.asarray(group["band_key"], dtype=np.int64)
+            ids = np.asarray(group[id_col], dtype=np.int64)
+            lo, hi, _dropped = _emit_run_pairs(keys, ids, cap)
         # local pre-dedup: identical pairs from different buckets of the
         # same partition collapse here before the shuffle
         if len(lo):
             pk = np.stack([lo, hi], axis=1)
             pk = np.unique(pk, axis=0)
-            lo, hi = pk[:, 0], pk[:, 1]
+            lo, hi = pk[:, 0].copy(), pk[:, 1].copy()
         part = (splitmix64(lo.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
                            ^ hi.view(np.uint64))
                 % np.uint64(n_parts)).astype(np.int64)
@@ -212,16 +216,19 @@ def candidate_pairs(band_ds, cfg: PipelineConfig, id_col: str = "doc_id"):
             "part": pa.array(part, pa.int64()),
         })
 
-    pairs = parted.groupby("part").map_groups(_emit, batch_format="pandas")
+    pairs = hash_partition_map(parted, "part", _emit, n_parts)
 
-    def _dedup(group) -> pa.Table:
-        pk = np.stack([group["a"].to_numpy(dtype=np.int64, copy=False),
-                       group["b"].to_numpy(dtype=np.int64, copy=False)], axis=1)
+    def _dedup(group: pa.Table | None) -> pa.Table:
+        if group is None or len(group) == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        pk = np.stack([np.asarray(group["a"], dtype=np.int64),
+                       np.asarray(group["b"], dtype=np.int64)], axis=1)
         pk = np.unique(pk, axis=0)
         return pa.table({"a": pa.array(pk[:, 0], pa.int64()),
                          "b": pa.array(pk[:, 1], pa.int64())})
 
-    return pairs.groupby("part").map_groups(_dedup, batch_format="pandas")
+    return hash_partition_map(pairs, "part", _dedup, n_parts)
 
 
 def simhash_candidate_pairs(sig_ds, cfg: PipelineConfig, id_col: str = "doc_id"):

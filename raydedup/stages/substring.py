@@ -79,10 +79,13 @@ def find_duplicate_spans(docs_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
                                zero_copy_batch=True,
                                batch_size=cfg.batch_size)
 
-    def _dups(group: pd.DataFrame) -> pa.Table:
-        wh = group["whash"].to_numpy(dtype=np.int64, copy=False)
-        ids = group[id_col].to_numpy(dtype=np.int64, copy=False)
-        pos = group["pos"].to_numpy(dtype=np.int64, copy=False)
+    def _dups(group) -> pa.Table:
+        if group is None or len(group) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
+        wh = np.asarray(group["whash"], dtype=np.int64)
+        ids = np.asarray(group[id_col], dtype=np.int64)
+        pos = np.asarray(group["pos"], dtype=np.int64)
         order = np.lexsort((pos, ids, wh))
         wh, ids, pos = wh[order], ids[order], pos[order]
         starts = np.empty(len(wh), dtype=bool)
@@ -100,7 +103,8 @@ def find_duplicate_spans(docs_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
         return pa.table({id_col: pa.array(ids[dup], pa.int64()),
                          "pos": pa.array(pos[dup], pa.int64())})
 
-    dup_wins = wins.groupby("part").map_groups(_dups, batch_format="pandas")
+    from ..functions.shuffle import hash_partition_map
+    dup_wins = hash_partition_map(wins, "part", _dups, n_parts)
 
     def _part_by_doc(t: pa.Table) -> pa.Table:
         ids = np.asarray(t[id_col], dtype=np.int64)
@@ -108,9 +112,13 @@ def find_duplicate_spans(docs_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
         return pa.table({id_col: t[id_col], "pos": t["pos"],
                          "part": pa.array(part, pa.int64())})
 
-    def _merge_spans(group: pd.DataFrame) -> pa.Table:
-        ids = group[id_col].to_numpy(dtype=np.int64, copy=False)
-        pos = group["pos"].to_numpy(dtype=np.int64, copy=False)
+    def _merge_spans(group) -> pa.Table:
+        if group is None or len(group) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "start_tok": pa.array([], pa.int64()),
+                             "end_tok": pa.array([], pa.int64())})
+        ids = np.asarray(group[id_col], dtype=np.int64)
+        pos = np.asarray(group["pos"], dtype=np.int64)
         order = np.lexsort((pos, ids))
         ids, pos = ids[order], pos[order]
         # merge overlapping/adjacent windows [pos, pos+k) per doc:
@@ -131,7 +139,7 @@ def find_duplicate_spans(docs_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
         })
 
     parted = dup_wins.map_batches(_part_by_doc, batch_format="pyarrow")
-    return parted.groupby("part").map_groups(_merge_spans, batch_format="pandas")
+    return hash_partition_map(parted, "part", _merge_spans, n_parts)
 
 
 def substring_dedup(docs_ds, cfg: PipelineConfig = DEFAULT_CONFIG,

@@ -36,8 +36,143 @@ def attach_sets(pairs_ds, sig_ds, cfg: PipelineConfig, id_col: str = "doc_id",
                             id_col=id_col, set_col=set_col)
 
 
+def attach_and_score(pairs_ds, sig_ds, cfg: PipelineConfig, threshold,
+                     id_col: str = "doc_id", set_col: str = "shingles"):
+    """Large-candidate verification over raw Ray tasks, one signature
+    shuffle total:
+
+      sig      ──hash(id)──►  P static blocks            (shuffled ONCE)
+      pairs    ──hash(a)───►  gather set_a from block p  (pass 1)
+               ──hash(b)───►  gather set_b from block p,
+                              score + filter immediately  (pass 2, fused)
+
+    Both passes look sets up in the SAME static partitioned signature
+    blocks (co-partitioned by one hash), so the heavy side never moves
+    twice and the (set_a, set_b) double-blob intermediate never exists.
+    """
+    import ray
+    import ray.data as rd
+
+    from ..functions.hashing import splitmix64
+    from ..functions.shuffle import hash_partition_map
+
+    n_parts = cfg.resolved_partitions()
+
+    def _hashp(x: np.ndarray) -> np.ndarray:
+        return (splitmix64(x.view(np.uint64)) % np.uint64(n_parts)).astype(np.int64)
+
+    # --- static signature partitions (sorted by id for searchsorted) ---
+    def _tag_sig(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col], dtype=np.int64)
+        return pa.table({
+            "id": pa.array(ids, pa.int64()),
+            "blob": t[set_col].cast(pa.large_binary())
+            if not pa.types.is_large_binary(t.schema.field(set_col).type)
+            else t[set_col],
+            "part": pa.array(_hashp(ids), pa.int64()),
+        })
+
+    def _sort_sig(tab):
+        if tab is None or len(tab) == 0:
+            return pa.table({"id": pa.array([], pa.int64()),
+                             "blob": pa.array([], pa.large_binary())})
+        order = np.argsort(np.asarray(tab["id"], dtype=np.int64), kind="stable")
+        return tab.take(pa.array(order, pa.int64()))
+
+    sig_tagged = sig_ds.select_columns([id_col, set_col]).map_batches(
+        _tag_sig, batch_format="pyarrow", zero_copy_batch=True)
+    sig_blocks = hash_partition_map(sig_tagged, "part", _sort_sig,
+                                    n_parts).to_arrow_refs()
+
+    # --- pass 0: split pairs by hash(a) ---
+    def _tag_pairs(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["a"], dtype=np.int64)
+        return pa.table({"a": t["a"], "b": t["b"],
+                         "part": pa.array(_hashp(a), pa.int64())})
+
+    def _ident(tab):
+        if tab is None or len(tab) == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        return tab
+
+    pairs_p = hash_partition_map(
+        pairs_ds.map_batches(_tag_pairs, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        "part", _ident, n_parts).to_arrow_refs()
+
+    def _lookup_blobs(sig_tab, keys):
+        sid = np.asarray(sig_tab["id"], dtype=np.int64)
+        pos = np.searchsorted(sid, keys)
+        pos = np.clip(pos, 0, max(len(sid) - 1, 0))
+        ok = sid[pos] == keys if len(sid) else np.zeros(len(keys), bool)
+        return ok, pos
+
+    # --- pass 1: attach set_a, re-split by hash(b) ---
+    @ray.remote(num_returns=n_parts)
+    def _pass1(pair_tab, sig_tab):
+        a = np.asarray(pair_tab["a"], dtype=np.int64)
+        b = np.asarray(pair_tab["b"], dtype=np.int64)
+        ok, pos = _lookup_blobs(sig_tab, a)
+        a, b, pos = a[ok], b[ok], pos[ok]
+        blobs = sig_tab["blob"].combine_chunks().take(
+            pa.array(pos, pa.int64()))
+        part = _hashp(b)
+        order = np.argsort(part, kind="stable")
+        bounds = np.searchsorted(part[order], np.arange(n_parts + 1))
+        tab = pa.table({"a": pa.array(a[order], pa.int64()),
+                        "b": pa.array(b[order], pa.int64()),
+                        "set_a": blobs.take(pa.array(order, pa.int64()))})
+        return tuple(tab.slice(bounds[p], bounds[p + 1] - bounds[p])
+                     for p in range(n_parts))
+
+    # --- pass 2: attach set_b, score, filter — fused ---
+    @ray.remote
+    def _pass2(sig_tab, *half_tabs):
+        tabs = [t for t in half_tabs if len(t)]
+        empty = pa.table({
+            "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+            "intersection": pa.array([], pa.int64()),
+            "union": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        })
+        if not tabs:
+            return empty
+        tab = pa.concat_tables(tabs)
+        b = np.asarray(tab["b"], dtype=np.int64)
+        ok, pos = _lookup_blobs(sig_tab, b)
+        tab = tab.filter(pa.array(ok))
+        blob_b = sig_tab["blob"].combine_chunks().take(
+            pa.array(pos[ok], pa.int64()))
+        outs = []
+        for i in range(0, len(tab), 8192):   # n·log n kernel: chunk
+            sl = tab.slice(i, 8192)
+            av, ao = binary_to_sets(sl["set_a"])
+            bv, bo = binary_to_sets(blob_b.slice(i, 8192))
+            inter, union, j = pairwise_jaccard(av, ao, bv, bo)
+            t = pa.table({
+                "a": sl["a"], "b": sl["b"],
+                "intersection": pa.array(inter, pa.int64()),
+                "union": pa.array(union, pa.int64()),
+                "jaccard": pa.array(j, pa.float64()),
+            })
+            if threshold is not None:
+                t = t.filter(pc.greater_equal(t["jaccard"],
+                                              pa.scalar(threshold)))
+            outs.append(t)
+        return pa.concat_tables(outs) if outs else empty
+
+    half = [_pass1.remote(pairs_p[p], sig_blocks[p]) for p in range(n_parts)]
+    if n_parts == 1:
+        half = [[h] for h in half]
+    scored = [_pass2.remote(sig_blocks[q], *[h[q] for h in half])
+              for q in range(n_parts)]
+    return rd.from_arrow_refs(scored)
+
+
 def _attach_one_side(pairs_ds, sig_ds, cfg: PipelineConfig, key: str,
-                     out_col: str, id_col: str, set_col: str):
+                     out_col: str, id_col: str, set_col: str,
+                     score_threshold=...):
     from ..functions.hashing import splitmix64
 
     n_parts = cfg.resolved_partitions()
@@ -76,12 +211,47 @@ def _attach_one_side(pairs_ds, sig_ds, cfg: PipelineConfig, key: str,
     tagged_sets = sig_ds.select_columns([id_col, set_col]).map_batches(
         _tag_sets, batch_format="pyarrow", zero_copy_batch=True)
 
-    def _join(group: pa.Table) -> pa.Table:
+    _SCORED_EMPTY = pa.table({
+        "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+        "intersection": pa.array([], pa.int64()),
+        "union": pa.array([], pa.int64()),
+        "jaccard": pa.array([], pa.float64()),
+    })
+
+    def _score_fused(pairs_tab: pa.Table, blobs) -> pa.Table:
+        out_parts = []
+        n = len(pairs_tab)
+        for i in range(0, n, 8192):   # chunk: the kernel is n·log n
+            sl = pairs_tab.slice(i, 8192)
+            av, ao = binary_to_sets(sl["set_a"])
+            bv, bo = binary_to_sets(blobs.slice(i, 8192))
+            inter, union, j = pairwise_jaccard(av, ao, bv, bo)
+            t = pa.table({
+                "a": sl["a"], "b": sl["b"],
+                "intersection": pa.array(inter, pa.int64()),
+                "union": pa.array(union, pa.int64()),
+                "jaccard": pa.array(j, pa.float64()),
+            })
+            if score_threshold is not None:
+                t = t.filter(pc.greater_equal(t["jaccard"],
+                                              pa.scalar(score_threshold)))
+            out_parts.append(t)
+        return pa.concat_tables(out_parts) if out_parts else _SCORED_EMPTY
+
+    def _join(group: pa.Table | None) -> pa.Table:
+        fused = score_threshold is not ...
+        if group is None or len(group) == 0:
+            if fused:
+                return _SCORED_EMPTY
+            return pa.table({
+                **{c: pa.array([], pair_types[c]) for c in pair_cols},
+                out_col: pa.array([], pa.large_binary()),
+            })
         isset = np.asarray(group["_isset"], dtype=np.int8) == 1
         sets_tab = group.filter(pa.array(isset))
         pairs_tab = group.filter(pa.array(~isset))
         if len(pairs_tab) == 0:
-            return _empty_like(pairs_tab)
+            return _SCORED_EMPTY if fused else _empty_like(pairs_tab)
         sid = np.asarray(sets_tab[key], dtype=np.int64)
         order = np.argsort(sid, kind="stable")
         sid_sorted = sid[order]
@@ -94,18 +264,20 @@ def _attach_one_side(pairs_ds, sig_ds, cfg: PipelineConfig, key: str,
         take_idx = order[pos[found]]
         blobs = sets_tab[out_col].combine_chunks().take(
             pa.array(take_idx, pa.int64()))
+        if fused:
+            return _score_fused(pairs_tab, blobs)
         keep = [c for c in pairs_tab.column_names
                 if c not in ("part", "_isset", out_col)]
         out = pa.table({**{c: pairs_tab[c] for c in keep}, out_col: blobs})
         return out
 
     def _empty_like(pairs_tab: pa.Table) -> pa.Table:
-        keep = [c for c in pairs_tab.column_names
-                if c not in ("part", "_isset")]
+        keep = [c for c in pairs_tab.column_names if c != "_isset"]
         return pa.table({c: pairs_tab[c] for c in keep})
 
+    from ..functions.shuffle import hash_partition_map
     both = tagged_pairs.union(tagged_sets)
-    return both.groupby("part").map_groups(_join, batch_format="pyarrow")
+    return hash_partition_map(both, "part", _join, n_parts)
 
 
 def score_pairs(joined_ds, cfg: PipelineConfig | None = None,
@@ -348,6 +520,7 @@ def _cpus() -> int:
 
 VERIFY_BROADCAST_MAX_PAIRS = 200_000  # above this, the needed signature
 # subset gets too big to collect on the driver — use the shuffle joins
+SEMI_FILTER_MAX_PAIRS = 50_000_000    # endpoint-id semi-join prune cap
 
 
 def verify_pairs(pairs_ds, sig_ds, cfg: PipelineConfig,
@@ -363,33 +536,41 @@ def verify_pairs(pairs_ds, sig_ds, cfg: PipelineConfig,
     doc_id.  ``assume_small=False`` forces the join path without
     counting (counting materializes the candidate pipeline once).
     """
+    thr = cfg.verify_threshold if threshold is ... else threshold
     if assume_small is None or assume_small:
         pairs_ds = pairs_ds.materialize()
-        small = (assume_small
-                 or pairs_ds.count() <= VERIFY_BROADCAST_MAX_PAIRS)
-        if small:
+        n_pairs = pairs_ds.count()
+        if n_pairs == 0:
+            return score_pairs(_empty_joined(), cfg, threshold=threshold)
+        need_arr = None
+        if assume_small or n_pairs <= SEMI_FILTER_MAX_PAIRS:
+            # semi-join: collect the candidate endpoint ids (two int64
+            # columns — small even for millions of pairs) and prune the
+            # signature side to just the needed rows before any gather
             import ray
             tab = pa.concat_tables(
                 [t for t in (ray.get(r) for r in
                              pairs_ds.select_columns(["a", "b"]).to_arrow_refs())
-                 if len(t)]) if pairs_ds.count() else None
-            if tab is None or len(tab) == 0:
-                return score_pairs(
-                    _empty_joined(), cfg, threshold=threshold)
+                 if len(t)])
             need = np.unique(np.concatenate([
                 np.asarray(tab["a"], dtype=np.int64),
                 np.asarray(tab["b"], dtype=np.int64)]))
-            need_arr = pa.array(need, type=pa.int64())
-            sub = sig_ds.map_batches(
-                lambda t, na=need_arr: t.filter(pc.is_in(t[id_col],
-                                                         value_set=na)),
-                batch_format="pyarrow",
-            )
-            return verify_pairs_broadcast(pairs_ds, sub, cfg,
-                                          threshold=(cfg.verify_threshold
-                                                     if threshold is ...
-                                                     else threshold),
+
+            def _semi(t, nd=need):
+                # sorted-array membership: pc.is_in would rebuild its
+                # hash set from the (large) value list on every batch
+                ids = np.asarray(t[id_col], dtype=np.int64)
+                pos = np.searchsorted(nd, ids)
+                pos = np.clip(pos, 0, max(len(nd) - 1, 0))
+                return t.filter(pa.array(nd[pos] == ids))
+
+            sig_ds = sig_ds.map_batches(_semi, batch_format="pyarrow")
+        if assume_small or n_pairs <= VERIFY_BROADCAST_MAX_PAIRS:
+            return verify_pairs_broadcast(pairs_ds, sig_ds, cfg,
+                                          threshold=thr,
                                           id_col=id_col, set_col=set_col)
+        return attach_and_score(pairs_ds, sig_ds, cfg, thr,
+                                id_col=id_col, set_col=set_col)
     joined = attach_sets(pairs_ds, sig_ds, cfg, id_col=id_col, set_col=set_col)
     return score_pairs(joined, cfg, threshold=threshold)
 
