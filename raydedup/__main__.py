@@ -82,6 +82,18 @@ def cmd_neardup(args):
     print(f"wrote {args.output}")
 
 
+def cmd_compare(args):
+    _ray_session()
+    import ray.data as rd
+    from .pipelines.compare import compare_scores
+    gold = rd.read_parquet(args.gold)
+    test = rd.read_parquet(args.test)
+    rep = compare_scores(gold, test, tol=args.tol, value_col=args.value_col)
+    print(json.dumps(rep, indent=1, sort_keys=True))
+    # exit code = warning count, as compareCoords.cpp:319 (capped for shells)
+    sys.exit(min(rep["warnings"], 125))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="raydedup")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -101,6 +113,14 @@ def main(argv=None):
     s.add_argument("input")
     s.add_argument("output")
     s.set_defaults(fn=cmd_jaccard)
+
+    s = sub.add_parser("compare", help="golden-output tolerance compare "
+                                       "(exit code = warning count)")
+    s.add_argument("gold")
+    s.add_argument("test")
+    s.add_argument("--tol", type=float, default=1e-6)
+    s.add_argument("--value-col", default="jaccard")
+    s.set_defaults(fn=cmd_compare)
 
     s = sub.add_parser("neardup", help="near-dup clustering over documents")
     s.add_argument("input")

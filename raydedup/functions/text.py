@@ -86,6 +86,58 @@ def shingle_batch(
     return sh, offsets
 
 
+def char_ngram_batch(texts: pa.Array, n: int = 3
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """Character (byte) n-gram sets per doc, CSR layout, sorted unique.
+
+    n ≤ 8: the n-gram IS its value (bytes packed big-endian into uint64)
+    — no hashing, zero collisions, and byte == character for ASCII so
+    the DuckDB ``substr`` oracle agrees exactly.  Operates directly on
+    the Arrow string buffers (no per-row Python).
+    """
+    assert 1 <= n <= 8
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.fill_null(texts, "")
+    n_docs = len(texts)
+    if pa.types.is_large_string(texts.type):
+        off_dtype = np.int64
+    else:
+        off_dtype = np.int32
+    bufs = texts.buffers()
+    offs = np.frombuffer(bufs[1], dtype=off_dtype)[texts.offset:
+                                                   texts.offset + n_docs + 1]
+    offs = offs.astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
+        else np.empty(0, np.uint8)
+    data = data[offs[0]:offs[-1]]
+    offs = offs - offs[0]
+    m = int(offs[-1])
+    if m < n or n_docs == 0:
+        return np.empty(0, np.uint64), np.zeros(n_docs + 1, np.int64)
+
+    n_win = m - n + 1
+    packed = np.zeros(n_win, dtype=np.uint64)
+    for j in range(n):
+        packed = (packed << np.uint64(8)) | data[j: n_win + j].astype(np.uint64)
+    lens = offs[1:] - offs[:-1]
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    valid = doc_of[:n_win] == doc_of[n - 1:]
+    grams = packed[valid]
+    gdoc = doc_of[:n_win][valid]
+    order = np.lexsort((grams, gdoc))
+    grams, gdoc = grams[order], gdoc[order]
+    if len(grams):
+        keep = np.empty(len(grams), dtype=bool)
+        keep[0] = True
+        keep[1:] = (grams[1:] != grams[:-1]) | (gdoc[1:] != gdoc[:-1])
+        grams, gdoc = grams[keep], gdoc[keep]
+    counts = np.bincount(gdoc, minlength=n_docs)
+    out_offs = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=out_offs[1:])
+    return grams, out_offs
+
+
 def sets_to_arrow(values: np.ndarray, offsets: np.ndarray) -> pa.ListArray:
     """Wrap CSR (values, offsets) as an Arrow list<uint64> column, zero-copy."""
     return pa.ListArray.from_arrays(

@@ -502,6 +502,146 @@ FROM documents
 """
 
 
+def q_edge_jaccard_nonzero(sf_dir):
+    """The EC sanity metric (jaccard.cpp:811-819): count of scored edges
+    with J > 1e-5."""
+    out = gr.edge_jaccard(_lineitem_edges(sf_dir), CFG)
+    n = out.map_batches(
+        lambda t: t.filter(pc.greater(t["jaccard"], 1e-5)),
+        batch_format="pyarrow",
+    ).count()
+    return pa.table({"nonzero_pairs": pa.array([n], pa.int64())})
+
+
+SQL_EDGE_JACCARD_NONZERO = """
+WITH e0 AS (SELECT DISTINCT l_partkey AS s, l_suppkey AS d FROM lineitem
+            WHERE l_partkey <> l_suppkey),
+sym AS (SELECT s, d FROM e0 UNION SELECT d, s FROM e0),
+deg AS (SELECT s AS v, count(*) AS dg FROM sym GROUP BY s),
+can AS (SELECT s AS a, d AS b FROM sym WHERE s < d),
+inter AS (
+  SELECT e.a, e.b, count(*) AS c
+  FROM can e JOIN sym n1 ON n1.s = e.a JOIN sym n2 ON n2.s = e.b AND n2.d = n1.d
+  GROUP BY 1, 2
+)
+SELECT count(*) AS nonzero_pairs
+FROM can c LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+JOIN deg da ON da.v = c.a JOIN deg db ON db.v = c.b
+WHERE coalesce(i.c, 0)::DOUBLE / (da.dg + db.dg - coalesce(i.c, 0)) > 1e-5
+"""
+
+
+def q_char_ngram_adjacent(sf_dir):
+    """Character-trigram Jaccard of adjacent doc pairs — the n-gram
+    Jaccard dedup primitive on byte-exact (unhashed) trigram sets."""
+    import ray
+    from ..functions.text import char_ngram_batch, sets_to_binary
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def _sets(t: pa.Table) -> pa.Table:
+        vals, offs = char_ngram_batch(t["text"], 3)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "shingles": sets_to_binary(vals, offs),
+            "n_shingles": pa.array(offs[1:] - offs[:-1], pa.int64()),
+        })
+
+    sig = docs.map_batches(_sets, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    max_id = docs.max("doc_id")
+    pairs = docs.select_columns(["doc_id"]).map_batches(
+        lambda t: pa.table({"a": t["doc_id"], "b": pc.add(t["doc_id"], 1)}),
+        batch_format="pyarrow",
+    ).map_batches(
+        lambda t, m=max_id: t.filter(pc.less_equal(t["b"], m)),
+        batch_format="pyarrow",
+    )
+    from ..stages.verify import verify_pairs
+    return verify_pairs(pairs, sig, CFG, threshold=None)
+
+
+SQL_CHAR_NGRAM_ADJACENT = """
+WITH g AS (
+  SELECT DISTINCT doc_id, substr(text, i, 3) AS gram
+  FROM documents, LATERAL (SELECT unnest(range(1, length(text) - 1)) AS i)
+  WHERE length(text) >= 3
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+pairs AS (SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+          WHERE doc_id + 1 <= (SELECT max(doc_id) FROM documents)),
+inter AS (
+  SELECT p.a, p.b, count(*) AS c
+  FROM pairs p JOIN g x ON x.doc_id = p.a
+               JOIN g y ON y.doc_id = p.b AND y.gram = x.gram
+  GROUP BY 1, 2
+)
+SELECT p.a, p.b, coalesce(i.c, 0) AS intersection,
+       (coalesce(ca.n, 0) + coalesce(cb.n, 0) - coalesce(i.c, 0)) AS "union",
+       CASE WHEN coalesce(ca.n, 0) + coalesce(cb.n, 0) - coalesce(i.c, 0) > 0
+            THEN coalesce(i.c, 0)::DOUBLE /
+                 (coalesce(ca.n, 0) + coalesce(cb.n, 0) - coalesce(i.c, 0))
+            ELSE 0.0 END AS jaccard
+FROM pairs p
+LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+LEFT JOIN cnt ca ON ca.doc_id = p.a LEFT JOIN cnt cb ON cb.doc_id = p.b
+"""
+
+
+def q_embedding_dup_pairs(sf_dir):
+    """Embedding-cosine near-dup: all pairs (a<b) with cosine ≥ 0.4 —
+    brute force against a broadcast normalized matrix.  (The synthetic
+    embeddings top out near 0.51 pairwise, so 0.4 yields a real result
+    set.)"""
+    import ray
+    import ray.data as rd
+    from ..stages.ann import _embedding_matrix, _normalize
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    tabs = [ray.get(r) for r in emb.to_arrow_refs()]
+    tab = pa.concat_tables([t for t in tabs if len(t)])
+    ids = np.asarray(tab["vec_id"], dtype=np.int64)
+    mat = _normalize(_embedding_matrix(tab, "embedding"))
+    order = np.argsort(ids, kind="stable")
+    ref = ray.put({"ids": ids[order], "mat": mat[order]})
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        pk = ray.get(ref)
+        bids = np.asarray(batch["vec_id"], dtype=np.int64)
+        bmat = _normalize(_embedding_matrix(batch, "embedding"))
+        sims = bmat @ pk["mat"].T                     # (B, N)
+        hit_b, hit_n = np.nonzero(sims >= 0.4)
+        a = bids[hit_b]
+        b = pk["ids"][hit_n]
+        keep = a < b
+        cos = sims[hit_b, hit_n][keep]
+        return pa.table({
+            "a": pa.array(a[keep], pa.int64()),
+            "b": pa.array(b[keep], pa.int64()),
+            "cosine_e6": pa.array(np.round(cos * 1e6).astype(np.int64),
+                                  pa.int64()),
+        })
+
+    out = emb.map_batches(_pairs, batch_format="pyarrow", batch_size=1024) \
+        .materialize()
+    if out.count() == 0:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "cosine_e6": pa.array([], pa.int64())})
+    return out
+
+
+SQL_EMBEDDING_DUP_PAIRS = """
+SELECT x.vec_id AS a, y.vec_id AS b,
+       round(list_cosine_similarity(x.embedding::DOUBLE[],
+                                    y.embedding::DOUBLE[]) * 1e6)::BIGINT
+           AS cosine_e6
+FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+WHERE list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) >= 0.4
+"""
+
+
 def q_lang_id(sf_dir):
     """Stopword-vote language ID (rows-only: heuristic table not in SQL)."""
     return ts.lang_id(_docs(sf_dir, ["doc_id", "text"])) \
@@ -532,6 +672,9 @@ QUERIES = {
     "lang_id": q_lang_id,
     "substring_spans": q_substring_spans,
     "media_bytes": q_media_bytes,
+    "edge_jaccard_nonzero": q_edge_jaccard_nonzero,
+    "char_ngram_adjacent": q_char_ngram_adjacent,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
 }
 
 ORACLES = {
@@ -555,6 +698,9 @@ ORACLES = {
     "pages_meta": SQL_PAGES_META,
     "substring_spans": SQL_SUBSTRING_SPANS,
     "media_bytes": SQL_MEDIA_BYTES,
+    "edge_jaccard_nonzero": SQL_EDGE_JACCARD_NONZERO,
+    "char_ngram_adjacent": SQL_CHAR_NGRAM_ADJACENT,
+    "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
     # rows-only (non-SQL-expressible): simhash_dup_pairs, ann_lsh_buckets,
     # lang_id
 }
