@@ -63,33 +63,39 @@ def quality_scores(ds, text_col: str = "text"):
 
 class LangIdStage:
     """Stopword-vote language ID — a stateful actor-pool stage: the
-    per-language token tables are built once per actor in __init__.
-    Emits lang_pred:string ('und' when no stopword hits)."""
+    per-language sorted stopword-hash tables are built once per actor in
+    __init__; per batch, one searchsorted membership pass per language
+    over the batch's token hashes (no Python loop over docs or tokens).
+    Emits lang_pred:string ('und' when no stopword hits; ties go to the
+    alphabetically first language)."""
 
     def __init__(self, text_col: str = "text"):
+        from ..functions.hashing import hash_utf8_array
         self.text_col = text_col
         self.langs = sorted(_STOPWORDS)
-        self.table: dict[str, int] = {}
-        for li, lang in enumerate(self.langs):
-            for w in _STOPWORDS[lang]:
-                self.table.setdefault(w, 0)
-                self.table[w] |= 1 << li
+        self.stop_hashes = [
+            np.sort(hash_utf8_array(pa.array(sorted(_STOPWORDS[lang]))))
+            for lang in self.langs
+        ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pandas as pd
-        texts = pc.fill_null(batch[self.text_col], "").to_pylist()
-        preds = []
-        for t in texts:
-            votes = [0] * len(self.langs)
-            for w in t.split(" "):
-                mask = self.table.get(w)
-                if mask:
-                    for li in range(len(self.langs)):
-                        if mask >> li & 1:
-                            votes[li] += 1
-            best = max(range(len(self.langs)), key=votes.__getitem__)
-            preds.append(self.langs[best] if votes[best] > 0 else "und")
-        return batch.append_column("lang_pred", pa.array(preds, type=pa.string()))
+        from ..functions.text import tokenize_arrow
+        tok_hashes, offsets = tokenize_arrow(batch[self.text_col])
+        n_docs = len(offsets) - 1
+        lens = offsets[1:] - offsets[:-1]
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        votes = np.zeros((n_docs, len(self.langs)), dtype=np.int64)
+        for li, h in enumerate(self.stop_hashes):
+            pos = np.searchsorted(h, tok_hashes)
+            pos = np.clip(pos, 0, len(h) - 1)
+            ok = h[pos] == tok_hashes
+            votes[:, li] = np.bincount(doc_of[ok], minlength=n_docs)
+        best = np.argmax(votes, axis=1)
+        any_hit = votes.max(axis=1) > 0
+        langs_arr = np.array(self.langs + ["und"], dtype=object)
+        pred = langs_arr[np.where(any_hit, best, len(self.langs))]
+        return batch.append_column("lang_pred",
+                                   pa.array(list(pred), type=pa.string()))
 
 
 def lang_id(ds, text_col: str = "text", concurrency=(1, 4)):
