@@ -246,6 +246,57 @@ JOIN deg da ON da.v = c.a JOIN deg db ON db.v = c.b
 """
 
 
+def q_edge_jaccard_weighted(sf_dir):
+    """Weighted edge Jaccard (jaccard.cpp:253-256, 346-351 weighted
+    path): deterministic per-vertex weights w(v) = 1 + (v mod 7);
+    float sums emitted as e6 integers (summation-order differs between
+    engines)."""
+    import ray
+    edges = _lineitem_edges(sf_dir)
+    max_v = 0
+    for r in edges.map_batches(
+            lambda t: pa.table({"m": pa.array(
+                [max(pc.max(t["src"]).as_py() or 0,
+                     pc.max(t["dst"]).as_py() or 0)], pa.int64())}),
+            batch_format="pyarrow").to_arrow_refs():
+        tt = ray.get(r)
+        if len(tt):
+            max_v = max(max_v, int(np.asarray(tt["m"]).max()))
+    weights = 1.0 + (np.arange(max_v + 1, dtype=np.float64) % 7)
+    out = gr.edge_jaccard(edges, CFG, weights=weights)
+    return out.map_batches(
+        lambda t: pa.table({
+            "a": t["a"], "b": t["b"],
+            "wi_e6": pc.round(pc.multiply(t["weight_i"], 1e6), 0).cast(pa.int64()),
+            "wu_e6": pc.round(pc.multiply(t["weight_u"], 1e6), 0).cast(pa.int64()),
+            "j_e6": pc.round(pc.multiply(t["jaccard"], 1e6), 0).cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+SQL_EDGE_JACCARD_WEIGHTED = """
+WITH e0 AS (SELECT DISTINCT l_partkey AS s, l_suppkey AS d FROM lineitem
+            WHERE l_partkey <> l_suppkey),
+sym AS (SELECT s, d FROM e0 UNION SELECT d, s FROM e0),
+vol AS (SELECT s AS v, sum(1.0 + (d % 7)) AS vol FROM sym GROUP BY s),
+can AS (SELECT s AS a, d AS b FROM sym WHERE s < d),
+inter AS (
+  SELECT e.a, e.b, sum(1.0 + (n1.d % 7)) AS wi
+  FROM can e JOIN sym n1 ON n1.s = e.a JOIN sym n2 ON n2.s = e.b AND n2.d = n1.d
+  GROUP BY 1, 2
+)
+SELECT c.a, c.b,
+       round(coalesce(i.wi, 0) * 1e6)::BIGINT AS wi_e6,
+       round((va.vol + vb.vol - coalesce(i.wi, 0)) * 1e6)::BIGINT AS wu_e6,
+       round(CASE WHEN va.vol + vb.vol - coalesce(i.wi, 0) > 0
+                  THEN coalesce(i.wi, 0) / (va.vol + vb.vol - coalesce(i.wi, 0))
+                  ELSE 0 END * 1e6)::BIGINT AS j_e6
+FROM can c LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+JOIN vol va ON va.v = c.a JOIN vol vb ON vb.v = c.b
+"""
+
+
 def q_degrees(sf_dir):
     sym = gr.symmetrize(gr.drop_self_loops(_lineitem_edges(sf_dir)), CFG)
     return gr.degrees(sym)
@@ -673,6 +724,7 @@ QUERIES = {
     "substring_spans": q_substring_spans,
     "media_bytes": q_media_bytes,
     "edge_jaccard_nonzero": q_edge_jaccard_nonzero,
+    "edge_jaccard_weighted": q_edge_jaccard_weighted,
     "char_ngram_adjacent": q_char_ngram_adjacent,
     "embedding_dup_pairs": q_embedding_dup_pairs,
 }
@@ -699,6 +751,7 @@ ORACLES = {
     "substring_spans": SQL_SUBSTRING_SPANS,
     "media_bytes": SQL_MEDIA_BYTES,
     "edge_jaccard_nonzero": SQL_EDGE_JACCARD_NONZERO,
+    "edge_jaccard_weighted": SQL_EDGE_JACCARD_WEIGHTED,
     "char_ngram_adjacent": SQL_CHAR_NGRAM_ADJACENT,
     "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
     # rows-only (non-SQL-expressible): simhash_dup_pairs, ann_lsh_buckets,

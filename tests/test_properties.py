@@ -1,0 +1,86 @@
+"""Property-based tests (hypothesis) for the core kernels."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from raydedup.functions.setops import (
+    _intersection_mergecount,
+    _intersection_packed,
+    pairwise_jaccard,
+)
+from raydedup.functions.sketches import minhash_signatures_oph
+from raydedup.functions.text import char_ngram_batch, shingle_batch
+from raydedup.functions.hashing import perm_seeds
+
+set_lists = st.lists(
+    st.lists(st.integers(min_value=0, max_value=120), max_size=25),
+    min_size=1, max_size=12,
+)
+
+
+def _csr(list_of_sets):
+    rows = [np.array(sorted(set(s)), dtype=np.uint64) for s in list_of_sets]
+    offs = np.zeros(len(rows) + 1, dtype=np.int64)
+    np.cumsum([len(r) for r in rows], out=offs[1:])
+    vals = np.concatenate(rows) if rows else np.empty(0, np.uint64)
+    return vals, offs
+
+
+@settings(max_examples=80, deadline=None)
+@given(set_lists, set_lists)
+def test_jaccard_matches_python_sets(a_sets, b_sets):
+    n = min(len(a_sets), len(b_sets))
+    a_sets, b_sets = a_sets[:n], b_sets[:n]
+    av, ao = _csr(a_sets)
+    bv, bo = _csr(b_sets)
+    inter, union, j = pairwise_jaccard(av, ao, bv, bo)
+    for i in range(n):
+        sa, sb = set(a_sets[i]), set(b_sets[i])
+        assert inter[i] == len(sa & sb)
+        assert union[i] == len(sa | sb)
+        want = len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+        assert abs(j[i] - want) < 1e-12
+
+
+@settings(max_examples=60, deadline=None)
+@given(set_lists, set_lists)
+def test_packed_equals_mergecount(a_sets, b_sets):
+    n = min(len(a_sets), len(b_sets))
+    av, ao = _csr(a_sets[:n])
+    bv, bo = _csr(b_sets[:n])
+    assert (_intersection_packed(av, ao, bv, bo)
+            == _intersection_mergecount(av, ao, bv, bo)).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(0, 2**62), min_size=1, max_size=200),
+       st.integers(0, 2**31))
+def test_oph_identical_sets_identical_sigs(elems, salt):
+    vals = np.array(sorted(set(elems)), dtype=np.uint64)
+    offs = np.array([0, len(vals), 2 * len(vals)], dtype=np.int64)
+    both = np.concatenate([vals, vals])
+    sig = minhash_signatures_oph(both, offs, 128, np.uint64(salt))
+    assert (sig[0] == sig[1]).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(alphabet="abcd ", max_size=40), min_size=1, max_size=8),
+       st.integers(1, 4))
+def test_shingle_count_matches_python(texts, k):
+    vals, offs = shingle_batch(pa.array(texts, pa.string()), k)
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        want = {tuple(toks[j:j + k]) for j in range(len(toks) - k + 1)} \
+            if len(toks) >= k else set()
+        assert offs[i + 1] - offs[i] == len(want), (t, k)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(alphabet="xyz", max_size=20), min_size=1, max_size=6))
+def test_char_ngrams_match_python(texts):
+    vals, offs = char_ngram_batch(pa.array(texts, pa.string()), 2)
+    for i, t in enumerate(texts):
+        want = {t[j:j + 2] for j in range(len(t) - 1)} if len(t) >= 2 else set()
+        assert offs[i + 1] - offs[i] == len(want), t
