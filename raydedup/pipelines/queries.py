@@ -411,6 +411,38 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_user_sessions(sf_dir):
+    """Sessionization of the events log (30-minute gap timeout) — the
+    stream-shaped pattern: partition by user, per-partition ts-sorted
+    session cut."""
+    import ray.data as rd
+    from ..stages.sessions import sessionize
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    return sessionize(ev, CFG, gap_minutes=30)
+
+
+SQL_USER_SESSIONS = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM o
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start
+FROM s GROUP BY user_id, session_id
+"""
+
+
 def q_top_sources(sf_dir):
     from ray.data.aggregate import Count
     out = _docs(sf_dir, ["source"]).groupby("source") \
@@ -715,6 +747,7 @@ QUERIES = {
     "pair_jaccard_adjacent": q_pair_jaccard_adjacent,
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "events_hourly": q_events_hourly,
+    "user_sessions": q_user_sessions,
     "top_sources": q_top_sources,
     "filter_lang": q_filter_lang,
     "ann_topk": q_ann_topk,
@@ -744,6 +777,7 @@ ORACLES = {
     "pair_jaccard_adjacent": SQL_PAIR_JACCARD_ADJACENT,
     "doc_stats_by_lang": SQL_DOC_STATS_BY_LANG,
     "events_hourly": SQL_EVENTS_HOURLY,
+    "user_sessions": SQL_USER_SESSIONS,
     "top_sources": SQL_TOP_SOURCES,
     "filter_lang": SQL_FILTER_LANG,
     "ann_topk": SQL_ANN_TOPK,
