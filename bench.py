@@ -134,8 +134,12 @@ def run_scaling() -> dict:
                              check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
         return json.loads(out.stdout.strip().splitlines()[-1])
 
-    r_lo = once(lo)
-    r_hi = once(hi)
+    # best-of-2 per level: single-run variance on this shared host is
+    # ±15-25% (plasma/page-cache state, noisy neighbors)
+    r_lo = min((once(lo) for _ in range(2)),
+               key=lambda r: r["queries"]["neardup_synth"])
+    r_hi = min((once(hi) for _ in range(2)),
+               key=lambda r: r["queries"]["neardup_synth"])
     t_lo = r_lo["queries"]["neardup_synth"]
     t_hi = r_hi["queries"]["neardup_synth"]
     eff = (t_lo / t_hi) / (hi / lo)

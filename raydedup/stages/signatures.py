@@ -34,11 +34,12 @@ class SignatureStage:
 
     def __init__(self, cfg: PipelineConfig, id_col: str = "doc_id",
                  text_col: str = "text", keep_shingles: bool = True,
-                 with_simhash: bool = True):
+                 with_simhash: bool = True, keep_minhash: bool = True):
         self.cfg = cfg
         self.id_col = id_col
         self.text_col = text_col
         self.keep_shingles = keep_shingles
+        self.keep_minhash = keep_minhash
         self.with_simhash = with_simhash
         self.seeds = perm_seeds(cfg.num_perms, cfg.seed)
 
@@ -57,13 +58,14 @@ class SignatureStage:
         cols = {
             self.id_col: batch[self.id_col],
             "n_shingles": pa.array(n_sh, type=pa.int64()),
-            "minhash": pa.FixedSizeListArray.from_arrays(
-                pa.array(sig.ravel(), type=pa.uint64()), cfg.num_perms
-            ),
             "bands": pa.FixedSizeListArray.from_arrays(
                 pa.array(bk.ravel(), type=pa.uint64()), cfg.bands
             ),
         }
+        if self.keep_minhash:
+            cols["minhash"] = pa.FixedSizeListArray.from_arrays(
+                pa.array(sig.ravel(), type=pa.uint64()), cfg.num_perms
+            )
         if self.with_simhash:
             cols["simhash"] = pa.array(simhash64(vals, offs), type=pa.uint64())
         if self.keep_shingles:
@@ -78,7 +80,8 @@ _WORKER_STAGE_CACHE: dict = {}
 
 def signatures(ds, cfg: PipelineConfig, *, id_col: str = "doc_id",
                text_col: str = "text", keep_shingles: bool = True,
-               with_simhash: bool = True, concurrency=None):
+               with_simhash: bool = True, keep_minhash: bool = True,
+               concurrency=None):
     """Attach signatures to a Dataset of documents.
 
     Physical execution: stateless Ray tasks with a per-worker-process
@@ -97,19 +100,21 @@ def signatures(ds, cfg: PipelineConfig, *, id_col: str = "doc_id",
             fn_constructor_args=(cfg,),
             fn_constructor_kwargs=dict(
                 id_col=id_col, text_col=text_col, keep_shingles=keep_shingles,
-                with_simhash=with_simhash,
+                with_simhash=with_simhash, keep_minhash=keep_minhash,
             ),
             concurrency=concurrency,
         )
 
-    key = (cfg.config_hash(), id_col, text_col, keep_shingles, with_simhash)
+    key = (cfg.config_hash(), id_col, text_col, keep_shingles,
+           with_simhash, keep_minhash)
 
     def _sig(batch: pa.Table) -> pa.Table:
         stage = _WORKER_STAGE_CACHE.get(key)
         if stage is None:
             stage = SignatureStage(cfg, id_col=id_col, text_col=text_col,
                                    keep_shingles=keep_shingles,
-                                   with_simhash=with_simhash)
+                                   with_simhash=with_simhash,
+                                   keep_minhash=keep_minhash)
             _WORKER_STAGE_CACHE[key] = stage
         return stage(batch)
 
