@@ -180,7 +180,6 @@ def _attach_one_side(pairs_ds, sig_ds, cfg: PipelineConfig, key: str,
     pair_cols = list(pair_schema.names)
     pair_types = dict(zip(pair_schema.names, pair_schema.types))
     # unified row layout: pair columns + out_col + part + _isset
-    all_cols = pair_cols + [out_col]
 
     def _tag_pairs(t: pa.Table) -> pa.Table:
         k = np.asarray(t[key], dtype=np.int64)
