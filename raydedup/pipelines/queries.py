@@ -501,6 +501,42 @@ FROM r WHERE rn <= 10
 """
 
 
+def q_ann_ivf_topk(sf_dir):
+    """IVF approximate top-k (rows-only: k-means routing is not
+    SQL-expressible; recall vs brute force is gated in tests)."""
+    import ray.data as rd
+    from ..stages.ann import ann_ivf_topk
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return ann_ivf_topk(emb, query_ids=[0, 1, 2], k=10, cfg=CFG)
+
+
+def q_bpe_token_count(sf_dir):
+    """BPE-ish regex token count: runs of letters, runs of digits, and
+    single other non-space characters (the word/number/punct split a
+    byte-pair pretokenizer makes)."""
+    import pyarrow.compute as pcc
+
+    pattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+    def _count(batch: pa.Table) -> pa.Table:
+        texts = pcc.fill_null(batch["text"], "")
+        n = pcc.count_substring_regex(texts, pattern=pattern)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_bpe_tokens": n.cast(pa.int64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _count, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_BPE_TOKEN_COUNT = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::BIGINT
+           AS n_bpe_tokens
+FROM documents
+"""
+
+
 def q_ann_lsh_buckets(sf_dir):
     """Hyperplane-LSH bucket assignment (rows-only: random planes are
     seed-derived, not SQL-expressible)."""
@@ -751,6 +787,8 @@ QUERIES = {
     "top_sources": q_top_sources,
     "filter_lang": q_filter_lang,
     "ann_topk": q_ann_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "bpe_token_count": q_bpe_token_count,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "pages_meta": q_pages_meta,
     "lang_id": q_lang_id,
@@ -781,6 +819,7 @@ ORACLES = {
     "top_sources": SQL_TOP_SOURCES,
     "filter_lang": SQL_FILTER_LANG,
     "ann_topk": SQL_ANN_TOPK,
+    "bpe_token_count": SQL_BPE_TOKEN_COUNT,
     "pages_meta": SQL_PAGES_META,
     "substring_spans": SQL_SUBSTRING_SPANS,
     "media_bytes": SQL_MEDIA_BYTES,

@@ -134,6 +134,104 @@ class HyperplaneLSH:
                          "bucket": pa.array(bucket, pa.int64())})
 
 
+def _kmeans(mat: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
+    """Plain Lloyd's on normalized vectors (spherical k-means-ish),
+    deterministic init by seeded choice."""
+    rng = np.random.default_rng(seed)
+    cents = mat[rng.choice(len(mat), size=k, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(mat @ cents.T, axis=1)
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def ann_ivf_topk(ds, query_ids, k: int = 10, *, n_clusters: int | None = None,
+                 nprobe: int = 4, train_sample: int = 20000,
+                 cfg: PipelineConfig = DEFAULT_CONFIG,
+                 id_col: str = "vec_id", emb_col: str = "embedding"):
+    """IVF approximate top-k: a coarse quantizer (spherical k-means,
+    trained on a driver-side sample, centroids broadcast) routes every
+    vector to its nearest centroid; each query probes only its
+    ``nprobe`` nearest clusters.  The scale path vs brute force: per
+    query, candidates shrink from N to ~N·nprobe/n_clusters.
+
+    → Dataset(query_id, vec_id, cosine) — approximate: vectors outside
+    the probed clusters are unseen (recall measured in tests)."""
+    import ray
+    import pyarrow.compute as pc_
+
+    tabs = [ray.get(r) for r in ds.to_arrow_refs()]
+    head = pa.concat_tables([t for t in tabs if len(t)])
+    ids_all = np.asarray(head[id_col], dtype=np.int64)
+    n = len(ids_all)
+    if n_clusters is None:
+        n_clusters = max(2, int(np.sqrt(n)))
+    sample_idx = np.random.default_rng(cfg.seed).choice(
+        n, size=min(train_sample, n), replace=False)
+    mat_sample = _normalize(_embedding_matrix(head, emb_col)[sample_idx])
+    cents = _kmeans(mat_sample, n_clusters, iters=10, seed=cfg.seed)
+    cents_ref = ray.put(cents)
+
+    q_mask = np.isin(ids_all, np.asarray(list(query_ids), dtype=np.int64))
+    q_mat = _normalize(_embedding_matrix(head, emb_col)[q_mask])
+    q_ids = ids_all[q_mask]
+    q_clusters = np.argsort(-(q_mat @ cents.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    probed = np.unique(q_clusters)
+    q_ref = ray.put({"ids": q_ids, "mat": q_mat, "clusters": q_clusters,
+                     "probed": probed})
+
+    def _probe(batch: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref)
+        q = ray.get(q_ref)
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        mat = _normalize(_embedding_matrix(batch, emb_col))
+        if len(ids) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        assign = np.argmax(mat @ c.T, axis=1)
+        keep = np.isin(assign, q["probed"])
+        ids, mat, assign = ids[keep], mat[keep], assign[keep]
+        outs_q, outs_v, outs_c = [], [], []
+        for qi in range(len(q["ids"])):
+            cand = np.isin(assign, q["clusters"][qi])
+            if not cand.any():
+                continue
+            sims = mat[cand] @ q["mat"][qi]
+            kk = min(k, len(sims))
+            top = np.argpartition(-sims, kk - 1)[:kk]
+            outs_q.append(np.full(kk, q["ids"][qi], dtype=np.int64))
+            outs_v.append(ids[cand][top])
+            outs_c.append(sims[top])
+        if not outs_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(outs_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(outs_v), pa.int64()),
+            "cosine": pa.array(np.concatenate(outs_c).astype(np.float64),
+                               pa.float64()),
+        })
+
+    partials = ds.map_batches(_probe, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=4096)
+    partials = partials.map_batches(
+        lambda t: t.filter(pc_.not_equal(t["query_id"], t["vec_id"])),
+        batch_format="pyarrow")
+
+    def _topk(group: pd.DataFrame) -> pa.Table:
+        top = group.sort_values(["cosine", "vec_id"],
+                                ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    return partials.groupby("query_id").map_groups(_topk, batch_format="pandas")
+
+
 def ann_lsh_buckets(ds, dim: int, n_planes: int = 12,
                     cfg: PipelineConfig = DEFAULT_CONFIG,
                     id_col: str = "vec_id", emb_col: str = "embedding"):

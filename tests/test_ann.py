@@ -1,0 +1,73 @@
+"""ANN tests: brute-force exactness vs numpy, IVF recall vs brute force."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from raydedup.config import PipelineConfig
+
+CFG = PipelineConfig(num_partitions=2)
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    import ray.data as rd
+    rng = np.random.default_rng(0)
+    # clustered embeddings: 8 centers, 400 vectors
+    centers = rng.standard_normal((8, 32))
+    vecs = np.concatenate([
+        centers[i % 8] + 0.3 * rng.standard_normal(32) for i in range(400)
+    ]).reshape(400, 32).astype(np.float32)
+    tab = pa.table({
+        "vec_id": pa.array(np.arange(400, dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.ravel(), pa.float32()), 32).cast(
+                pa.list_(pa.float32())),
+    })
+    return rd.from_arrow(tab), vecs
+
+
+def _brute_topk(vecs, qid, k=10):
+    q = vecs[qid] / np.linalg.norm(vecs[qid])
+    m = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = m @ q
+    sims[qid] = -np.inf
+    return set(np.argsort(-sims)[:k].tolist())
+
+
+class TestBruteForce:
+    def test_matches_numpy(self, emb_ds):
+        from raydedup.stages.ann import ann_topk_bruteforce
+        ds, vecs = emb_ds
+        out = ann_topk_bruteforce(ds, query_ids=[0, 5], k=10, cfg=CFG) \
+            .to_pandas()
+        for qid in (0, 5):
+            got = set(out[out["query_id"] == qid]["vec_id"].tolist())
+            assert got == _brute_topk(vecs, qid)
+
+
+class TestIVF:
+    def test_recall_vs_bruteforce(self, emb_ds):
+        from raydedup.stages.ann import ann_ivf_topk
+        ds, vecs = emb_ds
+        qids = [0, 5, 17]
+        out = ann_ivf_topk(ds, query_ids=qids, k=10, n_clusters=8,
+                           nprobe=3, cfg=CFG).to_pandas()
+        recalls = []
+        for qid in qids:
+            got = set(out[out["query_id"] == qid]["vec_id"].tolist())
+            want = _brute_topk(vecs, qid)
+            recalls.append(len(got & want) / len(want))
+        # clustered data + 3-of-8 probes: high recall expected
+        assert np.mean(recalls) >= 0.8, recalls
+
+    def test_candidate_cut(self, emb_ds):
+        """IVF must examine strictly fewer candidates than brute force —
+        verified indirectly: results are a subset of probed clusters."""
+        from raydedup.stages.ann import ann_ivf_topk
+        ds, vecs = emb_ds
+        out = ann_ivf_topk(ds, query_ids=[3], k=400, n_clusters=8,
+                           nprobe=2, cfg=CFG).to_pandas()
+        # k=400 would return everything under brute force; IVF returns
+        # only the ~2/8 of vectors in probed clusters
+        assert 0 < len(out) < 350
