@@ -67,18 +67,24 @@ class PipelineConfig:
                 f"!= num_perms ({self.num_perms})"
             )
 
+    # Pure execution tuning: changing these cannot change any output, so
+    # they are excluded from config_hash (everything else invalidates
+    # checkpoints — see CheckpointManager.is_complete).
+    _TUNING_ONLY = ("batch_size", "minhash_perm_chunk", "num_partitions")
+
     def config_hash(self) -> str:
-        """Stable hash of the signature-relevant config; stamped into
+        """Stable hash of every result-affecting config field; stamped into
         checkpoint manifests + parquet metadata (the analogue of the
-        reference's CSRFileHeader flags, readMtxToCSR.hpp:44-64)."""
+        reference's CSRFileHeader flags, readMtxToCSR.hpp:44-64).
+
+        Hashes all fields EXCEPT the execution-tuning knobs in
+        ``_TUNING_ONLY`` so that a new output-affecting field added later
+        invalidates old checkpoints by default.
+        """
         sig = {
             k: v
             for k, v in asdict(self).items()
-            if k in (
-                "k_shingle", "num_perms", "bands", "rows_per_band",
-                "simhash_bits", "simhash_hamming_max", "verify_threshold",
-                "seed",
-            )
+            if k not in self._TUNING_ONLY
         }
         return hashlib.sha256(json.dumps(sig, sort_keys=True).encode()).hexdigest()[:16]
 

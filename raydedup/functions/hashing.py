@@ -45,8 +45,6 @@ def hash_strings(values) -> np.ndarray:
 
 _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 _FNV_PRIME = np.uint64(0x100000001B3)
-_HASH_FULL_PREFIX = 48  # bytes hashed exactly; longer tokens add length
-# + last-8-bytes mix (see below)
 
 
 def hash_utf8_array(arr) -> np.ndarray:
@@ -55,10 +53,15 @@ def hash_utf8_array(arr) -> np.ndarray:
     object-array path allocates one PyObject per token, which dominates
     tokenization cost and contends the allocator across workers).
 
-    Byte-exact FNV-1a over the first _HASH_FULL_PREFIX bytes, mixed with
-    the length and the last 8 bytes, splitmix-finalized.  Tokens that
-    differ anywhere in the first 48 bytes, the last 8 bytes, or in
-    length always hash differently.
+    Byte-exact FNV-1a over ALL bytes of every token, mixed with the
+    length, splitmix-finalized.  Tokens are processed sorted by length so
+    the per-byte-position work touches only still-active tokens: total
+    cost is O(total bytes + n log n), no O(maxlen * n) mask scans even
+    when one token is pathologically long (URLs, base64 blobs).
+    Collision probability between distinct tokens is the generic ~2^-64 —
+    no deterministic collision class (earlier versions truncated to a
+    48-byte prefix + tail, which collided for long tokens differing only
+    in the middle).
     """
     import pyarrow as pa
 
@@ -79,23 +82,25 @@ def hash_utf8_array(arr) -> np.ndarray:
     starts = offs[:-1].astype(np.int64)
     lens = (offs[1:] - offs[:-1]).astype(np.int64)
 
+    # ascending length sort: tokens still active at byte position j are
+    # exactly the tail slice [first_longer(j):], found by binary search —
+    # no per-position O(n) boolean mask.
+    order = np.argsort(lens, kind="stable")
+    slens = lens[order]
+    sstarts = starts[order]
     h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
-    max_j = int(min(lens.max() if n else 0, _HASH_FULL_PREFIX))
-    for j in range(max_j):
-        m = lens > j
-        if not m.any():
-            break
-        b = data[starts[m] + j].astype(np.uint64)
-        h[m] = (h[m] ^ b) * _FNV_PRIME
-    # tail mix: length + last 8 bytes (covers long-token suffix changes)
-    long = lens > _HASH_FULL_PREFIX
-    if long.any():
-        tail = np.zeros(int(long.sum()), dtype=np.uint64)
-        ends = starts[long] + lens[long]
-        for k in range(8):
-            tail = (tail << np.uint64(8)) | data[ends - 8 + k].astype(np.uint64)
-        h[long] ^= splitmix64(tail)
-    return splitmix64(h ^ lens.astype(np.uint64))
+    maxlen = int(slens[-1])
+    pos = 0
+    for j in range(maxlen):
+        # first index whose token is longer than j bytes
+        pos = int(np.searchsorted(slens, j, side="right", sorter=None)) \
+            if slens[pos] <= j else pos
+        b = data[sstarts[pos:] + j].astype(np.uint64)
+        h[pos:] = (h[pos:] ^ b) * _FNV_PRIME
+    h = splitmix64(h ^ slens.astype(np.uint64))
+    out = np.empty(n, dtype=np.uint64)
+    out[order] = h
+    return out
 
 
 def hash_int64(values: np.ndarray) -> np.ndarray:

@@ -52,9 +52,17 @@ class CheckpointManager:
                 and man.get("extractor_version") == EXTRACTOR_VERSION
                 and os.path.isdir(data_dir))
 
-    def stage(self, name: str, compute_fn, counters: dict | None = None):
+    def stage(self, name: str, compute_fn, counters=None):
         """Return the stage's Dataset, recomputing only when no valid
-        checkpoint exists.  ``compute_fn() -> Dataset``."""
+        checkpoint exists.  ``compute_fn() -> Dataset``.
+
+        ``counters``: a dict, or a zero-arg callable evaluated AFTER the
+        stage's data is fully written (so fire-and-forget counter-actor
+        increments from the stage's tasks have landed) — its result goes
+        into the manifest's ``counters`` slot along with the stage wall
+        time."""
+        import time
+
         import ray.data as rd
 
         stage_dir, data_dir, man_path = self._paths(name)
@@ -62,6 +70,7 @@ class CheckpointManager:
             self.events.append((name, "hit"))
             return rd.read_parquet(data_dir)
 
+        t0 = time.perf_counter()
         ds = compute_fn()
         tmp_dir = data_dir + ".tmp"
         shutil.rmtree(tmp_dir, ignore_errors=True)
@@ -69,12 +78,15 @@ class CheckpointManager:
         os.makedirs(stage_dir, exist_ok=True)
         ds.write_parquet(tmp_dir)
         os.rename(tmp_dir, data_dir)
+        wall_s = round(time.perf_counter() - t0, 3)
 
         files = sorted(f for f in os.listdir(data_dir)
                        if f.endswith(".parquet"))
         import pyarrow.parquet as pq
         per_file = {f: pq.read_metadata(os.path.join(data_dir, f)).num_rows
                     for f in files}
+        ctr = dict(counters() if callable(counters) else (counters or {}))
+        ctr["wall_s"] = wall_s
         manifest = {
             "stage": name,
             "complete": True,
@@ -82,7 +94,7 @@ class CheckpointManager:
             "extractor_version": EXTRACTOR_VERSION,
             "rows": int(sum(per_file.values())),
             "partitions": per_file,          # per-partition lineage
-            "counters": counters or {},
+            "counters": ctr,
         }
         with open(man_path + ".tmp", "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)
@@ -112,25 +124,45 @@ def near_dup_pipeline_checkpointed(docs, cfg: PipelineConfig, ckpt_root: str,
     from ..stages.lsh import candidate_pairs, explode_bands
     from ..stages.signatures import signatures
     from ..stages.verify import verify_pairs
+    from ..state import RunCounters
 
     mgr = CheckpointManager(ckpt_root, cfg)
+    rc = RunCounters()
+    mgr.run_counters = rc
+    _snap: dict = {}
+
+    def _delta():
+        """Counter-actor values accrued since the previous stage — each
+        manifest records only its own stage's increments."""
+        cur = {k: v for k, v in rc.get().items()
+               if not k.startswith("time_")}
+        d = {k: v - _snap.get(k, 0) for k, v in cur.items()
+             if v - _snap.get(k, 0)}
+        _snap.clear()
+        _snap.update(cur)
+        return d
 
     sig = mgr.stage(
         "signatures",
         lambda: signatures(docs, cfg, id_col=id_col, text_col=text_col,
                            with_simhash=False),
+        counters=_delta,
     )
     cands = mgr.stage(
         "candidates",
         lambda: candidate_pairs(explode_bands(sig, cfg, id_col=id_col), cfg,
-                                id_col=id_col),
+                                id_col=id_col, counters=rc.actor),
+        counters=_delta,
     )
     pairs = mgr.stage(
         "verified_pairs",
         lambda: verify_pairs(cands, sig, cfg, id_col=id_col),
+        counters=lambda: {"candidates_in": cands.count(), **_delta()},
     )
     labels = mgr.stage(
         "components",
-        lambda: connected_components(pairs.select_columns(["a", "b"]), cfg),
+        lambda: connected_components(pairs.select_columns(["a", "b"]), cfg,
+                                     counters=rc.actor),
+        counters=lambda: {"pairs_in": pairs.count(), **_delta()},
     )
     return labels, mgr

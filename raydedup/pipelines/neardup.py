@@ -32,7 +32,7 @@ from ..stages.verify import SEMI_FILTER_MAX_PAIRS, verify_pairs
 def near_dup_pairs(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
                    id_col: str = "doc_id", text_col: str = "text",
                    threshold: float | None = ..., sig_ds=None,
-                   strategy: str = "full"):
+                   strategy: str = "full", counters=None):
     """→ Dataset(a, b, intersection, union, jaccard) of verified
     near-duplicate pairs with jaccard ≥ threshold (default
     cfg.verify_threshold).
@@ -48,7 +48,7 @@ def near_dup_pairs(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
     if sig_ds is not None:
         # caller-provided full signatures (must carry shingles)
         bands = explode_bands(sig_ds, cfg, id_col=id_col)
-        cands = candidate_pairs(bands, cfg, id_col=id_col)
+        cands = candidate_pairs(bands, cfg, id_col=id_col, counters=counters)
         return verify_pairs(cands, sig_ds, cfg, threshold=threshold,
                             id_col=id_col)
 
@@ -56,7 +56,7 @@ def near_dup_pairs(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
         full = signatures(docs, cfg, id_col=id_col, text_col=text_col,
                           with_simhash=False).materialize()
         bands = explode_bands(full, cfg, id_col=id_col)
-        cands = candidate_pairs(bands, cfg, id_col=id_col)
+        cands = candidate_pairs(bands, cfg, id_col=id_col, counters=counters)
         return verify_pairs(cands, full, cfg, threshold=threshold,
                             id_col=id_col)
 
@@ -64,7 +64,8 @@ def near_dup_pairs(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
                       keep_shingles=False, keep_minhash=False,
                       with_simhash=False).materialize()
     bands = explode_bands(slim, cfg, id_col=id_col)
-    cands = candidate_pairs(bands, cfg, id_col=id_col).materialize()
+    cands = candidate_pairs(bands, cfg, id_col=id_col,
+                            counters=counters).materialize()
 
     if cands.count() > SEMI_FILTER_MAX_PAIRS:
         # endpoint ids too many to collect: full-signature fallback
@@ -109,16 +110,19 @@ def near_dup_pairs(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
 
 def near_dup_clusters(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
                       id_col: str = "doc_id", text_col: str = "text",
-                      threshold: float | None = ..., checkpoint_fn=None):
+                      threshold: float | None = ..., checkpoint_fn=None,
+                      counters=None):
     """→ Dataset(node, component): connected components of the verified
     near-dup graph; component = min doc_id of each cluster.  Docs that
     belong to no cluster are absent (their implicit component is
     themselves)."""
     pairs = near_dup_pairs(docs, cfg, id_col=id_col, text_col=text_col,
-                           threshold=threshold)
+                           threshold=threshold, counters=counters)
     # materialize: the verified dup-pair set is tiny relative to the
     # corpus, and CC references it twice (fwd+rev symmetrize)
     pairs = pairs.select_columns(["a", "b"]).materialize()
+    if counters is not None:
+        counters.add.remote({"verified_pairs": pairs.count()})
     if pairs.count() == 0:
         import pyarrow as pa
         import ray.data as rd
@@ -126,4 +130,5 @@ def near_dup_clusters(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
             "node": pa.array([], pa.int64()),
             "component": pa.array([], pa.int64()),
         }))
-    return connected_components(pairs, cfg, checkpoint_fn=checkpoint_fn)
+    return connected_components(pairs, cfg, checkpoint_fn=checkpoint_fn,
+                                counters=counters)

@@ -354,20 +354,36 @@ JOIN cnt ca ON ca.doc_id = p.a JOIN cnt cb ON cb.doc_id = p.b
 # ------------------------------------------------------------- aggregations
 
 def q_doc_stats_by_lang(sf_dir):
-    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+    from ray.data.aggregate import Count, Max, Min, Sum
     out = _docs(sf_dir, ["lang", "n_chars"]).groupby("lang").aggregate(
         Count(alias_name="n_docs"),
         Sum("n_chars", alias_name="sum_chars"),
-        Mean("n_chars", alias_name="avg_chars"),
         Min("n_chars", alias_name="min_chars"),
         Max("n_chars", alias_name="max_chars"),
     )
-    return out
+    # avg as an exact integer (micro-chars): float averages hash-mismatch
+    # across engines (DuckDB returns HUGEINT/variable-width sums), so derive
+    # avg from the exact integer sum/count via integer division — fully
+    # deterministic in both engines.
+    return out.map_batches(
+        lambda t: pa.table({
+            "lang": t["lang"],
+            "n_docs": t["n_docs"],
+            "sum_chars": pc.cast(t["sum_chars"], pa.int64()),
+            "avg_chars_e6": pc.divide(
+                pc.multiply(pc.cast(t["sum_chars"], pa.int64()), 1_000_000),
+                pc.cast(t["n_docs"], pa.int64())),
+            "min_chars": t["min_chars"],
+            "max_chars": t["max_chars"],
+        }),
+        batch_format="pyarrow",
+    )
 
 
 SQL_DOC_STATS_BY_LANG = """
-SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
-       avg(n_chars) AS avg_chars, min(n_chars) AS min_chars,
+SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+       (sum(n_chars)::BIGINT * 1000000) // count(*) AS avg_chars_e6,
+       min(n_chars) AS min_chars,
        max(n_chars) AS max_chars
 FROM documents GROUP BY lang
 """
@@ -433,8 +449,9 @@ WITH o AS (
 ),
 s AS (
   SELECT user_id, ts,
-         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-                        ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1
+             AS session_id
   FROM o
 )
 SELECT user_id, session_id, count(*) AS n_events,

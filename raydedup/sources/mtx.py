@@ -88,7 +88,10 @@ def write_mtx(ds, path: str, *, is_weighted: bool = True,
             batch_format="pyarrow",
         )
     df = out.sort(["dst", "src"]).to_pandas()   # dest-major ordering
-    nv = num_verts or int(max(df["src"].max(), df["dst"].max()) + 1) if len(df) else 0
+    if num_verts is not None:
+        nv = num_verts
+    else:
+        nv = int(max(df["src"].max(), df["dst"].max()) + 1) if len(df) else 0
     field = "real" if is_weighted else "pattern"
     symmetry = "general" if is_directed else "symmetric"
     with open(path, "w") as f:

@@ -38,7 +38,7 @@ LOCAL_CC_MAX_EDGES = 5_000_000
 
 
 def connected_components(pairs_ds, cfg: PipelineConfig, checkpoint_fn=None,
-                         mode: str = "auto"):
+                         mode: str = "auto", counters=None):
     """Dataset(a:int64, b:int64) of undirected edges →
     Dataset(node:int64, component:int64) for every node that appears in
     an edge; component = min doc_id of the component.
@@ -55,8 +55,11 @@ def connected_components(pairs_ds, cfg: PipelineConfig, checkpoint_fn=None,
     if mode == "auto":
         mode = "local" if pairs_ds.count() <= LOCAL_CC_MAX_EDGES else "distributed"
     if mode == "local":
+        if counters is not None:
+            counters.add.remote({"cc_rounds": 1, "cc_converged": 1})
         return _connected_components_local(pairs_ds)
-    return _connected_components_distributed(pairs_ds, cfg, checkpoint_fn)
+    return _connected_components_distributed(pairs_ds, cfg, checkpoint_fn,
+                                             counters=counters)
 
 
 def _connected_components_local(pairs_ds):
@@ -87,7 +90,7 @@ def _connected_components_local(pairs_ds):
 
 
 def _connected_components_distributed(pairs_ds, cfg: PipelineConfig,
-                                      checkpoint_fn=None):
+                                      checkpoint_fn=None, counters=None):
     """Hash-min label propagation over raw Ray tasks.
 
     Physical layout: edges are hash-partitioned ONCE by hash(nbr) % P
@@ -211,6 +214,31 @@ def _connected_components_distributed(pairs_ds, cfg: PipelineConfig,
                           "component": pa.array(ncomp, pa.int64())}),
                 changed)
 
+    def _repartition_labels(labels_ds):
+        """Restore the co-partitioning invariant (P blocks, block p holds
+        exactly the nodes with hash(node)%P == p, sorted by node) after an
+        arbitrary checkpoint_fn round-trip (e.g. Parquet write/re-read
+        changes block count and order)."""
+        def _tag_labels(t: pa.Table) -> pa.Table:
+            node = np.asarray(t["node"], dtype=np.int64)
+            return pa.table({"node": t["node"], "component": t["component"],
+                             "part": pa.array(_hash_part(node), pa.int64())})
+
+        def _sort_part(tab):
+            if tab is None or len(tab) == 0:
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "component": pa.array([], pa.int64())})
+            node = np.asarray(tab["node"], dtype=np.int64)
+            comp = np.asarray(tab["component"], dtype=np.int64)
+            order = np.argsort(node, kind="stable")
+            return pa.table({"node": pa.array(node[order], pa.int64()),
+                             "component": pa.array(comp[order], pa.int64())})
+
+        tagged = labels_ds.map_batches(_tag_labels, batch_format="pyarrow")
+        return hash_partition_map(tagged, "part", _sort_part, n_parts)
+
+    changed = 0
+    it = -1
     for it in range(cfg.cc_max_iters):
         msg_splits = [_messages.remote(edge_blocks[p], label_blocks[p])
                       for p in range(n_parts)]
@@ -222,7 +250,24 @@ def _connected_components_distributed(pairs_ds, cfg: PipelineConfig,
         if checkpoint_fn is not None:
             labels_ds = rd.from_arrow_refs(list(label_blocks))
             labels_ds = checkpoint_fn(it, labels_ds)
-            label_blocks = labels_ds.to_arrow_refs()
+            # checkpoint_fn may return a dataset with any block layout;
+            # re-establish co-partitioning with the static edge blocks
+            # before the next round's searchsorted label lookups.
+            label_blocks = _repartition_labels(labels_ds).to_arrow_refs()
+            if len(label_blocks) != n_parts:
+                raise RuntimeError(
+                    f"label repartition produced {len(label_blocks)} blocks, "
+                    f"expected {n_parts}")
         if changed == 0:
             break
+    if counters is not None:
+        counters.add.remote({"cc_rounds": it + 1,
+                             "cc_converged": int(changed == 0)})
+    if changed != 0:
+        import warnings
+        warnings.warn(
+            f"connected_components: hash-min did not converge within "
+            f"cc_max_iters={cfg.cc_max_iters} rounds ({changed} labels still "
+            f"changing) — returned labels may split long-chain components; "
+            f"raise cfg.cc_max_iters", RuntimeWarning)
     return rd.from_arrow_refs(list(label_blocks))

@@ -5,10 +5,15 @@ Wide steps and their shuffle keys (SURVEY.md §4.2):
      row per non-empty doc per band.
   2. bucket sizing   — ``groupby(band_key).count()``: shuffle on band_key
      over the *small* (key, count) partials.
-  3. bucket filter   — keep 2 ≤ n ≤ cap: singleton buckets (the vast
-     majority) never reach the pair join; over-cap buckets (boilerplate
-     collapse — the skew case the reference never faces, SURVEY.md §7)
-     are dropped and counted, not allowed to B² -explode.
+  3. bucket filter   — singleton buckets (the vast majority) never reach
+     the pair join; over-cap buckets (boilerplate collapse — the skew
+     case the reference never faces, SURVEY.md §7) are SALT-SPLIT into
+     overlapping sub-buckets instead of B²-exploding: pair emission
+     stays linear in the bucket size while overlap chaining keeps every
+     genuine flood cluster connected (the verify + CC stages downstream
+     recover the cluster).  Salted bucket/row/pair counts are reported
+     through the ``counters`` actor (the reference always prints its
+     sanity metric, jaccard.cpp:811-819 — nothing is dropped silently).
   4. pair emission   — self-join on band_key restricted to surviving
      buckets, then canonicalize a<b; fully vectorized, no per-group
      Python.
@@ -55,75 +60,56 @@ def explode_bands(sig_ds, cfg: PipelineConfig, id_col: str = "doc_id"):
     return sig_ds.map_batches(_explode, batch_format="pyarrow", zero_copy_batch=True)
 
 
-HOT_DETECT_EXACT_MAX_ROWS = 4_000_000   # exact driver merge below this
-HOT_DETECT_SAMPLE_TARGET = 2_000_000    # sampled rows above it
+# Over-cap buckets are split into overlapping sub-buckets of this size
+# (consecutive sub-buckets share one member, so verified flood clusters
+# stay connected through CC).  Pair emission per over-cap bucket of size
+# L is then ~L * SALT_CHUNK/2 — linear in L, never L².
+SALT_CHUNK = 128
 
 
-def _merge_partial_counts(parts) -> tuple[np.ndarray, np.ndarray]:
-    keys = np.concatenate([np.asarray(t["band_key"]) for t in parts])
-    cnts = np.concatenate([np.asarray(t["n"]) for t in parts])
-    order = np.argsort(keys, kind="stable")
-    keys, cnts = keys[order], cnts[order]
+def _all_pairs_of_runs(keys: np.ndarray, ids: np.ndarray
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """Every canonical (a<b) pair within each key-run of the KEY-SORTED
+    (keys, ids) arrays, via numpy repeat/arange arithmetic — no Python
+    loop over buckets or pairs."""
     starts = np.empty(len(keys), dtype=bool)
     starts[0] = True
     starts[1:] = keys[1:] != keys[:-1]
-    idx = np.flatnonzero(starts)
-    return keys[idx], np.add.reduceat(cnts, idx)
-
-
-def _hot_bucket_keys(band_ds, cfg: PipelineConfig, id_col: str = "doc_id") -> list[int]:
-    """Over-cap bucket keys, without a keyed shuffle.
-
-    Per-block partial counts (one vectorized np.unique per block) are
-    merged on the driver.  Small inputs merge exactly; large inputs are
-    row-sampled first with a DETERMINISTIC hash filter (no RNG — resume
-    runs see identical samples) and thresholded at half the expected
-    sample count of a true over-cap bucket, so a hot bucket is missed
-    only with exponentially small probability.  Ray's built-in
-    groupby-count is avoided entirely: millions of groups pay per-group
-    reduce overhead (~10x a numpy merge), and the heavy-hitter question
-    doesn't need exact counts.
-    """
-    import ray
-    from ..functions.hashing import splitmix64
-
-    n_rows = band_ds.count()
-    if n_rows == 0:
-        return []
-    frac = min(1.0, HOT_DETECT_SAMPLE_TARGET / max(n_rows, 1))
-    cut = np.uint64(min(int(frac * (2**64 - 1)), 2**64 - 1))
-    salt = np.uint64((cfg.seed * 0x9E3779B97F4A7C15) & (2**64 - 1))
-
-    def _partial(t: pa.Table) -> pa.Table:
-        k = np.asarray(t["band_key"], dtype=np.int64)
-        if frac < 1.0:
-            d = np.asarray(t[id_col], dtype=np.int64).view(np.uint64)
-            keep = splitmix64(k.view(np.uint64) ^ d ^ salt) <= cut
-            k = k[keep]
-        uniq, cnt = np.unique(k, return_counts=True)
-        return pa.table({"band_key": pa.array(uniq, pa.int64()),
-                         "n": pa.array(cnt, pa.int64())})
-
-    parts = [ray.get(r) for r in
-             band_ds.map_batches(_partial, batch_format="pyarrow",
-                                 zero_copy_batch=True).to_arrow_refs()]
-    parts = [t for t in parts if len(t)]
-    if not parts:
-        return []
-    keys, totals = _merge_partial_counts(parts)
-    threshold = cfg.band_bucket_cap * frac * (0.5 if frac < 1.0 else 1.0)
-    return [int(k) for k in keys[totals > threshold]]
+    rs = np.flatnonzero(starts)
+    rl = np.diff(np.append(rs, len(keys)))
+    keep = rl >= 2
+    rs, rl = rs[keep], rl[keep]
+    if len(rs) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    # element-level: for each run, element at local position p starts
+    # (len-1-p) pairs with the elements after it
+    el_idx = np.repeat(rs, rl) + _intra(rl)
+    el_rep = np.repeat(rs + rl - 1, rl) - el_idx        # pairs started here
+    a_idx = np.repeat(el_idx, el_rep)
+    b_idx = a_idx + 1 + _intra(el_rep)
+    a, b = ids[a_idx], ids[b_idx]
+    return np.minimum(a, b), np.maximum(a, b)
 
 
 def _emit_run_pairs(keys: np.ndarray, ids: np.ndarray, cap: int
-                    ) -> tuple[np.ndarray, np.ndarray, int]:
+                    ) -> tuple[np.ndarray, np.ndarray, dict]:
     """Vectorized within-bucket pair emission over (key, id) rows that
-    contain COMPLETE buckets.  Sorts by key, finds runs, drops over-cap
-    runs (returning how many rows were dropped), and generates every
-    canonical (a<b) pair of each run with numpy repeat/arange arithmetic
-    — no Python loop over buckets or pairs."""
+    contain COMPLETE buckets.
+
+    Runs of ≤ cap rows emit all canonical (a<b) pairs.  Over-cap runs
+    are salt-split: members are ordered by a deterministic hash of
+    (id, band_key) and chunked into overlapping SALT_CHUNK-sized
+    sub-buckets (consecutive chunks share one member), each emitting its
+    within-chunk pairs — bounded linear emission with cluster
+    connectivity preserved via the overlap chain.  Deterministic for a
+    given (key, ids) multiset regardless of partitioning.
+
+    Returns (lo, hi, stats) where stats counts salted buckets/rows/pairs.
+    """
+    stats = {"lsh_overcap_buckets": 0, "lsh_overcap_rows": 0,
+             "lsh_salted_pairs": 0}
     if len(keys) == 0:
-        return np.empty(0, np.int64), np.empty(0, np.int64), 0
+        return np.empty(0, np.int64), np.empty(0, np.int64), stats
     order = np.lexsort((ids, keys))
     keys, ids = keys[order], ids[order]
     starts = np.empty(len(keys), dtype=bool)
@@ -132,23 +118,42 @@ def _emit_run_pairs(keys: np.ndarray, ids: np.ndarray, cap: int
     run_start = np.flatnonzero(starts)
     run_len = np.diff(np.append(run_start, len(keys)))
 
-    dropped = int(run_len[run_len > cap].sum())
-    keep = (run_len >= 2) & (run_len <= cap)
-    rs, rl = run_start[keep], run_len[keep]
-    if len(rs) == 0:
-        return np.empty(0, np.int64), np.empty(0, np.int64), dropped
+    over = run_len > cap
+    small = ~over
+    # fast path: all-pairs within the ≤cap runs
+    if small.any():
+        sel = np.repeat(small, run_len)
+        lo, hi = _all_pairs_of_runs(keys[sel], ids[sel])
+    else:
+        lo = hi = np.empty(0, np.int64)
 
-    # element-level: for each kept run, element at local position p
-    # starts (len-1-p) pairs with the elements after it
-    el_idx = np.repeat(rs, rl) + _intra(rl)
-    el_rep = np.repeat(rs + rl - 1, rl) - el_idx        # pairs started here
-    total = int(el_rep.sum())
-    a_idx = np.repeat(el_idx, el_rep)
-    b_idx = a_idx + 1 + _intra(el_rep)
-    a, b = ids[a_idx], ids[b_idx]
-    lo = np.minimum(a, b)
-    hi = np.maximum(a, b)
-    return lo, hi, dropped
+    if over.any():
+        from ..functions.hashing import splitmix64
+        stats["lsh_overcap_buckets"] = int(over.sum())
+        stats["lsh_overcap_rows"] = int(run_len[over].sum())
+        chunk = min(cap, SALT_CHUNK)
+        step = chunk - 1
+        sub_keys, sub_ids = [], []
+        serial = 0
+        for s, l in zip(run_start[over], run_len[over]):
+            rid = ids[s:s + l]
+            # salt: deterministic pseudo-random member order per bucket
+            salt = splitmix64(np.asarray([keys[s]]).view(np.uint64))[0]
+            rid = rid[np.argsort(splitmix64(rid.view(np.uint64) ^ salt),
+                                 kind="stable")]
+            n_chunks = max(1, -(-(l - 1) // step))       # ceil((l-1)/step)
+            for c in range(n_chunks):
+                seg = rid[c * step: c * step + chunk]
+                sub_ids.append(seg)
+                sub_keys.append(np.full(len(seg), serial, dtype=np.int64))
+                serial += 1
+        sk = np.concatenate(sub_keys)
+        si = np.concatenate(sub_ids)
+        slo, shi = _all_pairs_of_runs(sk, si)
+        stats["lsh_salted_pairs"] = len(slo)
+        lo = np.concatenate([lo, slo])
+        hi = np.concatenate([hi, shi])
+    return lo, hi, stats
 
 
 def _intra(lens: np.ndarray) -> np.ndarray:
@@ -160,7 +165,8 @@ def _intra(lens: np.ndarray) -> np.ndarray:
     return np.arange(total, dtype=np.int64) - np.repeat(offs, lens)
 
 
-def candidate_pairs(band_ds, cfg: PipelineConfig, id_col: str = "doc_id"):
+def candidate_pairs(band_ds, cfg: PipelineConfig, id_col: str = "doc_id",
+                    counters=None):
     """(band_key, doc_id) rows → distinct canonical candidate pairs (a < b).
 
     Physical plan: two LOW-CARDINALITY partition shuffles, no joins and
@@ -169,11 +175,15 @@ def candidate_pairs(band_ds, cfg: PipelineConfig, id_col: str = "doc_id"):
 
       1. partition by ``hash(band_key) % P`` → every bucket lands whole
          in one partition → one vectorized sort-and-emit per partition
-         produces its pairs, with EXACT over-cap bucket dropping (the
-         skew guard) computed locally for free.
+         produces its pairs, with EXACT over-cap bucket salting (the
+         skew guard, see ``_emit_run_pairs``) computed locally for free.
       2. partition by ``hash(a,b) % P`` → per-partition np.unique gives
          the globally distinct pair set (a pair collides in ≤ bands
          buckets, all mapping to the same hash partition).
+
+    ``counters``: optional ``RunCounters.actor`` handle; salting stats
+    (`lsh_overcap_buckets/rows`, `lsh_salted_pairs`) are accumulated
+    there fire-and-forget from the emit tasks.
 
     Returns a Dataset with columns ``a:int64, b:int64``.
     """
@@ -200,7 +210,9 @@ def candidate_pairs(band_ds, cfg: PipelineConfig, id_col: str = "doc_id"):
         else:
             keys = np.asarray(group["band_key"], dtype=np.int64)
             ids = np.asarray(group[id_col], dtype=np.int64)
-            lo, hi, _dropped = _emit_run_pairs(keys, ids, cap)
+            lo, hi, stats = _emit_run_pairs(keys, ids, cap)
+            if counters is not None and any(stats.values()):
+                counters.add.remote(stats)
         # local pre-dedup: identical pairs from different buckets of the
         # same partition collapse here before the shuffle
         if len(lo):

@@ -75,6 +75,36 @@ class TestCheckpoint:
         assert sum(man["partitions"].values()) == 300
         assert man["config_hash"] == CFG.config_hash()
 
+    def test_manifest_counters_and_timings(self, ray_session, docs_tab,
+                                           ckpt_root):
+        # the EVENT_PROFILE analogue (reference
+        # standalone_algorithms.hpp:38-47 + jaccard.cpp:811-819): every
+        # manifest carries its stage wall time; wide stages carry flow
+        # counters (candidates in, pairs in, CC rounds).
+        import ray.data as rd
+        from raydedup.pipelines.checkpoint import near_dup_pipeline_checkpointed
+        _, mgr = near_dup_pipeline_checkpointed(
+            rd.from_arrow(docs_tab), CFG, ckpt_root)
+        for stage in ("signatures", "candidates", "verified_pairs",
+                      "components"):
+            ctr = mgr.manifest(stage)["counters"]
+            assert ctr.get("wall_s", 0) > 0, stage
+        assert mgr.manifest("verified_pairs")["counters"]["candidates_in"] > 0
+        comp = mgr.manifest("components")["counters"]
+        assert comp["pairs_in"] > 0
+        assert comp.get("cc_rounds", 0) >= 1
+
+    def test_config_hash_covers_result_affecting_fields(self):
+        # minhash_mode / band_bucket_cap / cc_max_iters change outputs →
+        # must invalidate checkpoints; pure tuning knobs must not.
+        assert CFG.config_hash() != CFG.with_(minhash_mode="perm").config_hash()
+        assert CFG.config_hash() != CFG.with_(band_bucket_cap=7).config_hash()
+        assert CFG.config_hash() != CFG.with_(cc_max_iters=3).config_hash()
+        assert CFG.config_hash() == CFG.with_(batch_size=123).config_hash()
+        assert CFG.config_hash() == CFG.with_(num_partitions=5).config_hash()
+        assert CFG.config_hash() == CFG.with_(
+            minhash_perm_chunk=4).config_hash()
+
     def test_torn_write_recomputes(self, ray_session, docs_tab, ckpt_root):
         import ray.data as rd
         from raydedup.pipelines.checkpoint import (

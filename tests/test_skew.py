@@ -1,5 +1,5 @@
-"""Skew-handling tests: over-cap LSH buckets, sampled hot detection,
-distributed-CC checkpoint rounds."""
+"""Skew-handling tests: over-cap LSH bucket salting, bounded pair
+emission, distributed-CC checkpoint rounds."""
 
 import numpy as np
 import pyarrow as pa
@@ -17,24 +17,37 @@ def _docs_ds(texts):
 
 
 BASE = " ".join(f"w{i}" for i in range(40))
+BIGBASE = " ".join(f"w{i}" for i in range(200))
 
 
-class TestBucketCap:
-    def test_over_cap_bucket_dropped_without_blowup(self, ray_session):
-        # 60 identical docs with cap=20: the identical-signature buckets
-        # exceed the cap in every band → all dropped → no candidate
-        # pairs from LSH (exact dedup is the designed fallback for
-        # identical docs).  The point: no 60^2 pair explosion.
-        from raydedup.pipelines.neardup import near_dup_pairs
+class TestBucketSalting:
+    def test_over_cap_near_dup_group_still_clusters(self, ray_session):
+        # 60 NEAR-identical (not byte-identical — exact dedup can't help)
+        # docs with cap=20: every band bucket is over cap.  The old
+        # behavior dropped these buckets (zero recall on boilerplate
+        # floods); salting must keep the flood connected as one cluster
+        # and surface counters.
+        from raydedup.pipelines.neardup import near_dup_clusters
+        from raydedup.state import RunCounters
         cfg = PipelineConfig(num_partitions=4, batch_size=64,
                              band_bucket_cap=20)
-        texts = [BASE] * 60 + [f"u{i} " * 30 + BASE[:10] for i in range(20)]
-        pairs = near_dup_pairs(_docs_ds(texts), cfg).to_pandas()
-        dup_ids = set(range(60))
-        got_dup_pairs = [(a, b) for a, b in zip(pairs.get("a", []),
-                                                pairs.get("b", []))
-                         if a in dup_ids and b in dup_ids]
-        assert got_dup_pairs == []
+        flood = [BIGBASE + f" tail{i}" for i in range(60)]
+        uniq = [f"u{i}x " * 30 for i in range(20)]
+        rc = RunCounters()
+        labels = near_dup_clusters(_docs_ds(flood + uniq), cfg,
+                                   counters=rc.actor).to_pandas()
+        got = dict(zip(labels["node"], labels["component"]))
+        # every flood doc present and in ONE component
+        assert set(range(60)) <= set(got)
+        assert len({got[i] for i in range(60)}) == 1
+        # unique docs untouched
+        assert not (set(got) & set(range(60, 80))) or all(
+            got[i] not in {got[j] for j in range(60)} for i in got
+            if i >= 60)
+        counters = rc.get()
+        assert counters["lsh_overcap_buckets"] > 0
+        assert counters["lsh_salted_pairs"] > 0
+        assert counters["cc_rounds"] >= 1
 
     def test_under_cap_bucket_kept(self, ray_session):
         from raydedup.pipelines.neardup import near_dup_pairs
@@ -47,40 +60,46 @@ class TestBucketCap:
         assert want <= got
 
 
-class TestSampledHotDetection:
-    def test_sampled_mode_finds_hot_key(self, ray_session, monkeypatch):
-        import raydedup.stages.lsh as lsh
-        import ray.data as rd
-        # force the sampled path by shrinking the target
-        monkeypatch.setattr(lsh, "HOT_DETECT_SAMPLE_TARGET", 1000)
-        rng = np.random.default_rng(0)
-        hot_key = 777
-        keys = np.concatenate([
-            np.full(3000, hot_key, dtype=np.int64),          # hot bucket
-            rng.integers(10**6, 10**7, size=7000),           # singletons
-        ])
-        ids = np.arange(len(keys), dtype=np.int64)
-        band_ds = rd.from_arrow(pa.table({
-            "band_key": pa.array(keys, pa.int64()),
-            "doc_id": pa.array(ids, pa.int64()),
-        }))
-        cfg = PipelineConfig(num_partitions=4, band_bucket_cap=512)
-        hot = lsh._hot_bucket_keys(band_ds, cfg)
-        assert hot_key in hot
-        # singletons must not be flagged
-        assert len(hot) == 1
+class TestEmitRunPairsSalting:
+    def test_bounded_emission_and_connectivity(self):
+        from raydedup.stages.lsh import _emit_run_pairs
+        from tests.oracle import union_find_components
+        n, cap = 1000, 20
+        keys = np.full(n, 7, dtype=np.int64)
+        ids = np.arange(n, dtype=np.int64)
+        lo, hi, stats = _emit_run_pairs(keys, ids, cap)
+        allp = n * (n - 1) // 2
+        # linear, not quadratic: well under 5% of all-pairs
+        assert 0 < len(lo) < 0.05 * allp
+        # every member appears
+        assert set(np.concatenate([lo, hi]).tolist()) == set(range(n))
+        # the salted pair graph is connected (overlap chaining)
+        comp = union_find_components(list(zip(lo.tolist(), hi.tolist())))
+        assert len(set(comp.values())) == 1
+        assert stats["lsh_overcap_buckets"] == 1
+        assert stats["lsh_overcap_rows"] == n
+        assert stats["lsh_salted_pairs"] == len(lo)
 
-    def test_exact_mode_threshold_boundary(self, ray_session):
-        import raydedup.stages.lsh as lsh
-        import ray.data as rd
-        cfg = PipelineConfig(num_partitions=4, band_bucket_cap=10)
-        keys = np.concatenate([np.full(10, 1), np.full(11, 2)]).astype(np.int64)
-        band_ds = rd.from_arrow(pa.table({
-            "band_key": pa.array(keys, pa.int64()),
-            "doc_id": pa.array(np.arange(len(keys)), pa.int64()),
-        }))
-        hot = lsh._hot_bucket_keys(band_ds, cfg)
-        assert hot == [2]    # strictly greater than cap
+    def test_salting_deterministic_and_partition_independent(self):
+        from raydedup.stages.lsh import _emit_run_pairs
+        keys = np.concatenate([np.full(50, 3), np.full(7, 9)]).astype(np.int64)
+        ids = np.arange(57, dtype=np.int64)
+        out1 = _emit_run_pairs(keys, ids, 10)
+        # different input row order → identical output pair set
+        perm = np.random.default_rng(0).permutation(57)
+        out2 = _emit_run_pairs(keys[perm], ids[perm], 10)
+        p1 = set(zip(out1[0].tolist(), out1[1].tolist()))
+        p2 = set(zip(out2[0].tolist(), out2[1].tolist()))
+        assert p1 == p2
+
+    def test_small_runs_emit_all_pairs(self):
+        from raydedup.stages.lsh import _emit_run_pairs
+        keys = np.array([1, 1, 1, 2, 2, 3], dtype=np.int64)
+        ids = np.array([10, 11, 12, 20, 21, 30], dtype=np.int64)
+        lo, hi, stats = _emit_run_pairs(keys, ids, 512)
+        got = set(zip(lo.tolist(), hi.tolist()))
+        assert got == {(10, 11), (10, 12), (11, 12), (20, 21)}
+        assert stats["lsh_overcap_buckets"] == 0
 
 
 class TestDistributedCCCheckpoint:
@@ -109,3 +128,39 @@ class TestDistributedCCCheckpoint:
         want = union_find_components(edges)
         assert got == want
         assert len(rounds) >= 2     # the chain needs several rounds
+
+    def test_parquet_roundtrip_checkpoint_fn(self, ray_session, tmp_path):
+        # checkpoint_fn that round-trips labels through Parquet destroys
+        # block layout; the repartition guard must restore
+        # co-partitioning (this corrupted labels silently before).
+        import ray.data as rd
+        from raydedup.stages.cc import connected_components
+        from tests.oracle import union_find_components
+        edges = [(i, i + 1) for i in range(0, 25)] + [(50, 51), (51, 52)]
+        pairs = rd.from_arrow(pa.table({
+            "a": pa.array([e[0] for e in edges], pa.int64()),
+            "b": pa.array([e[1] for e in edges], pa.int64()),
+        }))
+
+        def ckpt(i, labels_ds):
+            p = str(tmp_path / f"cc_round_{i}")
+            labels_ds.write_parquet(p)
+            return rd.read_parquet(p)
+
+        cfg = PipelineConfig(num_partitions=4, cc_max_iters=50)
+        out = connected_components(pairs, cfg, checkpoint_fn=ckpt,
+                                   mode="distributed").to_pandas()
+        got = dict(zip(out["node"], out["component"]))
+        assert got == union_find_components(edges)
+
+    def test_non_convergence_warns(self, ray_session):
+        import ray.data as rd
+        from raydedup.stages.cc import connected_components
+        edges = [(i, i + 1) for i in range(0, 30)]
+        pairs = rd.from_arrow(pa.table({
+            "a": pa.array([e[0] for e in edges], pa.int64()),
+            "b": pa.array([e[1] for e in edges], pa.int64()),
+        }))
+        cfg = PipelineConfig(num_partitions=4, cc_max_iters=2)
+        with pytest.warns(RuntimeWarning, match="did not converge"):
+            connected_components(pairs, cfg, mode="distributed").to_pandas()
