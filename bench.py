@@ -25,12 +25,22 @@ SYNTH_DOCS = int(os.environ.get("GRAFT_SYNTH_DOCS", "20000"))
 # per-op fixed cost) dominates the measurement
 SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "1200000"))
 SLIM = os.environ.get("GRAFT_BENCH_SLIM") == "1"
+# near-dup signature strategy for the scaling run (see
+# pipelines/neardup.py): "slim" streams fused band-only signatures and
+# recomputes shingle sets for candidate endpoints; "full" materializes
+# the complete signature table once
+STRATEGY = os.environ.get("GRAFT_NEARDUP_STRATEGY", "slim")
 
 
 def run_bench() -> dict:
     import ray
+    init_kw = {}
+    if SLIM:
+        # scaling corpus: keep everything (text + band rows + blobs +
+        # shuffle intermediates) out of disk spill — the node has 128 GiB
+        init_kw["object_store_memory"] = int(60e9)
     ray.init(address="local", num_cpus=NCPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR", **init_kw)
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
@@ -45,7 +55,11 @@ def run_bench() -> dict:
     from raydedup.stages.graph import edge_jaccard
     from raydedup.stages.signatures import signatures
 
-    cfg = DEFAULT_CONFIG.with_(num_partitions=max(8, NCPUS))
+    # fixed partition count at every parallelism level: partitioning is
+    # data-driven; the scaling comparison must run the SAME physical job.
+    # 64 measured best on the 1.2M-doc exchange (smaller reduce tasks →
+    # less straggler tail, lower variance than 8-32).
+    cfg = DEFAULT_CONFIG.with_(num_partitions=64)
 
     timings: dict[str, float] = {}
 
@@ -60,7 +74,9 @@ def run_bench() -> dict:
         # big enough to be compute-dominated
         n = SCALING_DOCS
         synth = synth_pages_ds(n, seed=42, avg_tokens=300).materialize()
-        n_pairs = timed("neardup_synth", lambda: near_dup_pairs(synth, cfg).count())
+        n_pairs = timed("neardup_synth",
+                        lambda: near_dup_pairs(synth, cfg,
+                                               strategy=STRATEGY).count())
         total = round(sum(timings.values()), 3)
         result = {
             "metric": "graft_bench_seconds", "value": total, "unit": "sec",

@@ -48,17 +48,13 @@ class PipelineConfig:
     num_partitions: int = 32        # hash-join / shuffle partition cap
 
     def resolved_partitions(self) -> int:
-        """Join/shuffle partition count for the live cluster: capped by
-        config, floored at 8, never more than the CPU count (every
-        partition is an aggregator actor — oversubscribing CPUs doubles
-        fixed cost for nothing)."""
-        try:
-            import ray
-            cpus = int(ray.cluster_resources().get("CPU", 8)) \
-                if ray.is_initialized() else 8
-        except Exception:
-            cpus = 8
-        return max(8, min(self.num_partitions, cpus))
+        """Join/shuffle partition count: the configured value, floored at
+        8.  Deliberately NOT scaled by the live CPU count — partitioning
+        is a property of the DATA (blocks must fit worker heaps), and a
+        cluster-size-dependent partition count would make the same job
+        physically different at N vs 4N nodes (reduce tasks beyond the
+        CPU count simply queue; they are raw tasks, not actors)."""
+        return max(8, self.num_partitions)
 
     def __post_init__(self) -> None:
         if self.bands * self.rows_per_band != self.num_perms:

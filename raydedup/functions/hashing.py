@@ -27,12 +27,24 @@ _SM_M2 = _U64(0x94D049BB133111EB)
 
 
 def splitmix64(x: np.ndarray) -> np.ndarray:
-    """Vectorized splitmix64 finalizer over a uint64 array."""
+    """Vectorized splitmix64 finalizer over a uint64 array.
+
+    Written with in-place ops over ONE scratch buffer: the naive
+    expression allocates 7 temporaries per call, and this function sits
+    in every hot kernel — on a 32-worker node the signature stage is
+    DRAM-bandwidth-bound, so temporary churn directly costs throughput.
+    """
     x = x.astype(np.uint64, copy=True)
     x += _SM_GAMMA
-    x = (x ^ (x >> _U64(30))) * _SM_M1
-    x = (x ^ (x >> _U64(27))) * _SM_M2
-    return x ^ (x >> _U64(31))
+    t = x >> _U64(30)
+    x ^= t
+    x *= _SM_M1
+    np.right_shift(x, _U64(27), out=t)
+    x ^= t
+    x *= _SM_M2
+    np.right_shift(x, _U64(31), out=t)
+    x ^= t
+    return x
 
 
 def hash_strings(values) -> np.ndarray:
@@ -84,8 +96,16 @@ def hash_utf8_array(arr) -> np.ndarray:
 
     # ascending length sort: tokens still active at byte position j are
     # exactly the tail slice [first_longer(j):], found by binary search —
-    # no per-position O(n) boolean mask.
-    order = np.argsort(lens, kind="stable")
+    # no per-position O(n) boolean mask.  Radix argsort (O(n)) when the
+    # max length fits 8/16 bits — the common case; numpy 'stable' falls
+    # back to mergesort only for wider ints.
+    lmax = int(lens.max()) if n else 0
+    if lmax <= 0xFF:
+        order = np.argsort(lens.astype(np.uint8), kind="stable")
+    elif lmax <= 0xFFFF:
+        order = np.argsort(lens.astype(np.uint16), kind="stable")
+    else:
+        order = np.argsort(lens, kind="stable")
     slens = lens[order]
     sstarts = starts[order]
     h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
@@ -116,13 +136,33 @@ def perm_seeds(num_perms: int, seed: int) -> np.ndarray:
     return rng.integers(0, 2**64, size=num_perms, dtype=np.uint64)
 
 
+def _splitmix64_inplace(x: np.ndarray, t: np.ndarray) -> None:
+    """splitmix64 on ``x`` in place, using caller-provided scratch ``t``."""
+    x += _SM_GAMMA
+    np.right_shift(x, _U64(30), out=t)
+    x ^= t
+    x *= _SM_M1
+    np.right_shift(x, _U64(27), out=t)
+    x ^= t
+    x *= _SM_M2
+    np.right_shift(x, _U64(31), out=t)
+    x ^= t
+
+
 def combine_rolling(parts: list[np.ndarray]) -> np.ndarray:
     """Order-sensitive combine of k parallel uint64 arrays into one.
 
     Used to hash a k-token shingle window: h = mix(h ^ part_j) folded
-    left-to-right, so ('a b', 'b a') hash differently.
+    left-to-right, so ('a b', 'b a') hash differently.  One accumulator
+    + one scratch buffer for the whole fold (k=5 would otherwise
+    allocate ~40 temporaries' worth of bandwidth).
     """
-    h = np.zeros(len(parts[0]) if parts else 0, dtype=np.uint64)
+    n = len(parts[0]) if parts else 0
+    h = np.zeros(n, dtype=np.uint64)
+    if n == 0:
+        return h
+    t = np.empty(n, dtype=np.uint64)
     for p in parts:
-        h = splitmix64(h ^ p.astype(np.uint64, copy=False))
+        h ^= p
+        _splitmix64_inplace(h, t)
     return h

@@ -61,18 +61,35 @@ def pairwise_intersection_sizes(
 
 
 def _intersection_mergecount(a_values, a_offsets, b_values, b_offsets):
+    """Lockstep two-pointer merge, vectorized ACROSS pairs: every pair
+    advances its (i, j) cursor pair one step per iteration over the
+    shrinking active-pair set — the reference's sequential sorted-merge
+    (jaccard.cpp:353-367) run for all pairs of the batch at once.
+
+    Total element steps = Σ merge length; the earlier whole-batch
+    lexsort formulation measured 8x slower (two stable int64 argsorts
+    over every element vs one linear scan).  No value-width assumption —
+    this is the full-range 64-bit (shingle hash) kernel; 32-bit values
+    take the packed searchsorted kernel instead.
+    """
     n_pairs = len(a_offsets) - 1
-    len_a = a_offsets[1:] - a_offsets[:-1]
-    len_b = b_offsets[1:] - b_offsets[:-1]
-    pid_a = np.repeat(np.arange(n_pairs, dtype=np.int64), len_a)
-    pid_b = np.repeat(np.arange(n_pairs, dtype=np.int64), len_b)
-    vals = np.concatenate([a_values, b_values])
-    pids = np.concatenate([pid_a, pid_b])
-    order = np.lexsort((vals, pids))
-    sv = vals[order]
-    sp = pids[order]
-    dup = (sv[1:] == sv[:-1]) & (sp[1:] == sp[:-1])
-    return np.bincount(sp[1:][dup], minlength=n_pairs).astype(np.int64)
+    ia = a_offsets[:-1].astype(np.int64, copy=True)
+    ib = b_offsets[:-1].astype(np.int64, copy=True)
+    ea = a_offsets[1:].astype(np.int64, copy=False)
+    eb = b_offsets[1:].astype(np.int64, copy=False)
+    inter = np.zeros(n_pairs, dtype=np.int64)
+    active = np.flatnonzero((ia < ea) & (ib < eb))
+    while len(active):
+        va = a_values[ia[active]]
+        vb = b_values[ib[active]]
+        eq = va == vb
+        lt = va < vb
+        inter[active[eq]] += 1
+        ia[active] += eq | lt
+        ib[active] += eq | ~lt
+        still = (ia[active] < ea[active]) & (ib[active] < eb[active])
+        active = active[still]
+    return inter
 
 
 def _gather_selected_rows(values, offsets, sel_lens, out_offsets, sel_mask):

@@ -24,12 +24,45 @@ import numpy as np
 import pyarrow as pa
 
 
-def hash_partition_map(ds, part_col: str, fn, n_parts: int):
+def hash_partition_map(ds, part_col: str, fn, n_parts: int, map_fn=None,
+                       map_chunk_rows: int | None = None):
+    """``map_fn`` (optional): a pa.Table -> pa.Table transform applied to
+    every input block INSIDE the split tasks, before partitioning — the
+    map side of the exchange fused into the shuffle, so the mapped rows
+    (e.g. exploded LSH band rows, 15-30x the input volume) are sliced and
+    shipped once instead of being materialized to the object store first.
+    The un-mapped input blocks need not carry ``part_col``; map_fn's
+    output must.
+
+    ``map_chunk_rows``: slice each block into at-most-this-many-row
+    chunks before calling map_fn — the n·log n / cache-sensitive kernels
+    inside map_fns regress superlinearly on the coalesced 10-100k-row
+    blocks a materialized Dataset hands out (ROUND1_NOTES §6, §11).
+
+    When map_fn is set and there are fewer blocks than useful split
+    tasks, each block is handed to several split tasks with (i, k) range
+    specs (the task slices its share locally — on one node the shared
+    block read is zero-copy), so map parallelism is never capped by the
+    upstream block count.
+    """
     import ray
     import ray.data as rd
 
     @ray.remote(num_returns=n_parts)
-    def _split(*tabs):
+    def _split(spec, *tabs):
+        if spec is not None:
+            i, k = spec
+            tabs = [t.slice(i * len(t) // k, (i + 1) * len(t) // k
+                            - i * len(t) // k) for t in tabs]
+        if map_fn is not None:
+            ins = [t for t in tabs if t.num_columns > 0 and len(t)]
+            tabs = []
+            for t in ins:
+                if map_chunk_rows and len(t) > map_chunk_rows:
+                    tabs.extend(map_fn(t.slice(j, map_chunk_rows))
+                                for j in range(0, len(t), map_chunk_rows))
+                else:
+                    tabs.append(map_fn(t))
         # Ray normalizes empty blocks to empty-SCHEMA tables: drop them
         tabs = [t for t in tabs
                 if len(t) and part_col in t.column_names]
@@ -39,7 +72,10 @@ def hash_partition_map(ds, part_col: str, fn, n_parts: int):
         tab = pa.concat_tables(tabs, promote_options="default")
         part = np.asarray(tab[part_col], dtype=np.int64)
         tab = tab.drop_columns([part_col])
-        order = np.argsort(part, kind="stable")
+        if n_parts <= 256:
+            order = np.argsort(part.astype(np.uint8), kind="stable")  # radix
+        else:
+            order = np.argsort(part, kind="stable")
         sorted_part = part[order]
         bounds = np.searchsorted(sorted_part, np.arange(n_parts + 1))
         taken = tab.take(pa.array(order, pa.int64()))
@@ -61,9 +97,16 @@ def hash_partition_map(ds, part_col: str, fn, n_parts: int):
     # not blocks x partitions — tiny-object overhead otherwise dominates
     import math
     n_split_tasks = max(n_parts, _cpu_count() * 2)
-    per_task = max(1, math.ceil(len(blocks) / n_split_tasks))
-    groups = [blocks[i:i + per_task] for i in range(0, len(blocks), per_task)]
-    split_refs = [_split.remote(*g) for g in groups]
+    if map_fn is not None and 0 < len(blocks) < n_split_tasks:
+        # fan each block out to k range-slicing tasks
+        k = math.ceil(n_split_tasks / len(blocks))
+        split_refs = [_split.remote((i, k), b)
+                      for b in blocks for i in range(k)]
+    else:
+        per_task = max(1, math.ceil(len(blocks) / n_split_tasks))
+        groups = [blocks[i:i + per_task]
+                  for i in range(0, len(blocks), per_task)]
+        split_refs = [_split.remote(None, *g) for g in groups]
     if n_parts == 1:
         split_refs = [[r] for r in split_refs]
     reduced = [_reduce.remote(*[sr[p] for sr in split_refs])

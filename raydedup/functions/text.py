@@ -86,6 +86,34 @@ def shingle_batch(
     return sh, offsets
 
 
+def shingle_stream(texts: pa.Array, k: int
+                   ) -> tuple[np.ndarray, np.ndarray, int]:
+    """Raw k-gram window-hash STREAM for a batch of texts — duplicates
+    retained, unsorted.
+
+    Returns ``(win_hash, win_doc, n_docs)``: every in-doc window's hash
+    and its doc index, in document order.  This is all OPH banding needs
+    (a per-(doc,bin) MIN is unaffected by duplicate shingles), so the
+    lexsort + unique that ``shingle_batch`` pays to materialize sorted
+    sets — the measured memory-bandwidth hot spot of the signature stage
+    — is skipped entirely.  Use ``shingle_batch`` only when the actual
+    sets are needed (exact-Jaccard verification, SimHash).
+    """
+    tok_hashes, tok_offsets = tokenize_arrow(texts)
+    n_docs = len(tok_offsets) - 1
+    n_tok = tok_offsets[1:] - tok_offsets[:-1]
+    m = int(tok_offsets[-1])
+    if m < k or n_docs == 0:
+        return (np.empty(0, dtype=np.uint64),
+                np.empty(0, dtype=np.int64), n_docs)
+    n_win = m - k + 1
+    parts = [tok_hashes[j: n_win + j] for j in range(k)]
+    win_hash = combine_rolling(parts)
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), n_tok)
+    valid = doc_of[:n_win] == doc_of[k - 1:]
+    return win_hash[valid], doc_of[:n_win][valid], n_docs
+
+
 def char_ngram_batch(texts: pa.Array, n: int = 3
                      ) -> tuple[np.ndarray, np.ndarray]:
     """Character (byte) n-gram sets per doc, CSR layout, sorted unique.

@@ -32,18 +32,20 @@ from ..stages.verify import SEMI_FILTER_MAX_PAIRS, verify_pairs
 def near_dup_pairs(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
                    id_col: str = "doc_id", text_col: str = "text",
                    threshold: float | None = ..., sig_ds=None,
-                   strategy: str = "full", counters=None):
+                   strategy: str = "slim", counters=None):
     """→ Dataset(a, b, intersection, union, jaccard) of verified
     near-duplicate pairs with jaccard ≥ threshold (default
     cfg.verify_threshold).
 
-    ``strategy``: "full" (default) materializes the complete signature
-    table (shingle blobs included) once and verifies against it — right
-    when a large fraction of docs end up as candidate endpoints (real
-    web crawls are dup-heavy; measured: endpoint fraction ~40% on the
-    bench corpus, where recomputation loses).  "slim" materializes only
-    band keys (~15x smaller) and recomputes shingle sets for the
-    candidate-endpoint subset — wins when duplicates are sparse.
+    ``strategy``: "slim" (default) never materializes a signature table
+    at all — fused stream-OPH banding runs inside the candidate
+    exchange's split tasks, then shingle sets are recomputed for just
+    the candidate-endpoint docs inside the verify exchange
+    (candidate_pairs_from_docs; measured 3x the throughput of the
+    materializing path AND strictly less object-store traffic).  "full"
+    materializes the complete signature table (shingle blobs included)
+    once and verifies against it — right when nearly every doc is a
+    candidate endpoint, or when the caller reuses the signature table.
     """
     if sig_ds is not None:
         # caller-provided full signatures (must carry shingles)
@@ -60,35 +62,51 @@ def near_dup_pairs(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
         return verify_pairs(cands, full, cfg, threshold=threshold,
                             id_col=id_col)
 
-    slim = signatures(docs, cfg, id_col=id_col, text_col=text_col,
-                      keep_shingles=False, keep_minhash=False,
-                      with_simhash=False).materialize()
-    bands = explode_bands(slim, cfg, id_col=id_col)
-    cands = candidate_pairs(bands, cfg, id_col=id_col,
-                            counters=counters).materialize()
-
-    if cands.count() > SEMI_FILTER_MAX_PAIRS:
-        # endpoint ids too many to collect: full-signature fallback
-        full = signatures(docs, cfg, id_col=id_col, text_col=text_col,
-                          with_simhash=False).materialize()
-        return verify_pairs(cands, full, cfg, threshold=threshold,
-                            id_col=id_col, assume_small=False)
-
-    # recompute shingle sets for candidate-endpoint docs only
+    # FUSED STREAMING: the whole map side (stream-OPH signatures → band
+    # explosion → partition tag) runs inside the candidate exchange's
+    # split tasks (candidate_pairs_from_docs) — no signature table and no
+    # exploded band-row dataset ever hit the object store.
     import numpy as np
     import pyarrow as pa
     import ray
 
-    tabs = [ray.get(r) for r in
-            cands.select_columns(["a", "b"]).to_arrow_refs()]
-    tabs = [t for t in tabs if len(t)]
-    if not tabs:
+    from ..stages.lsh import candidate_pairs_from_docs
+    cands = candidate_pairs_from_docs(
+        docs, cfg, id_col=id_col, text_col=text_col, counters=counters)
+    # ONE pass over the candidate blocks: the refs are already
+    # materialized tables (raw-task exchange output).  Row counts come
+    # from worker-side len() tasks first, so the driver only collects
+    # the (two int64 column) pair blocks when they are under the cap —
+    # bounded driver state.
+    cand_refs = cands.to_arrow_refs()
+
+    @ray.remote
+    def _nrows(t):
+        return len(t)
+
+    n_cands = sum(ray.get([_nrows.remote(r) for r in cand_refs]))
+
+    if n_cands > SEMI_FILTER_MAX_PAIRS:
+        # endpoint ids too many to collect: recompute shingle SETS for
+        # the whole corpus (verification needs only the sets — skip
+        # minhash/bands/simhash on this pass)
+        full = signatures(docs, cfg, id_col=id_col, text_col=text_col,
+                          with_simhash=False, keep_minhash=False,
+                          keep_bands=False).materialize()
+        return verify_pairs(cands, full, cfg, threshold=threshold,
+                            id_col=id_col, assume_small=False)
+
+    if n_cands == 0:
         from ..stages.verify import _empty_joined, score_pairs
         return score_pairs(_empty_joined(), cfg, threshold=threshold)
-    tab = pa.concat_tables(tabs)
+    tab = pa.concat_tables([t for t in ray.get(list(cand_refs)) if len(t)])
     need = np.unique(np.concatenate([
         np.asarray(tab["a"], dtype=np.int64),
         np.asarray(tab["b"], dtype=np.int64)]))
+
+    from ..stages.verify import (
+        VERIFY_BROADCAST_MAX_PAIRS, attach_and_score, verify_pairs_broadcast)
+    thr = cfg.verify_threshold if threshold is ... else threshold
 
     def _semi(t, nd=need):
         ids = np.asarray(t[id_col], dtype=np.int64)
@@ -96,16 +114,54 @@ def near_dup_pairs(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
         pos = np.clip(pos, 0, max(len(nd) - 1, 0))
         return t.filter(pa.array(nd[pos] == ids))
 
-    docs_sub = docs.map_batches(_semi, batch_format="pyarrow")
-    sig_sub = signatures(docs_sub, cfg, id_col=id_col, text_col=text_col,
-                         keep_minhash=False, with_simhash=False)
-    # sig_sub is already the exact needed subset: force the matching
-    # physical verify plan by size
-    from ..stages.verify import VERIFY_BROADCAST_MAX_PAIRS
-    small = cands.count() <= VERIFY_BROADCAST_MAX_PAIRS
-    return verify_pairs(cands, sig_sub.materialize(), cfg,
-                        threshold=threshold, id_col=id_col,
-                        assume_small=True if small else None)
+    if n_cands <= VERIFY_BROADCAST_MAX_PAIRS:
+        docs_sub = docs.map_batches(_semi, batch_format="pyarrow")
+        sig_sub = signatures(docs_sub, cfg, id_col=id_col, text_col=text_col,
+                             keep_minhash=False, with_simhash=False,
+                             keep_bands=False)
+        return verify_pairs_broadcast(cands, sig_sub, cfg, threshold=thr,
+                                      id_col=id_col)
+
+    # big-candidate path: fuse semi-filter + shingle-set recompute +
+    # partition tag into the signature exchange's split tasks, then the
+    # two-pass co-partitioned verification
+    from ..functions.hashing import splitmix64
+    from ..functions.shuffle import hash_partition_map
+    from ..stages.signatures import SignatureStage
+    from ..stages.verify import _sort_sig_block
+
+    n_parts = cfg.resolved_partitions()
+    stage_cache: dict = {}
+
+    def _sets_map(t: pa.Table, nd=need) -> pa.Table:
+        empty = pa.table({"id": pa.array([], pa.int64()),
+                          "blob": pa.array([], pa.large_binary()),
+                          "part": pa.array([], pa.int64())})
+        if len(t) == 0 or id_col not in t.column_names:
+            return empty
+        t = _semi(t, nd)
+        if len(t) == 0:
+            return empty
+        stage = stage_cache.get("s")
+        if stage is None:
+            stage = SignatureStage(cfg, id_col=id_col, text_col=text_col,
+                                   keep_minhash=False, with_simhash=False,
+                                   keep_bands=False)
+            stage_cache["s"] = stage
+        sig = stage(t)
+        ids = np.asarray(sig[id_col], dtype=np.int64)
+        part = (splitmix64(ids.view(np.uint64))
+                % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({"id": pa.array(ids, pa.int64()),
+                         "blob": sig["shingles"].cast(pa.large_binary()),
+                         "part": pa.array(part, pa.int64())})
+
+    sig_blocks = hash_partition_map(
+        docs.select_columns([id_col, text_col]), "part", _sort_sig_block,
+        n_parts, map_fn=_sets_map,
+        map_chunk_rows=cfg.batch_size).to_arrow_refs()
+    return attach_and_score(cands, None, cfg, thr, id_col=id_col,
+                            sig_blocks=sig_blocks)
 
 
 def near_dup_clusters(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,

@@ -160,25 +160,44 @@ def ann_ivf_topk(ds, query_ids, k: int = 10, *, n_clusters: int | None = None,
     query, candidates shrink from N to ~N·nprobe/n_clusters.
 
     → Dataset(query_id, vec_id, cosine) — approximate: vectors outside
-    the probed clusters are unseen (recall measured in tests)."""
+    the probed clusters are unseen (recall measured in tests).
+
+    Scale behavior: the quantizer trains on a DETERMINISTIC hash-sampled
+    ~``train_sample`` rows and the query vectors are pulled by a
+    filtered pass — the driver only ever holds the sample + the queries,
+    never the corpus (the full-table collect this replaced was the
+    classic driver-materialization anti-pattern)."""
     import ray
     import pyarrow.compute as pc_
 
-    tabs = [ray.get(r) for r in ds.to_arrow_refs()]
-    head = pa.concat_tables([t for t in tabs if len(t)])
-    ids_all = np.asarray(head[id_col], dtype=np.int64)
-    n = len(ids_all)
+    from ..functions.hashing import splitmix64
+
+    n = ds.count()
     if n_clusters is None:
         n_clusters = max(2, int(np.sqrt(n)))
-    sample_idx = np.random.default_rng(cfg.seed).choice(
-        n, size=min(train_sample, n), replace=False)
-    mat_sample = _normalize(_embedding_matrix(head, emb_col)[sample_idx])
-    cents = _kmeans(mat_sample, n_clusters, iters=10, seed=cfg.seed)
+    frac = min(1.0, train_sample / max(n, 1))
+    cut = np.uint64(min(int(frac * (2**64 - 1)), 2**64 - 1))
+    salt = np.uint64((cfg.seed * 0x9E3779B97F4A7C15) & (2**64 - 1))
+    qset = np.asarray(sorted(set(query_ids)), dtype=np.int64)
+
+    def _pick(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col], dtype=np.int64)
+        keep = splitmix64(ids.view(np.uint64) ^ salt) <= cut
+        keep |= np.isin(ids, qset)
+        return t.filter(pa.array(keep))
+
+    picked = pa.concat_tables(
+        [t for t in ray.get(ds.map_batches(
+            _pick, batch_format="pyarrow").to_arrow_refs()) if len(t)])
+    ids_p = np.asarray(picked[id_col], dtype=np.int64)
+    mat_p = _normalize(_embedding_matrix(picked, emb_col))
+    train_mask = splitmix64(ids_p.view(np.uint64) ^ salt) <= cut
+    cents = _kmeans(mat_p[train_mask], n_clusters, iters=10, seed=cfg.seed)
     cents_ref = ray.put(cents)
 
-    q_mask = np.isin(ids_all, np.asarray(list(query_ids), dtype=np.int64))
-    q_mat = _normalize(_embedding_matrix(head, emb_col)[q_mask])
-    q_ids = ids_all[q_mask]
+    q_mask = np.isin(ids_p, qset)
+    q_mat = mat_p[q_mask]
+    q_ids = ids_p[q_mask]
     q_clusters = np.argsort(-(q_mat @ cents.T), axis=1)[:, :nprobe]  # (Q, nprobe)
     probed = np.unique(q_clusters)
     q_ref = ray.put({"ids": q_ids, "mat": q_mat, "clusters": q_clusters,

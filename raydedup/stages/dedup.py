@@ -108,18 +108,77 @@ def exact_dedup(ds, cfg: PipelineConfig, id_col: str = "doc_id",
                    num_partitions=cfg.resolved_partitions(), on=(id_col,))
 
 
+EXACT_PAIRS_MAX_GROUP = 1000   # all-pairs enumeration cap per dup group
+
+
 def exact_dup_pairs(ds, cfg: PipelineConfig, id_col: str = "doc_id",
-                    text_col: str = "text"):
-    """All canonical pairs (a<b) of byte-identical texts — via self-join
-    on the 128-bit content hash, never materializing groups in Python."""
+                    text_col: str = "text",
+                    max_group_size: int = EXACT_PAIRS_MAX_GROUP,
+                    counters=None):
+    """Canonical pairs (a<b) of byte-identical texts.
+
+    Physical plan: hash-partition rows by content hash (each dup group
+    lands whole in one partition), then vectorized within-group pair
+    emission — no self-join, so a text duplicated N times costs one
+    N-row group, not an N² join intermediate.  Groups LARGER than
+    ``max_group_size`` (boilerplate floods) emit the linear star
+    (min_id, member) pairs instead of the quadratic enumeration —
+    connectivity (and exact_dup_components) is identical; only the
+    redundant transitive pairs are dropped, and the count is surfaced
+    through ``counters`` (`exact_overcap_groups/rows`).
+    """
+    from ..functions.hashing import splitmix64
+    from ..functions.shuffle import hash_partition_map
+    from .lsh import _all_pairs_of_runs
+
+    n_parts = cfg.resolved_partitions()
     hashed = with_text_hash(ds.select_columns([id_col, text_col]), text_col) \
         .select_columns([id_col, *_HASH_COLS])
-    left = hashed.rename_columns({id_col: "a"})
-    right = hashed.rename_columns({id_col: "b"})
-    joined = left.join(right, join_type="inner",
-                       num_partitions=cfg.resolved_partitions(),
-                       on=tuple(_HASH_COLS))
-    return joined.map_batches(
-        lambda t: t.filter(pc.less(t["a"], t["b"])).select(["a", "b"]),
-        batch_format="pyarrow",
-    )
+
+    def _tag(t: pa.Table) -> pa.Table:
+        h = np.asarray(t["text_hash"], dtype=np.int64)
+        part = (np.asarray(splitmix64(h.view(np.uint64)))
+                % np.uint64(n_parts)).astype(np.int64)
+        return t.append_column("part", pa.array(part, pa.int64()))
+
+    def _emit(tab: pa.Table | None) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64())})
+        if tab is None or len(tab) == 0:
+            return empty
+        h1 = np.asarray(tab["text_hash"], dtype=np.int64)
+        h2 = np.asarray(tab["text_hash2"], dtype=np.int64)
+        ids = np.asarray(tab[id_col], dtype=np.int64)
+        order = np.lexsort((ids, h2, h1))
+        h1, h2, ids = h1[order], h2[order], ids[order]
+        starts = np.empty(len(h1), dtype=bool)
+        starts[0] = True
+        starts[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+        run_id = np.cumsum(starts) - 1            # group index per row
+        rs = np.flatnonzero(starts)
+        rl = np.diff(np.append(rs, len(h1)))
+        over = rl > max_group_size
+        if over.any() and counters is not None:
+            counters.add.remote({"exact_overcap_groups": int(over.sum()),
+                                 "exact_overcap_rows": int(rl[over].sum())})
+        small = ~over
+        sel = np.repeat(small, rl)
+        lo, hi = _all_pairs_of_runs(run_id[sel], ids[sel])
+        if over.any():
+            # star: every member pairs with the group's min id (ids are
+            # sorted within the run, so the first element is the min)
+            stars_a, stars_b = [], []
+            for s, l in zip(rs[over], rl[over]):
+                mem = ids[s + 1: s + l]
+                stars_a.append(np.full(l - 1, ids[s], dtype=np.int64))
+                stars_b.append(mem)
+            lo = np.concatenate([lo, *stars_a])
+            hi = np.concatenate([hi, *stars_b])
+        if not len(lo):
+            return empty
+        return pa.table({"a": pa.array(lo, pa.int64()),
+                         "b": pa.array(hi, pa.int64())})
+
+    tagged = hashed.map_batches(_tag, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    return hash_partition_map(tagged, "part", _emit, n_parts)

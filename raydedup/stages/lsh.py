@@ -166,7 +166,7 @@ def _intra(lens: np.ndarray) -> np.ndarray:
 
 
 def candidate_pairs(band_ds, cfg: PipelineConfig, id_col: str = "doc_id",
-                    counters=None):
+                    counters=None, dedup: str = "global"):
     """(band_key, doc_id) rows → distinct canonical candidate pairs (a < b).
 
     Physical plan: two LOW-CARDINALITY partition shuffles, no joins and
@@ -184,6 +184,12 @@ def candidate_pairs(band_ds, cfg: PipelineConfig, id_col: str = "doc_id",
     ``counters``: optional ``RunCounters.actor`` handle; salting stats
     (`lsh_overcap_buckets/rows`, `lsh_salted_pairs`) are accumulated
     there fire-and-forget from the emit tasks.
+
+    ``dedup``: "global" (default) runs shuffle 2 and returns globally
+    distinct pairs.  "local" skips it — the output may contain the same
+    pair from different band partitions (already deduped within each) —
+    for consumers that shuffle by hash(a) anyway (the verification
+    exchange) and can dedup there for free, saving a whole barrier.
 
     Returns a Dataset with columns ``a:int64, b:int64``.
     """
@@ -204,6 +210,8 @@ def candidate_pairs(band_ds, cfg: PipelineConfig, id_col: str = "doc_id",
     parted = band_ds.map_batches(_part1, batch_format="pyarrow",
                                  zero_copy_batch=True)
 
+    local_only = dedup == "local"
+
     def _emit(group: pa.Table | None) -> pa.Table:
         if group is None or len(group) == 0:
             lo = hi = np.empty(0, np.int64)
@@ -219,16 +227,117 @@ def candidate_pairs(band_ds, cfg: PipelineConfig, id_col: str = "doc_id",
             pk = np.stack([lo, hi], axis=1)
             pk = np.unique(pk, axis=0)
             lo, hi = pk[:, 0].copy(), pk[:, 1].copy()
-        part = (splitmix64(lo.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-                           ^ hi.view(np.uint64))
-                % np.uint64(n_parts)).astype(np.int64)
-        return pa.table({
+        cols = {
             "a": pa.array(lo, pa.int64()),
             "b": pa.array(hi, pa.int64()),
+        }
+        if not local_only:
+            part = (splitmix64(lo.view(np.uint64)
+                               * np.uint64(0x9E3779B97F4A7C15)
+                               ^ hi.view(np.uint64))
+                    % np.uint64(n_parts)).astype(np.int64)
+            cols["part"] = pa.array(part, pa.int64())
+        return pa.table(cols)
+
+    pairs = hash_partition_map(parted, "part", _emit, n_parts)
+    if local_only:
+        return pairs
+
+    def _dedup(group: pa.Table | None) -> pa.Table:
+        if group is None or len(group) == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        pk = np.stack([np.asarray(group["a"], dtype=np.int64),
+                       np.asarray(group["b"], dtype=np.int64)], axis=1)
+        pk = np.unique(pk, axis=0)
+        return pa.table({"a": pa.array(pk[:, 0], pa.int64()),
+                         "b": pa.array(pk[:, 1], pa.int64())})
+
+    return hash_partition_map(pairs, "part", _dedup, n_parts)
+
+
+def candidate_pairs_from_docs(docs, cfg: PipelineConfig, *,
+                              id_col: str = "doc_id",
+                              text_col: str = "text", counters=None,
+                              dedup: str = "global"):
+    """docs → candidate pairs with the ENTIRE map side (fused stream-OPH
+    signatures → band explosion → partition tag) executed inside the
+    shuffle's split tasks: the 32x-exploded band rows are sliced into
+    partitions in the same task that produced them, never materialized to
+    the object store as an intermediate dataset.  One barrier less and
+    ~2x less plasma traffic than signatures()+explode_bands()+
+    candidate_pairs() — the scaling-efficiency path for the flagship
+    pipeline."""
+    from ..stages.signatures import SignatureStage
+
+    n_parts = cfg.resolved_partitions()
+    stage_cache: dict = {}
+
+    def _map(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or id_col not in t.column_names:
+            return pa.table({
+                "band_key": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "part": pa.array([], pa.int64()),
+            })
+        stage = stage_cache.get("s")
+        if stage is None:
+            stage = SignatureStage(cfg, id_col=id_col, text_col=text_col,
+                                   keep_shingles=False, keep_minhash=False,
+                                   with_simhash=False)
+            stage_cache["s"] = stage
+        sig = stage(t)
+        keep = pc.greater(sig["n_shingles"], 0)
+        sig = sig.filter(keep)
+        if len(sig) == 0:
+            return pa.table({
+                "band_key": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "part": pa.array([], pa.int64()),
+            })
+        bands = sig["bands"].combine_chunks()
+        bw = len(bands[0])
+        flat = np.asarray(bands.flatten(), dtype=np.uint64).view(np.int64)
+        ids = np.repeat(np.asarray(sig[id_col], dtype=np.int64), bw)
+        part = (flat.view(np.uint64) % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({
+            "band_key": pa.array(flat, pa.int64()),
+            id_col: pa.array(ids, pa.int64()),
             "part": pa.array(part, pa.int64()),
         })
 
-    pairs = hash_partition_map(parted, "part", _emit, n_parts)
+    cap = cfg.band_bucket_cap
+    local_only = dedup == "local"
+
+    def _emit(group: pa.Table | None) -> pa.Table:
+        if group is None or len(group) == 0:
+            lo = hi = np.empty(0, np.int64)
+        else:
+            keys = np.asarray(group["band_key"], dtype=np.int64)
+            ids = np.asarray(group[id_col], dtype=np.int64)
+            lo, hi, stats = _emit_run_pairs(keys, ids, cap)
+            if counters is not None and any(stats.values()):
+                counters.add.remote(stats)
+        if len(lo):
+            pk = np.stack([lo, hi], axis=1)
+            pk = np.unique(pk, axis=0)
+            lo, hi = pk[:, 0].copy(), pk[:, 1].copy()
+        cols = {"a": pa.array(lo, pa.int64()),
+                "b": pa.array(hi, pa.int64())}
+        if not local_only:
+            from ..functions.hashing import splitmix64
+            part = (splitmix64(lo.view(np.uint64)
+                               * np.uint64(0x9E3779B97F4A7C15)
+                               ^ hi.view(np.uint64))
+                    % np.uint64(n_parts)).astype(np.int64)
+            cols["part"] = pa.array(part, pa.int64())
+        return pa.table(cols)
+
+    pairs = hash_partition_map(docs.select_columns([id_col, text_col]),
+                               "part", _emit, n_parts, map_fn=_map,
+                               map_chunk_rows=cfg.batch_size)
+    if local_only:
+        return pairs
 
     def _dedup(group: pa.Table | None) -> pa.Table:
         if group is None or len(group) == 0:

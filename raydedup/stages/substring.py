@@ -147,52 +147,118 @@ def substring_dedup(docs_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
                     text_col: str = "text"):
     """→ docs with duplicated ≥min_tokens runs cut out: columns
     (id_col, text_col, text_deduped, n_cut_tokens).  Docs without spans
-    pass through with text_deduped == text."""
-    import ray
+    pass through with text_deduped == text.
 
+    Cut phase physical plan: docs and spans are co-partitioned by
+    hash(doc_id) — the span side arrives ALREADY on that key from
+    find_duplicate_spans — and each partition cuts vectorized: Arrow
+    ``split_pattern`` tokenizes the whole partition, a diff-array over
+    span boundaries builds the keep-mask in O(tokens + spans), and
+    ``pc.binary_join`` rebuilds the texts.  No span broadcast, no
+    per-row Python loop — the span table can exceed any single node.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.shuffle import hash_partition_map
+
+    n_parts = cfg.resolved_partitions()
     spans = find_duplicate_spans(docs_ds, cfg, min_tokens=min_tokens,
                                  id_col=id_col, text_col=text_col)
-    span_tab = pa.concat_tables(
-        [t for t in (ray.get(r) for r in spans.to_arrow_refs()) if len(t)]
-    ) if spans.count() else None
-    if span_tab is None or len(span_tab) == 0:
-        return docs_ds.map_batches(
-            lambda t: t.append_column("text_deduped", t[text_col])
-                       .append_column("n_cut_tokens",
-                                      pa.array(np.zeros(len(t), np.int64))),
-            batch_format="pyarrow",
-        )
-    # spans are a small fraction of the corpus: broadcast them and cut
-    # inside a map (the 10^12-doc path would partition by doc instead)
-    sp_ids = np.asarray(span_tab[id_col], dtype=np.int64)
-    sp_start = np.asarray(span_tab["start_tok"], dtype=np.int64)
-    sp_end = np.asarray(span_tab["end_tok"], dtype=np.int64)
-    order = np.lexsort((sp_start, sp_ids))
-    ref = ray.put({"ids": sp_ids[order], "start": sp_start[order],
-                   "end": sp_end[order]})
 
-    def _cut(batch: pa.Table) -> pa.Table:
-        sp = ray.get(ref)
-        ids = np.asarray(batch[id_col], dtype=np.int64)
-        texts = batch[text_col].to_pylist()
-        lo = np.searchsorted(sp["ids"], ids, side="left")
-        hi = np.searchsorted(sp["ids"], ids, side="right")
-        out_texts, n_cut = [], []
-        for i, t in enumerate(texts):
-            if lo[i] == hi[i]:
-                out_texts.append(t)
-                n_cut.append(0)
-                continue
-            toks = t.split(" ")
-            keep = np.ones(len(toks), dtype=bool)
-            for j in range(lo[i], hi[i]):
-                keep[sp["start"][j]:sp["end"][j]] = False
-            out_texts.append(" ".join(tok for tok, kp in zip(toks, keep) if kp))
-            n_cut.append(int((~keep).sum()))
-        batch = batch.append_column("text_deduped",
-                                    pa.array(out_texts, pa.string()))
-        return batch.append_column("n_cut_tokens",
-                                   pa.array(n_cut, pa.int64()))
+    def _hashp(ids: np.ndarray) -> np.ndarray:
+        return (np.asarray(splitmix64(ids.view(np.uint64)))
+                % np.uint64(n_parts)).astype(np.int64)
 
-    return docs_ds.map_batches(_cut, batch_format="pyarrow",
-                               batch_size=cfg.batch_size)
+    def _tag_docs(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col], dtype=np.int64)
+        return pa.table({
+            id_col: t[id_col],
+            text_col: t[text_col],
+            "start_tok": pa.nulls(len(t), pa.int64()),
+            "end_tok": pa.nulls(len(t), pa.int64()),
+            "part": pa.array(_hashp(ids), pa.int64()),
+            "_isspan": pa.array(np.zeros(len(t), np.int8), pa.int8()),
+        })
+
+    def _tag_spans(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col], dtype=np.int64)
+        return pa.table({
+            id_col: t[id_col],
+            text_col: pa.nulls(len(t), pa.string()),
+            "start_tok": t["start_tok"],
+            "end_tok": t["end_tok"],
+            "part": pa.array(_hashp(ids), pa.int64()),
+            "_isspan": pa.array(np.ones(len(t), np.int8), pa.int8()),
+        })
+
+    def _cut(group: pa.Table | None) -> pa.Table:
+        empty = pa.table({
+            id_col: pa.array([], pa.int64()),
+            text_col: pa.array([], pa.string()),
+            "text_deduped": pa.array([], pa.string()),
+            "n_cut_tokens": pa.array([], pa.int64()),
+        })
+        if group is None or len(group) == 0:
+            return empty
+        isspan = np.asarray(group["_isspan"], dtype=np.int8) == 1
+        docs = group.filter(pa.array(~isspan))
+        if len(docs) == 0:
+            return empty
+        sp = group.filter(pa.array(isspan))
+        ids = np.asarray(docs[id_col], dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        docs = docs.take(pa.array(order, pa.int64()))
+        ids = ids[order]
+
+        texts = pc.fill_null(docs[text_col], "").combine_chunks()
+        lists = pc.split_pattern(texts, pattern=" ")
+        offs = np.asarray(lists.offsets, dtype=np.int64)
+        offs = offs - offs[0]
+        total = int(offs[-1])
+        n_tok = offs[1:] - offs[:-1]
+
+        cut_mask = np.zeros(total, dtype=bool)
+        if len(sp):
+            s_ids = np.asarray(sp[id_col], dtype=np.int64)
+            s_start = np.asarray(sp["start_tok"], dtype=np.int64)
+            s_end = np.asarray(sp["end_tok"], dtype=np.int64)
+            di = np.searchsorted(ids, s_ids)
+            di = np.clip(di, 0, max(len(ids) - 1, 0))
+            ok = ids[di] == s_ids if len(ids) else np.zeros(len(s_ids), bool)
+            di, s_start, s_end = di[ok], s_start[ok], s_end[ok]
+            g_start = offs[di] + np.minimum(s_start, n_tok[di])
+            g_end = offs[di] + np.minimum(s_end, n_tok[di])
+            delta = np.zeros(total + 1, dtype=np.int64)
+            np.add.at(delta, g_start, 1)
+            np.add.at(delta, g_end, -1)
+            cut_mask = np.cumsum(delta[:total]) > 0
+
+        keep = ~cut_mask
+        if total:
+            # reduceat needs indices < total (trailing empty docs would
+            # pass total); empty segments are fixed up right after
+            kept_per_doc = np.add.reduceat(
+                keep.astype(np.int64), np.minimum(offs[:-1], total - 1))
+        else:
+            kept_per_doc = np.zeros(len(ids), np.int64)
+        kept_per_doc[n_tok == 0] = 0
+        new_offs = np.zeros(len(ids) + 1, dtype=np.int64)
+        np.cumsum(kept_per_doc, out=new_offs[1:])
+        flat = lists.flatten()
+        kept_tokens = flat.filter(pa.array(keep)) if total else flat
+        new_list = pa.ListArray.from_arrays(
+            pa.array(new_offs, pa.int32()) if new_offs[-1] < 2**31
+            else pa.array(new_offs, pa.int64()),
+            kept_tokens)
+        deduped = pc.binary_join(new_list, " ")
+        return pa.table({
+            id_col: docs[id_col],
+            text_col: docs[text_col],
+            "text_deduped": deduped,
+            "n_cut_tokens": pa.array(n_tok - kept_per_doc, pa.int64()),
+        })
+
+    tagged = docs_ds.select_columns([id_col, text_col]).map_batches(
+        _tag_docs, batch_format="pyarrow").union(
+        spans.map_batches(_tag_spans, batch_format="pyarrow"))
+    return hash_partition_map(tagged, "part", _cut, n_parts)

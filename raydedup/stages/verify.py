@@ -36,8 +36,19 @@ def attach_sets(pairs_ds, sig_ds, cfg: PipelineConfig, id_col: str = "doc_id",
                             id_col=id_col, set_col=set_col)
 
 
+def _sort_sig_block(tab):
+    """Reduce fn for the signature exchange: one sorted (id, blob) block
+    per hash partition, ready for searchsorted lookups."""
+    if tab is None or len(tab) == 0:
+        return pa.table({"id": pa.array([], pa.int64()),
+                         "blob": pa.array([], pa.large_binary())})
+    order = np.argsort(np.asarray(tab["id"], dtype=np.int64), kind="stable")
+    return tab.take(pa.array(order, pa.int64()))
+
+
 def attach_and_score(pairs_ds, sig_ds, cfg: PipelineConfig, threshold,
-                     id_col: str = "doc_id", set_col: str = "shingles"):
+                     id_col: str = "doc_id", set_col: str = "shingles",
+                     sig_blocks=None):
     """Large-candidate verification over raw Ray tasks, one signature
     shuffle total:
 
@@ -49,6 +60,11 @@ def attach_and_score(pairs_ds, sig_ds, cfg: PipelineConfig, threshold,
     Both passes look sets up in the SAME static partitioned signature
     blocks (co-partitioned by one hash), so the heavy side never moves
     twice and the (set_a, set_b) double-blob intermediate never exists.
+
+    ``sig_blocks``: optionally, the P pre-built sorted (id, blob) block
+    refs (hash_partition_map(..., _sort_sig_block, P) output with the
+    SAME n_parts/hash) — lets callers fuse set (re)computation into that
+    exchange's split tasks; ``sig_ds`` is ignored then.
     """
     import ray
     import ray.data as rd
@@ -61,28 +77,25 @@ def attach_and_score(pairs_ds, sig_ds, cfg: PipelineConfig, threshold,
     def _hashp(x: np.ndarray) -> np.ndarray:
         return (splitmix64(x.view(np.uint64)) % np.uint64(n_parts)).astype(np.int64)
 
-    # --- static signature partitions (sorted by id for searchsorted) ---
-    def _tag_sig(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t[id_col], dtype=np.int64)
-        return pa.table({
-            "id": pa.array(ids, pa.int64()),
-            "blob": t[set_col].cast(pa.large_binary())
-            if not pa.types.is_large_binary(t.schema.field(set_col).type)
-            else t[set_col],
-            "part": pa.array(_hashp(ids), pa.int64()),
-        })
+    if sig_blocks is None:
+        # --- static signature partitions (sorted by id) ---
+        def _tag_sig(t: pa.Table) -> pa.Table:
+            ids = np.asarray(t[id_col], dtype=np.int64)
+            return pa.table({
+                "id": pa.array(ids, pa.int64()),
+                "blob": t[set_col].cast(pa.large_binary())
+                if not pa.types.is_large_binary(t.schema.field(set_col).type)
+                else t[set_col],
+                "part": pa.array(_hashp(ids), pa.int64()),
+            })
 
-    def _sort_sig(tab):
-        if tab is None or len(tab) == 0:
-            return pa.table({"id": pa.array([], pa.int64()),
-                             "blob": pa.array([], pa.large_binary())})
-        order = np.argsort(np.asarray(tab["id"], dtype=np.int64), kind="stable")
-        return tab.take(pa.array(order, pa.int64()))
-
-    sig_tagged = sig_ds.select_columns([id_col, set_col]).map_batches(
-        _tag_sig, batch_format="pyarrow", zero_copy_batch=True)
-    sig_blocks = hash_partition_map(sig_tagged, "part", _sort_sig,
-                                    n_parts).to_arrow_refs()
+        sig_tagged = sig_ds.select_columns([id_col, set_col]).map_batches(
+            _tag_sig, batch_format="pyarrow", zero_copy_batch=True)
+        sig_blocks = hash_partition_map(sig_tagged, "part", _sort_sig_block,
+                                        n_parts).to_arrow_refs()
+    elif len(sig_blocks) != n_parts:
+        raise ValueError(f"sig_blocks has {len(sig_blocks)} blocks, "
+                         f"expected n_parts={n_parts}")
 
     # --- pass 0: split pairs by hash(a) ---
     def _tag_pairs(t: pa.Table) -> pa.Table:
@@ -90,16 +103,23 @@ def attach_and_score(pairs_ds, sig_ds, cfg: PipelineConfig, threshold,
         return pa.table({"a": t["a"], "b": t["b"],
                          "part": pa.array(_hashp(a), pa.int64())})
 
-    def _ident(tab):
+    def _dedup_pairs(tab):
+        # all copies of a pair share hash(a) → land here together; dedup
+        # is free in this partition (lets candidate_pairs skip its own
+        # global dedup shuffle — dedup="local")
         if tab is None or len(tab) == 0:
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64())})
-        return tab
+        pk = np.stack([np.asarray(tab["a"], dtype=np.int64),
+                       np.asarray(tab["b"], dtype=np.int64)], axis=1)
+        pk = np.unique(pk, axis=0)
+        return pa.table({"a": pa.array(pk[:, 0], pa.int64()),
+                         "b": pa.array(pk[:, 1], pa.int64())})
 
     pairs_p = hash_partition_map(
         pairs_ds.map_batches(_tag_pairs, batch_format="pyarrow",
                              zero_copy_batch=True),
-        "part", _ident, n_parts).to_arrow_refs()
+        "part", _dedup_pairs, n_parts).to_arrow_refs()
 
     def _lookup_blobs(sig_tab, keys):
         sid = np.asarray(sig_tab["id"], dtype=np.int64)

@@ -65,6 +65,44 @@ class TestShingles:
         assert (v1 == v2).all() and (o1 == o2).all()
 
 
+class TestShingleStream:
+    def test_stream_oph_bit_identical_to_set_oph(self):
+        # the fused slim path must produce EXACTLY the signatures of the
+        # sorted-unique path (min per bin is duplicate/order-invariant)
+        from raydedup.functions.sketches import (
+            minhash_oph_stream, minhash_signatures_oph)
+        from raydedup.functions.text import shingle_stream
+        texts = TEXTS + ["w1 w2 w3 w4 w5 w6 " * 40]   # heavy duplication
+        arr = pa.array(texts, type=pa.string())
+        salt = perm_seeds(128, 42)[0]
+        vals, offs = shingle_batch(arr, 5)
+        want = minhash_signatures_oph(vals, offs, 128, salt)
+        wh, wd, nd = shingle_stream(arr, 5)
+        got = minhash_oph_stream(wh, wd, nd, 128, salt)
+        assert nd == len(texts)
+        assert (got == want).all()
+
+    def test_stream_window_counts(self):
+        from raydedup.functions.text import shingle_stream
+        wh, wd, nd = shingle_stream(pa.array(TEXTS, type=pa.string()), 5)
+        counts = np.bincount(wd, minlength=nd)
+        for i, t in enumerate(TEXTS):
+            toks = t.split(" ") if t else [""]
+            want = max(0, len(toks) - 4)
+            assert counts[i] == want, t
+        # zero-window docs agree between stream and set paths
+        _, offs = _sets(TEXTS)
+        set_sizes = offs[1:] - offs[:-1]
+        assert ((counts == 0) == (set_sizes == 0)).all()
+
+    def test_stream_empty_batch(self):
+        from raydedup.functions.sketches import minhash_oph_stream
+        from raydedup.functions.text import shingle_stream
+        wh, wd, nd = shingle_stream(pa.array([], type=pa.string()), 5)
+        sig = minhash_oph_stream(wh, wd, nd, 128, np.uint64(1))
+        assert sig.shape == (0, 128)
+
+
 class TestJaccardKernel:
     def test_matches_brute_force(self):
         vals, offs = _sets(TEXTS)

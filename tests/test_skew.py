@@ -102,6 +102,44 @@ class TestEmitRunPairsSalting:
         assert stats["lsh_overcap_buckets"] == 0
 
 
+class TestExactPairsGroupGuard:
+    def test_10k_copy_text_no_quadratic_blowup(self, ray_session):
+        # 10k byte-identical copies: all-pairs would be ~50M rows; the
+        # star guard emits the linear (min_id, member) pairs instead,
+        # and components stay identical to full enumeration.
+        import ray.data as rd
+        from raydedup.config import PipelineConfig
+        from raydedup.stages.cc import connected_components
+        from raydedup.stages.dedup import exact_dup_pairs
+        from raydedup.state import RunCounters
+        n = 10_000
+        texts = ["same doc body here"] * n + ["unique %d" % i
+                                              for i in range(50)]
+        ds = _docs_ds(texts)
+        cfg = PipelineConfig(num_partitions=4, batch_size=2048)
+        rc = RunCounters()
+        pairs = exact_dup_pairs(ds, cfg, counters=rc.actor).to_pandas()
+        # linear star output, not ~50M
+        assert len(pairs) == n - 1
+        assert (pairs["a"] == 0).all()
+        assert rc.get()["exact_overcap_groups"] == 1
+        # clustering equivalent to full enumeration: one component
+        comp = connected_components(
+            rd.from_arrow(pa.Table.from_pandas(pairs)), cfg).to_pandas()
+        assert comp["component"].nunique() == 1
+        assert len(comp) == n
+
+    def test_small_groups_full_enumeration(self, ray_session):
+        from raydedup.config import PipelineConfig
+        from raydedup.stages.dedup import exact_dup_pairs
+        texts = ["x"] * 4 + ["y"] * 2 + ["z%d" % i for i in range(5)]
+        pairs = exact_dup_pairs(_docs_ds(texts),
+                                PipelineConfig(num_partitions=4)).to_pandas()
+        got = {(a, b) for a, b in zip(pairs["a"], pairs["b"])}
+        want = {(a, b) for a in range(4) for b in range(a + 1, 4)} | {(4, 5)}
+        assert got == want
+
+
 class TestDistributedCCCheckpoint:
     def test_checkpoint_fn_called_and_result_correct(self, ray_session):
         import ray.data as rd

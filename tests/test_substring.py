@@ -67,6 +67,42 @@ class TestDuplicateSpans:
         assert out.iloc[1]["text_deduped"] == "b1 b2 b3"
         assert out.iloc[1]["n_cut_tokens"] == 12
 
+    def test_many_spans_partitioned_cut_matches_python_oracle(
+            self, ray_session):
+        # hundreds of spans over hundreds of docs: the doc-partitioned
+        # vectorized cut must agree with a straightforward per-doc
+        # Python cut (the span table never touches a broadcast)
+        from raydedup.stages.substring import (
+            find_duplicate_spans, substring_dedup)
+        rng = np.random.default_rng(7)
+        boiler = " ".join(f"bp{i}" for i in range(L + 4))
+        texts = []
+        for d in range(300):
+            toks = [f"u{d}_{i}" for i in range(int(rng.integers(20, 60)))]
+            if d % 3:
+                ins = int(rng.integers(0, len(toks)))
+                toks = toks[:ins] + boiler.split(" ") + toks[ins:]
+            texts.append(" ".join(toks))
+        cfg = PipelineConfig(num_partitions=4, batch_size=64)
+        spans = find_duplicate_spans(_mk_docs(texts), cfg, min_tokens=L) \
+            .to_pandas()
+        out = substring_dedup(_mk_docs(texts), cfg, min_tokens=L) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert len(out) == 300
+        # python oracle cut from the same span table
+        by_doc = spans.groupby("doc_id")
+        for d in range(300):
+            toks = texts[d].split(" ")
+            keep = np.ones(len(toks), bool)
+            if d in by_doc.groups:
+                for _, r in by_doc.get_group(d).iterrows():
+                    keep[int(r["start_tok"]):int(r["end_tok"])] = False
+            want = " ".join(t for t, k in zip(toks, keep) if k)
+            assert out.iloc[d]["text_deduped"] == want, d
+            assert out.iloc[d]["n_cut_tokens"] == int((~keep).sum())
+        # sanity: the planted boilerplate produced real spans
+        assert len(spans) > 100
+
     def test_exact_dup_docs_keep_one(self, ray_session):
         from raydedup.stages.substring import substring_dedup
         base = " ".join(f"t{i}" for i in range(30))
