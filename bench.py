@@ -72,17 +72,22 @@ def run_bench() -> dict:
     if SLIM:
         # scaling mode: only the headline near-dup pipeline, on a corpus
         # big enough to be compute-dominated
+        from raydedup.state import RunCounters
         n = SCALING_DOCS
         synth = synth_pages_ds(n, seed=42, avg_tokens=300).materialize()
+        rc = RunCounters()
         n_pairs = timed("neardup_synth",
-                        lambda: near_dup_pairs(synth, cfg,
-                                               strategy=STRATEGY).count())
+                        lambda: near_dup_pairs(synth, cfg, strategy=STRATEGY,
+                                               counters=rc.actor).count())
         total = round(sum(timings.values()), 3)
         result = {
             "metric": "graft_bench_seconds", "value": total, "unit": "sec",
             "queries": timings, "sf": SF_DIR, "num_cpus": NCPUS,
             "synth_docs": n, "synth_dup_pairs": int(n_pairs),
             "docs_per_sec_neardup": round(n / timings["neardup_synth"], 1),
+            # per-stage wall times + flow counters (the EVENT_PROFILE
+            # analogue: reference standalone_algorithms.hpp:38-47)
+            "stages": rc.get(),
         }
         ray.shutdown()
         return result
@@ -140,8 +145,16 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    """N vs 4N CPUs, fresh processes, same input (the sandbox stand-in
+    for N- vs 4N-node clusters).  Default pair 4/16: both levels must be
+    CPU-bound for the ratio to measure SOFTWARE scaling — at 8+ CPUs
+    this single socket's DRAM bandwidth saturates first (per-task
+    core-seconds inflate ~3x at 32 workers; BASELINE.md), a ceiling the
+    real N-vs-4N-node comparison does not share (every node adds its
+    own DRAM+NIC).  8/32 numbers are also recorded in BASELINE.md."""
     import subprocess
-    lo, hi = 8, NCPUS if NCPUS > 8 else 32
+    lo = int(os.environ.get("GRAFT_SCALING_LO", "4"))
+    hi = 4 * lo
 
     def once(n):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_BENCH_SLIM="1")
@@ -150,14 +163,22 @@ def run_scaling() -> dict:
                              check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
         return json.loads(out.stdout.strip().splitlines()[-1])
 
-    # best-of-2 per level: single-run variance on this shared host is
-    # ±15-25% (plasma/page-cache state, noisy neighbors)
-    r_lo = min((once(lo) for _ in range(2)),
-               key=lambda r: r["queries"]["neardup_synth"])
-    r_hi = min((once(hi) for _ in range(2)),
-               key=lambda r: r["queries"]["neardup_synth"])
-    t_lo = r_lo["queries"]["neardup_synth"]
-    t_hi = r_hi["queries"]["neardup_synth"]
+    # INTERLEAVED median-of-3 per level: single-run variance on this
+    # shared host reaches ±60% (noisy neighbors, page-cache state); the
+    # lo/hi/lo/hi ordering exposes both levels to the same noise window
+    # and the median rejects one bad (or one lucky) run per side.
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
+    runs_lo, runs_hi = [], []
+    for _ in range(reps):
+        runs_lo.append(once(lo))
+        runs_hi.append(once(hi))
+
+    def med(runs):
+        ts = sorted(r["queries"]["neardup_synth"] for r in runs)
+        return ts[len(ts) // 2]
+
+    t_lo, t_hi = med(runs_lo), med(runs_hi)
+    docs = runs_lo[0]["synth_docs"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
@@ -165,10 +186,13 @@ def run_scaling() -> dict:
         "unit": "ratio",
         "cpus_lo": lo, "cpus_hi": hi,
         "sec_lo": t_lo, "sec_hi": t_hi,
-        "docs_per_sec_lo": round(r_lo["synth_docs"] / t_lo, 1),
-        "docs_per_sec_hi": round(r_hi["synth_docs"] / t_hi, 1),
-        "total_sec_lo": r_lo["value"], "total_sec_hi": r_hi["value"],
-        "synth_docs": r_lo["synth_docs"],
+        "sec_lo_all": sorted(round(r["queries"]["neardup_synth"], 2)
+                             for r in runs_lo),
+        "sec_hi_all": sorted(round(r["queries"]["neardup_synth"], 2)
+                             for r in runs_hi),
+        "docs_per_sec_lo": round(docs / t_lo, 1),
+        "docs_per_sec_hi": round(docs / t_hi, 1),
+        "synth_docs": docs,
     }
 
 

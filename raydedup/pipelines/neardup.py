@@ -66,10 +66,19 @@ def near_dup_pairs(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
     # explosion → partition tag) runs inside the candidate exchange's
     # split tasks (candidate_pairs_from_docs) — no signature table and no
     # exploded band-row dataset ever hit the object store.
+    import time as _time
+
     import numpy as np
     import pyarrow as pa
     import ray
 
+    def _mark(name, t0):
+        if counters is not None:
+            counters.add.remote(
+                {f"wall_ms_{name}": int((_time.perf_counter() - t0) * 1000)})
+        return _time.perf_counter()
+
+    t0 = _time.perf_counter()
     from ..stages.lsh import candidate_pairs_from_docs
     cands = candidate_pairs_from_docs(
         docs, cfg, id_col=id_col, text_col=text_col, counters=counters)
@@ -85,6 +94,9 @@ def near_dup_pairs(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
         return len(t)
 
     n_cands = sum(ray.get([_nrows.remote(r) for r in cand_refs]))
+    t0 = _mark("candidates", t0)
+    if counters is not None:
+        counters.add.remote({"candidate_pairs": n_cands})
 
     if n_cands > SEMI_FILTER_MAX_PAIRS:
         # endpoint ids too many to collect: recompute shingle SETS for
@@ -160,8 +172,11 @@ def near_dup_pairs(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
         docs.select_columns([id_col, text_col]), "part", _sort_sig_block,
         n_parts, map_fn=_sets_map,
         map_chunk_rows=cfg.batch_size).to_arrow_refs()
-    return attach_and_score(cands, None, cfg, thr, id_col=id_col,
-                            sig_blocks=sig_blocks)
+    t0 = _mark("endpoint_sets", t0)
+    out = attach_and_score(cands, None, cfg, thr, id_col=id_col,
+                           sig_blocks=sig_blocks)
+    _mark("verify", t0)
+    return out
 
 
 def near_dup_clusters(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,

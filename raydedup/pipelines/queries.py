@@ -251,17 +251,8 @@ def q_edge_jaccard_weighted(sf_dir):
     path): deterministic per-vertex weights w(v) = 1 + (v mod 7);
     float sums emitted as e6 integers (summation-order differs between
     engines)."""
-    import ray
     edges = _lineitem_edges(sf_dir)
-    max_v = 0
-    for r in edges.map_batches(
-            lambda t: pa.table({"m": pa.array(
-                [max(pc.max(t["src"]).as_py() or 0,
-                     pc.max(t["dst"]).as_py() or 0)], pa.int64())}),
-            batch_format="pyarrow").to_arrow_refs():
-        tt = ray.get(r)
-        if len(tt):
-            max_v = max(max_v, int(np.asarray(tt["m"]).max()))
+    max_v = int(max(edges.max("src"), edges.max("dst")))
     weights = 1.0 + (np.arange(max_v + 1, dtype=np.float64) % 7)
     out = gr.edge_jaccard(edges, CFG, weights=weights)
     return out.map_batches(
@@ -621,6 +612,55 @@ FROM grp GROUP BY doc_id, g
 """
 
 
+def q_substring_dedup_stats(sf_dir):
+    """Per-doc cut-token counts from the doc-partitioned vectorized
+    substring cut (docs with at least one cut span).  Spans are merged
+    non-overlapping, so the oracle is simply Σ(end-start) per doc over
+    the same span derivation."""
+    from ..stages.substring import substring_dedup
+    out = substring_dedup(_docs(sf_dir, ["doc_id", "text"]), CFG,
+                          min_tokens=20)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "n_cut_tokens"]).filter(
+            pc.greater(t["n_cut_tokens"], 0)),
+        batch_format="pyarrow")
+
+
+SQL_SUBSTRING_DEDUP_STATS = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+win AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+19], ' ') AS w
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 18)) AS i)
+  WHERE len(t) >= 20
+),
+firsts AS (SELECT w, min(doc_id * 1000000 + pos) AS fkey
+           FROM win GROUP BY w HAVING count(*) >= 2),
+dups AS (
+  SELECT win.doc_id, win.pos
+  FROM win JOIN firsts ON firsts.w = win.w
+  WHERE win.doc_id * 1000000 + win.pos <> firsts.fkey
+),
+marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 20
+              THEN 0 ELSE 1 END AS brk
+  FROM dups
+),
+grp AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM marked
+),
+spans AS (
+  SELECT doc_id, min(pos) AS start_tok, max(pos) + 20 AS end_tok
+  FROM grp GROUP BY doc_id, g
+)
+SELECT doc_id, sum(end_tok - start_tok)::BIGINT AS n_cut_tokens
+FROM spans GROUP BY doc_id
+"""
+
+
 def q_media_bytes(sf_dir):
     """Multimodal plumbing over the pages html payload: stubbed decode
     stage attaches media_bytes + a deterministic feature vector; the
@@ -725,42 +765,18 @@ LEFT JOIN cnt ca ON ca.doc_id = p.a LEFT JOIN cnt cb ON cb.doc_id = p.b
 
 
 def q_embedding_dup_pairs(sf_dir):
-    """Embedding-cosine near-dup: all pairs (a<b) with cosine ≥ 0.4 —
-    brute force against a broadcast normalized matrix.  (The synthetic
+    """Embedding-cosine near-dup: all pairs (a<b) with cosine ≥ 0.4.
+    Routed through stages/ann.embedding_dup_pairs: exact brute force
+    under the size gate (the oracle-checkable path — synthetic
     embeddings top out near 0.51 pairwise, so 0.4 yields a real result
-    set.)"""
-    import ray
+    set); hyperplane-LSH bucketed candidates + exact verify at scale
+    (recall-gated in tests/test_ann.py)."""
     import ray.data as rd
-    from ..stages.ann import _embedding_matrix, _normalize
+    from ..stages.ann import embedding_dup_pairs
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
-    tabs = [ray.get(r) for r in emb.to_arrow_refs()]
-    tab = pa.concat_tables([t for t in tabs if len(t)])
-    ids = np.asarray(tab["vec_id"], dtype=np.int64)
-    mat = _normalize(_embedding_matrix(tab, "embedding"))
-    order = np.argsort(ids, kind="stable")
-    ref = ray.put({"ids": ids[order], "mat": mat[order]})
-
-    def _pairs(batch: pa.Table) -> pa.Table:
-        pk = ray.get(ref)
-        bids = np.asarray(batch["vec_id"], dtype=np.int64)
-        bmat = _normalize(_embedding_matrix(batch, "embedding"))
-        sims = bmat @ pk["mat"].T                     # (B, N)
-        hit_b, hit_n = np.nonzero(sims >= 0.4)
-        a = bids[hit_b]
-        b = pk["ids"][hit_n]
-        keep = a < b
-        cos = sims[hit_b, hit_n][keep]
-        return pa.table({
-            "a": pa.array(a[keep], pa.int64()),
-            "b": pa.array(b[keep], pa.int64()),
-            "cosine_e6": pa.array(np.round(cos * 1e6).astype(np.int64),
-                                  pa.int64()),
-        })
-
-    out = emb.map_batches(_pairs, batch_format="pyarrow", batch_size=1024) \
-        .materialize()
+    out = embedding_dup_pairs(emb, threshold=0.4, cfg=CFG).materialize()
     if out.count() == 0:
         return pa.table({"a": pa.array([], pa.int64()),
                          "b": pa.array([], pa.int64()),
@@ -810,6 +826,7 @@ QUERIES = {
     "pages_meta": q_pages_meta,
     "lang_id": q_lang_id,
     "substring_spans": q_substring_spans,
+    "substring_dedup_stats": q_substring_dedup_stats,
     "media_bytes": q_media_bytes,
     "edge_jaccard_nonzero": q_edge_jaccard_nonzero,
     "edge_jaccard_weighted": q_edge_jaccard_weighted,
@@ -839,6 +856,7 @@ ORACLES = {
     "bpe_token_count": SQL_BPE_TOKEN_COUNT,
     "pages_meta": SQL_PAGES_META,
     "substring_spans": SQL_SUBSTRING_SPANS,
+    "substring_dedup_stats": SQL_SUBSTRING_DEDUP_STATS,
     "media_bytes": SQL_MEDIA_BYTES,
     "edge_jaccard_nonzero": SQL_EDGE_JACCARD_NONZERO,
     "edge_jaccard_weighted": SQL_EDGE_JACCARD_WEIGHTED,

@@ -251,6 +251,141 @@ def ann_ivf_topk(ds, query_ids, k: int = 10, *, n_clusters: int | None = None,
     return partials.groupby("query_id").map_groups(_topk, batch_format="pandas")
 
 
+EMBED_BRUTE_MAX_ROWS = 200_000
+
+
+def embedding_dup_pairs(ds, threshold: float = 0.4,
+                        cfg: PipelineConfig = DEFAULT_CONFIG,
+                        id_col: str = "vec_id", emb_col: str = "embedding",
+                        n_planes: int = 8, n_tables: int = 16,
+                        force: str | None = None):
+    """All pairs (a<b) with cosine ≥ threshold →
+    Dataset/Table(a, b, cosine_e6).
+
+    Two physical plans behind one size gate:
+
+    * ``brute`` (n ≤ EMBED_BRUTE_MAX_ROWS): broadcast the normalized
+      corpus matrix once (ray.put), every batch does one matmul against
+      it — O(N²) compute, exact; this is the oracle-checkable path.
+    * ``lsh`` (the scale path): ``n_tables`` independent hyperplane-LSH
+      bucketings feed the SAME bucketed candidate machinery as MinHash
+      banding (stages/lsh.candidate_pairs — cap-guarded, salted), then
+      candidate pairs are exactly cosine-verified against a broadcast
+      endpoint-only matrix.  Recall vs brute force is gated in
+      tests/test_ann.py.
+    """
+    import ray
+    import ray.data as rd
+
+    from ..functions.hashing import splitmix64
+    from .lsh import candidate_pairs
+
+    n = ds.count()
+    mode = force or ("brute" if n <= EMBED_BRUTE_MAX_ROWS else "lsh")
+
+    if mode == "brute":
+        tabs = [ray.get(r) for r in ds.to_arrow_refs()]
+        tab = pa.concat_tables([t for t in tabs if len(t)])
+        ids = np.asarray(tab[id_col], dtype=np.int64)
+        mat = _normalize(_embedding_matrix(tab, emb_col))
+        order = np.argsort(ids, kind="stable")
+        ref = ray.put({"ids": ids[order], "mat": mat[order]})
+
+        def _pairs(batch: pa.Table) -> pa.Table:
+            pk = ray.get(ref)
+            bids = np.asarray(batch[id_col], dtype=np.int64)
+            bmat = _normalize(_embedding_matrix(batch, emb_col))
+            sims = bmat @ pk["mat"].T                     # (B, N)
+            hit_b, hit_n = np.nonzero(sims >= threshold)
+            a = bids[hit_b]
+            b = pk["ids"][hit_n]
+            keep = a < b
+            cos = sims[hit_b, hit_n][keep]
+            return pa.table({
+                "a": pa.array(a[keep], pa.int64()),
+                "b": pa.array(b[keep], pa.int64()),
+                "cosine_e6": pa.array(np.round(cos * 1e6).astype(np.int64),
+                                      pa.int64()),
+            })
+
+        return ds.map_batches(_pairs, batch_format="pyarrow",
+                              batch_size=1024)
+
+    # --- lsh scale path ---
+    first = ds.take(1)
+    dim = len(first[0][emb_col])
+    rng = np.random.default_rng(cfg.seed)
+    planes = rng.standard_normal((dim, n_tables * n_planes)).astype(np.float64)
+    planes_ref = ray.put(planes)
+
+    def _buckets(batch: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        mat = _embedding_matrix(batch, emb_col)
+        if len(ids) == 0:
+            return pa.table({"band_key": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64())})
+        signs = (mat @ pl) >= 0                         # (B, T*P)
+        signs = signs.reshape(len(ids), n_tables, n_planes)
+        weights = (1 << np.arange(n_planes, dtype=np.int64))
+        buckets = signs.astype(np.int64) @ weights      # (B, T)
+        # mix the table index in so tables never collide
+        keys = np.asarray(splitmix64(
+            (buckets + (np.arange(n_tables, dtype=np.int64)
+                        << np.int64(40))).astype(np.int64).view(np.uint64)
+            .ravel())).view(np.int64)
+        return pa.table({
+            "band_key": pa.array(keys, pa.int64()),
+            id_col: pa.array(np.repeat(ids, n_tables), pa.int64()),
+        })
+
+    band_ds = ds.map_batches(_buckets, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=4096)
+    cands = candidate_pairs(band_ds, cfg, id_col=id_col).materialize()
+    if cands.count() == 0:
+        return rd.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+            "cosine_e6": pa.array([], pa.int64())}))
+
+    # endpoint-only matrix broadcast for exact cosine verification
+    ctabs = [t for t in ray.get(list(
+        cands.select_columns(["a", "b"]).to_arrow_refs())) if len(t)]
+    ctab = pa.concat_tables(ctabs)
+    need = np.unique(np.concatenate([
+        np.asarray(ctab["a"], dtype=np.int64),
+        np.asarray(ctab["b"], dtype=np.int64)]))
+
+    def _pick(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col], dtype=np.int64)
+        pos = np.clip(np.searchsorted(need, ids), 0, max(len(need) - 1, 0))
+        return t.filter(pa.array(need[pos] == ids))
+
+    ptabs = [t for t in ray.get(list(ds.map_batches(
+        _pick, batch_format="pyarrow").to_arrow_refs())) if len(t)]
+    ptab = pa.concat_tables(ptabs)
+    pids = np.asarray(ptab[id_col], dtype=np.int64)
+    order = np.argsort(pids, kind="stable")
+    vref = ray.put({"ids": pids[order],
+                    "mat": _normalize(_embedding_matrix(ptab, emb_col))[order]})
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        pk = ray.get(vref)
+        a = np.asarray(batch["a"], dtype=np.int64)
+        b = np.asarray(batch["b"], dtype=np.int64)
+        ia = np.searchsorted(pk["ids"], a)
+        ib = np.searchsorted(pk["ids"], b)
+        cos = np.einsum("ij,ij->i", pk["mat"][ia], pk["mat"][ib])
+        keep = cos >= threshold
+        return pa.table({
+            "a": pa.array(a[keep], pa.int64()),
+            "b": pa.array(b[keep], pa.int64()),
+            "cosine_e6": pa.array(np.round(cos[keep] * 1e6).astype(np.int64),
+                                  pa.int64()),
+        })
+
+    return cands.map_batches(_verify, batch_format="pyarrow")
+
+
 def ann_lsh_buckets(ds, dim: int, n_planes: int = 12,
                     cfg: PipelineConfig = DEFAULT_CONFIG,
                     id_col: str = "vec_id", emb_col: str = "embedding"):

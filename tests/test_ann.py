@@ -71,3 +71,35 @@ class TestIVF:
         # k=400 would return everything under brute force; IVF returns
         # only the ~2/8 of vectors in probed clusters
         assert 0 < len(out) < 350
+
+
+class TestEmbeddingDupPairs:
+    def test_lsh_path_recall_vs_brute(self, emb_ds):
+        # bucketed (scale) path must recover nearly all true pairs the
+        # exact brute path finds on clustered embeddings
+        from raydedup.stages.ann import embedding_dup_pairs
+        ds, vecs = emb_ds
+        thr = 0.8
+        brute = embedding_dup_pairs(ds, threshold=thr, cfg=CFG,
+                                    force="brute").to_pandas()
+        lsh = embedding_dup_pairs(ds, threshold=thr, cfg=CFG,
+                                  force="lsh").to_pandas()
+        want = set(zip(brute["a"], brute["b"]))
+        got = set(zip(lsh["a"], lsh["b"]))
+        assert len(want) > 50
+        # no false positives: every LSH pair is exactly verified
+        assert got <= want
+        assert len(got & want) / len(want) >= 0.9
+        # scores identical on shared pairs
+        bm = brute.set_index(["a", "b"])["cosine_e6"]
+        lm = lsh.set_index(["a", "b"])["cosine_e6"]
+        shared = list(got & want)
+        assert all(bm[p] == lm[p] for p in shared[:50])
+
+    def test_gate_picks_brute_for_small(self, emb_ds):
+        from raydedup.stages import ann
+        ds, _ = emb_ds
+        out = ann.embedding_dup_pairs(ds, threshold=0.8, cfg=CFG).to_pandas()
+        brute = ann.embedding_dup_pairs(ds, threshold=0.8, cfg=CFG,
+                                        force="brute").to_pandas()
+        assert len(out) == len(brute)

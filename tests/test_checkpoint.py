@@ -105,6 +105,31 @@ class TestCheckpoint:
         assert CFG.config_hash() == CFG.with_(
             minhash_perm_chunk=4).config_hash()
 
+    def test_kill_after_candidates_resume_identical(self, ray_session,
+                                                    ckpt_root):
+        # the VERDICT-mandated mid-pipeline kill/resume drill at a
+        # meaningful scale: run to completion once for the reference
+        # labels; then simulate a crash right after the candidates stage
+        # (later stage outputs lost) and resume — signatures+candidates
+        # must be hits, verified+components recomputed, labels identical.
+        import ray.data as rd
+        from raydedup.pipelines.checkpoint import near_dup_pipeline_checkpointed
+        from raydedup.sources.synth import synth_pages_ds
+        docs = synth_pages_ds(5000, seed=7, avg_tokens=120).materialize()
+        cfg = CFG.with_(batch_size=1024)
+        labels1, mgr1 = near_dup_pipeline_checkpointed(docs, cfg, ckpt_root)
+        ref = sorted(map(tuple, labels1.to_pandas().values.tolist()))
+        assert len(ref) > 0
+        # crash after candidates: everything downstream is gone
+        shutil.rmtree(os.path.join(ckpt_root, "verified_pairs"))
+        shutil.rmtree(os.path.join(ckpt_root, "components"))
+        labels2, mgr2 = near_dup_pipeline_checkpointed(docs, cfg, ckpt_root)
+        assert dict(mgr2.events) == {
+            "signatures": "hit", "candidates": "hit",
+            "verified_pairs": "computed", "components": "computed",
+        }
+        assert sorted(map(tuple, labels2.to_pandas().values.tolist())) == ref
+
     def test_torn_write_recomputes(self, ray_session, docs_tab, ckpt_root):
         import ray.data as rd
         from raydedup.pipelines.checkpoint import (

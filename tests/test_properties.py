@@ -66,6 +66,53 @@ def test_oph_identical_sets_identical_sigs(elems, salt):
 
 
 @settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(alphabet="abcd ", max_size=60), min_size=1, max_size=8),
+       st.integers(1, 4), st.integers(0, 2**31))
+def test_stream_oph_equals_set_oph(texts, k, salt):
+    # the fused banding path must be bit-identical to the sorted-set
+    # construction on arbitrary text (duplicates, empties, short docs)
+    from raydedup.functions.sketches import minhash_oph_stream
+    from raydedup.functions.text import shingle_stream
+    arr = pa.array(texts, pa.string())
+    vals, offs = shingle_batch(arr, k)
+    want = minhash_signatures_oph(vals, offs, 64, np.uint64(salt))
+    wh, wd, nd = shingle_stream(arr, k)
+    got = minhash_oph_stream(wh, wd, nd, 64, np.uint64(salt))
+    assert nd == len(texts)
+    assert (got == want).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 300)),
+                min_size=1, max_size=120),
+       st.integers(2, 12))
+def test_salted_emission_invariants(rows, cap):
+    # over-cap runs: every member appears, pair graph per bucket is
+    # connected, no pair duplicated after dedup, all pairs canonical
+    from raydedup.stages.lsh import _emit_run_pairs
+    from tests.oracle import union_find_components
+    keys = np.array([r[0] for r in rows], dtype=np.int64)
+    ids = np.array([r[1] for r in rows], dtype=np.int64)
+    # ids must be unique per bucket for connectivity semantics
+    uniq = {}
+    for k_, i_ in zip(keys, ids):
+        uniq.setdefault(k_, set()).add(i_)
+    keys = np.array([k_ for k_, s in uniq.items() for _ in s], np.int64)
+    ids = np.array([i_ for _, s in uniq.items() for i_ in s], np.int64)
+    lo, hi, stats = _emit_run_pairs(keys, ids, cap)
+    assert (lo < hi).all()
+    for k_, members in uniq.items():
+        if len(members) < 2:
+            continue
+        sel = [(a, b) for a, b in zip(lo, hi)
+               if a in members and b in members]
+        comp = union_find_components(sel)
+        # all members of the bucket connected through its pairs
+        assert set(comp) >= members
+        assert len({comp[m] for m in members}) == 1
+
+
+@settings(max_examples=40, deadline=None)
 @given(st.lists(st.text(alphabet="abcd ", max_size=40), min_size=1, max_size=8),
        st.integers(1, 4))
 def test_shingle_count_matches_python(texts, k):
