@@ -25,7 +25,8 @@ import pyarrow as pa
 
 
 def hash_partition_map(ds, part_col: str, fn, n_parts: int, map_fn=None,
-                       map_chunk_rows: int | None = None):
+                       map_chunk_rows: int | None = None,
+                       split_tasks: int | None = None):
     """``map_fn`` (optional): a pa.Table -> pa.Table transform applied to
     every input block INSIDE the split tasks, before partitioning — the
     map side of the exchange fused into the shuffle, so the mapped rows
@@ -43,7 +44,9 @@ def hash_partition_map(ds, part_col: str, fn, n_parts: int, map_fn=None,
     tasks, each block is handed to several split tasks with (i, k) range
     specs (the task slices its share locally — on one node the shared
     block read is zero-copy), so map parallelism is never capped by the
-    upstream block count.
+    upstream block count; the fan is sized from actual row counts so a
+    tiny input is not shredded into task confetti.  ``split_tasks``
+    optionally caps the split-task count outright.
     """
     import ray
     import ray.data as rd
@@ -97,8 +100,21 @@ def hash_partition_map(ds, part_col: str, fn, n_parts: int, map_fn=None,
     # not blocks x partitions — tiny-object overhead otherwise dominates
     import math
     n_split_tasks = max(n_parts, _cpu_count() * 2)
+    if split_tasks is not None:
+        n_split_tasks = max(1, min(n_split_tasks, split_tasks))
     if map_fn is not None and 0 < len(blocks) < n_split_tasks:
-        # fan each block out to k range-slicing tasks
+        # fan each block out to k range-slicing tasks — but never fan a
+        # small input into task confetti: size the fan so each task gets
+        # at least a few map chunks (block row counts are cheap here:
+        # the blocks are already materialized tables)
+        @ray.remote
+        def _nrows(t):
+            return len(t)
+
+        rows = sum(ray.get([_nrows.remote(b) for b in blocks]))
+        per_chunk = (map_chunk_rows or 4096)
+        want = max(1, rows // (per_chunk * 2))
+        n_split_tasks = min(n_split_tasks, max(len(blocks), want))
         k = math.ceil(n_split_tasks / len(blocks))
         split_refs = [_split.remote((i, k), b)
                       for b in blocks for i in range(k)]
