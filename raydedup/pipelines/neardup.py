@@ -179,6 +179,106 @@ def near_dup_pairs(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
     return out
 
 
+NEAR_DEDUP_BROADCAST_MAX_DROPS = 5_000_000
+
+
+def near_dup_dedup(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   threshold: float | None = ..., counters=None):
+    """End-to-end corpus dedup: keep exactly one doc (the min doc_id)
+    per near-duplicate cluster, pass every other doc through — the
+    operation a training-data pipeline actually runs.  Returns the
+    deduplicated Dataset with the original columns.
+
+    Physical plan: cluster labels → the DROP set is every node whose
+    label isn't itself (bounded by the dup count).  Small drop sets are
+    broadcast as a sorted int64 array (one ray.put, searchsorted filter
+    per batch); larger ones anti-join by hash(doc_id) through the raw
+    exchange (the 10^12-doc path — a drop set of 40% of a crawl cannot
+    be broadcast)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    labels = near_dup_clusters(docs, cfg, id_col=id_col, text_col=text_col,
+                               threshold=threshold,
+                               counters=counters).materialize()
+    ltabs = [t for t in ray.get(list(labels.to_arrow_refs())) if len(t)]
+    n_drop = sum(
+        int((np.asarray(t["node"]) != np.asarray(t["component"])).sum())
+        for t in ltabs)
+    if counters is not None:
+        counters.add.remote({"near_dedup_dropped": n_drop})
+    if n_drop == 0:
+        return docs
+
+    if n_drop <= NEAR_DEDUP_BROADCAST_MAX_DROPS:
+        drops = np.sort(np.concatenate([
+            np.asarray(t["node"], dtype=np.int64)[
+                np.asarray(t["node"]) != np.asarray(t["component"])]
+            for t in ltabs]))
+        drop_ref = ray.put(drops)
+
+        def _keep(t: pa.Table) -> pa.Table:
+            dr = ray.get(drop_ref)
+            ids = np.asarray(t[id_col], dtype=np.int64)
+            pos = np.clip(np.searchsorted(dr, ids), 0, len(dr) - 1)
+            return t.filter(pa.array(dr[pos] != ids))
+
+        return docs.map_batches(_keep, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    # partitioned anti-join: docs and drop ids co-partitioned by hash(id)
+    from ..functions.hashing import splitmix64
+    from ..functions.shuffle import hash_partition_map
+
+    n_parts = cfg.resolved_partitions()
+    doc_schema = docs.schema()
+    doc_cols = list(doc_schema.names)
+    doc_types = dict(zip(doc_schema.names, doc_schema.types))
+
+    def _hashp(x):
+        return (np.asarray(splitmix64(x.view(np.uint64)))
+                % np.uint64(n_parts)).astype(np.int64)
+
+    def _tag_docs(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col], dtype=np.int64)
+        cols = {c: t[c] for c in doc_cols}
+        cols["part"] = pa.array(_hashp(ids), pa.int64())
+        cols["_isdrop"] = pa.array(np.zeros(len(t), np.int8), pa.int8())
+        return pa.table(cols)
+
+    def _tag_drops(t: pa.Table) -> pa.Table:
+        node = np.asarray(t["node"], dtype=np.int64)
+        comp = np.asarray(t["component"], dtype=np.int64)
+        node = node[node != comp]
+        cols = {}
+        for c in doc_cols:
+            cols[c] = (pa.array(node, doc_types[c]) if c == id_col
+                       else pa.nulls(len(node), doc_types[c]))
+        cols["part"] = pa.array(_hashp(node), pa.int64())
+        cols["_isdrop"] = pa.array(np.ones(len(node), np.int8), pa.int8())
+        return pa.table(cols)
+
+    def _anti(group: pa.Table | None) -> pa.Table:
+        if group is None or len(group) == 0:
+            return pa.table({c: pa.array([], doc_types[c])
+                             for c in doc_cols})
+        isdrop = np.asarray(group["_isdrop"], dtype=np.int8) == 1
+        drows = np.sort(np.asarray(
+            group.filter(pa.array(isdrop))[id_col], dtype=np.int64))
+        keep_tab = group.filter(pa.array(~isdrop))
+        ids = np.asarray(keep_tab[id_col], dtype=np.int64)
+        if len(drows):
+            pos = np.clip(np.searchsorted(drows, ids), 0, len(drows) - 1)
+            keep_tab = keep_tab.filter(pa.array(drows[pos] != ids))
+        return keep_tab.select(doc_cols)
+
+    tagged = docs.map_batches(_tag_docs, batch_format="pyarrow").union(
+        labels.map_batches(_tag_drops, batch_format="pyarrow"))
+    return hash_partition_map(tagged, "part", _anti, n_parts)
+
+
 def near_dup_clusters(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
                       id_col: str = "doc_id", text_col: str = "text",
                       threshold: float | None = ..., checkpoint_fn=None,

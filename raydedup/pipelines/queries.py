@@ -201,6 +201,44 @@ SELECT n AS node, least(n, min(m)) AS component FROM reach GROUP BY n
 """
 
 
+def q_near_dup_dedup(sf_dir):
+    """The corpus-out dedup surface: doc ids surviving near-dup cluster
+    collapse (one per cluster, min id kept)."""
+    from .neardup import near_dup_dedup
+    return near_dup_dedup(_docs(sf_dir, ["doc_id", "text"]), CFG) \
+        .select_columns(["doc_id"])
+
+
+SQL_NEAR_DUP_DEDUP = """
+WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i)
+  WHERE len(t) >= 5
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.a, i.b FROM inter i
+  JOIN cnt ca ON ca.doc_id = i.a JOIN cnt cb ON cb.doc_id = i.b
+  WHERE i.c::DOUBLE / (ca.n + cb.n - i.c) >= 0.8
+),
+edges AS (SELECT a AS n, b AS m FROM pairs UNION SELECT b, a FROM pairs),
+reach(n, m) AS (
+  SELECT n, m FROM edges
+  UNION
+  SELECT r.n, e.m FROM reach r JOIN edges e ON r.m = e.n
+),
+comp AS (SELECT n AS node, least(n, min(m)) AS component FROM reach GROUP BY n)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+"""
+
+
 def q_simhash_dup_pairs(sf_dir):
     """SimHash-blocked near-identical pairs (rows-only check: the 64-bit
     signature family is not SQL-expressible)."""
@@ -810,6 +848,7 @@ QUERIES = {
     "exact_dup_components": q_exact_dup_components,
     "near_dup_pairs": q_near_dup_pairs,
     "near_dup_components": q_near_dup_components,
+    "near_dup_dedup": q_near_dup_dedup,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "edge_jaccard": q_edge_jaccard,
     "degrees": q_degrees,
@@ -844,6 +883,7 @@ ORACLES = {
     "exact_dup_components": SQL_EXACT_DUP_COMPONENTS,
     "near_dup_pairs": SQL_NEAR_DUP_PAIRS,
     "near_dup_components": SQL_NEAR_DUP_COMPONENTS,
+    "near_dup_dedup": SQL_NEAR_DUP_DEDUP,
     "edge_jaccard": SQL_EDGE_JACCARD,
     "degrees": SQL_DEGREES,
     "pair_jaccard_adjacent": SQL_PAIR_JACCARD_ADJACENT,

@@ -220,7 +220,12 @@ def candidate_pairs(band_ds, cfg: PipelineConfig, id_col: str = "doc_id",
             ids = np.asarray(group[id_col], dtype=np.int64)
             lo, hi, stats = _emit_run_pairs(keys, ids, cap)
             if counters is not None and any(stats.values()):
-                counters.add.remote(stats)
+                # synchronous: a fire-and-forget add from a task races
+                # with the driver reading the counters after the dataset
+                # is consumed (observed flaky); adds are rare (salted
+                # buckets only), so one actor RTT is fine
+                import ray as _ray
+                _ray.get(counters.add.remote(stats))
         # local pre-dedup: identical pairs from different buckets of the
         # same partition collapse here before the shuffle
         if len(lo):
@@ -317,7 +322,12 @@ def candidate_pairs_from_docs(docs, cfg: PipelineConfig, *,
             ids = np.asarray(group[id_col], dtype=np.int64)
             lo, hi, stats = _emit_run_pairs(keys, ids, cap)
             if counters is not None and any(stats.values()):
-                counters.add.remote(stats)
+                # synchronous: a fire-and-forget add from a task races
+                # with the driver reading the counters after the dataset
+                # is consumed (observed flaky); adds are rare (salted
+                # buckets only), so one actor RTT is fine
+                import ray as _ray
+                _ray.get(counters.add.remote(stats))
         if len(lo):
             pk = np.stack([lo, hi], axis=1)
             pk = np.unique(pk, axis=0)

@@ -164,3 +164,30 @@ class TestSimHashPath:
                 for a in range(len(texts)) for b in range(a + 1, len(texts))
                 if texts[a] == texts[b] and shingle_set(texts[a], CFG.k_shingle)}
         assert want <= got
+
+
+class TestNearDupDedup:
+    def test_keeps_one_per_cluster_both_paths(self, ray_session, corpus,
+                                              monkeypatch):
+        import ray.data as rd
+        import raydedup.pipelines.neardup as nd
+        pages, _ = corpus
+        docs = rd.from_arrow(pages.select(["doc_id", "text"]))
+        labels = nd.near_dup_clusters(docs, CFG).to_pandas()
+        drop = set(labels.loc[labels["node"] != labels["component"], "node"])
+        keep_want = set(pages["doc_id"].to_pylist()) - drop
+        assert len(drop) > 0
+
+        out_b = nd.near_dup_dedup(docs, CFG).to_pandas()
+        assert set(out_b["doc_id"]) == keep_want
+        assert list(out_b.columns) == ["doc_id", "text"]
+
+        # force the partitioned anti-join path
+        monkeypatch.setattr(nd, "NEAR_DEDUP_BROADCAST_MAX_DROPS", 0)
+        out_p = nd.near_dup_dedup(docs, CFG).to_pandas()
+        assert set(out_p["doc_id"]) == keep_want
+        # text survives the anti-join untouched
+        orig = dict(zip(pages["doc_id"].to_pylist(),
+                        pages["text"].to_pylist()))
+        got = dict(zip(out_p["doc_id"], out_p["text"]))
+        assert all(got[i] == orig[i] for i in got)
