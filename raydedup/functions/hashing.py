@@ -93,12 +93,24 @@ def hash_utf8_array(arr) -> np.ndarray:
         else np.empty(0, np.uint8)
     starts = offs[:-1].astype(np.int64)
     lens = (offs[1:] - offs[:-1]).astype(np.int64)
+    return fnv1a_over_slices(data, starts, lens)
 
-    # ascending length sort: tokens still active at byte position j are
-    # exactly the tail slice [first_longer(j):], found by binary search —
-    # no per-position O(n) boolean mask.  Radix argsort (O(n)) when the
-    # max length fits 8/16 bits — the common case; numpy 'stable' falls
-    # back to mergesort only for wider ints.
+
+def fnv1a_over_slices(data: np.ndarray, starts: np.ndarray,
+                      lens: np.ndarray) -> np.ndarray:
+    """Exact FNV-1a (+ length mix, splitmix-finalized) of ``len(starts)``
+    byte slices of ``data`` — the shared core of hash_utf8_array and the
+    byte-level tokenizer.
+
+    Ascending length sort: slices still active at byte position j are
+    exactly the tail [first_longer(j):], found by binary search — no
+    per-position O(n) boolean mask.  Radix argsort (O(n)) when the max
+    length fits 8/16 bits — the common case; numpy 'stable' falls back
+    to mergesort only for wider ints.
+    """
+    n = len(starts)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
     lmax = int(lens.max()) if n else 0
     if lmax <= 0xFF:
         order = np.argsort(lens.astype(np.uint8), kind="stable")
@@ -109,12 +121,11 @@ def hash_utf8_array(arr) -> np.ndarray:
     slens = lens[order]
     sstarts = starts[order]
     h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
-    maxlen = int(slens[-1])
     pos = 0
-    for j in range(maxlen):
-        # first index whose token is longer than j bytes
-        pos = int(np.searchsorted(slens, j, side="right", sorter=None)) \
-            if slens[pos] <= j else pos
+    for j in range(lmax):
+        # first index whose slice is longer than j bytes
+        if slens[pos] <= j:
+            pos = int(np.searchsorted(slens, j, side="right"))
         b = data[sstarts[pos:] + j].astype(np.uint64)
         h[pos:] = (h[pos:] ^ b) * _FNV_PRIME
     h = splitmix64(h ^ slens.astype(np.uint64))

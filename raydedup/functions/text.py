@@ -27,19 +27,39 @@ def tokenize_arrow(texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
 
     Returns the concatenated per-token uint64 hashes of all docs plus
     int64 offsets (len D+1) delimiting each doc's token run — the CSR
-    layout, produced zero-copy from Arrow's split kernel.
+    layout.
+
+    Fully byte-level: token boundaries are found directly in the Arrow
+    string buffer (one np.flatnonzero over the bytes) and hashed in
+    place (functions/hashing.fnv1a_over_slices) — no ``split_pattern``
+    token-array materialization, no per-token objects; identical output
+    to splitting on a single space (empty tokens preserved, matching
+    DuckDB ``string_split``).
     """
+    from .hashing import fnv1a_over_slices
+
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     texts = pc.fill_null(texts, "")
-    lists = pc.split_pattern(texts, pattern=" ")
-    # flatten needs the parent offsets rebased to 0
-    offsets = np.asarray(lists.offsets, dtype=np.int64)
-    offsets = offsets - offsets[0]
-    flat = lists.flatten()
-    # buffer-level hashing: no per-token Python objects
-    tok_hashes = hash_utf8_array(flat)
-    return tok_hashes, offsets
+    n_docs = len(texts)
+    off_dtype = np.int64 if pa.types.is_large_string(texts.type) else np.int32
+    bufs = texts.buffers()
+    doffs = np.frombuffer(bufs[1], dtype=off_dtype)[
+        texts.offset: texts.offset + n_docs + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
+        else np.empty(0, np.uint8)
+    lo, hi = (doffs[0], doffs[-1]) if n_docs else (0, 0)
+    spaces = np.flatnonzero(data[lo:hi] == 32) + lo
+    # token boundaries: doc starts ∪ (space+1) / spaces ∪ doc ends —
+    # both sorted merges align start/end pairs per token
+    starts = np.sort(np.concatenate([doffs[:-1], spaces + 1]), kind="stable")
+    ends = np.sort(np.concatenate([spaces, doffs[1:]]), kind="stable")
+    lens = (ends - starts).astype(np.int64)
+    sp_per_doc = (np.searchsorted(spaces, doffs[1:])
+                  - np.searchsorted(spaces, doffs[:-1]))
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(sp_per_doc + 1, out=offsets[1:])
+    return fnv1a_over_slices(data, starts, lens), offsets
 
 
 def shingle_batch(
