@@ -30,7 +30,12 @@ def _ray_session():
 
 
 def cmd_inspect(args):
-    from .sources.mtx import inspect_parquet
+    from .sources.mtx import inspect_parquet, read_csr_header
+    if args.path.endswith(".csr"):
+        # readCSRHeader parity (readCSRHeader.cpp:28-53)
+        print(json.dumps(read_csr_header(args.path), indent=1,
+                         sort_keys=True))
+        return
     print(json.dumps(inspect_parquet(args.path), indent=1, sort_keys=True))
 
 

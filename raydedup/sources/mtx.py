@@ -146,6 +146,100 @@ def inspect_parquet(path: str) -> dict:
     return out
 
 
+_CSR_VERSION = 2
+_CSR_FLAG_BITS = ("is_weighted", "is_zero_indexed", "is_directed",
+                  "has_reverse_edges", "is_vertex_t64", "is_edge_t64",
+                  "is_weight_t64")
+
+
+def read_csr_header(path: str) -> dict:
+    """Parse the reference's binary ``.csr`` 32-byte header
+    (CSRFileHeader, readMtxToCSR.hpp:44-64): three little-endian int64s
+    (version, numVerts, numEdges) followed by an int64-aligned bitfield
+    (bit 0 = isWeighted ... bit 6 = isWeightT64, x86 bitfield order)."""
+    with open(path, "rb") as f:
+        raw = f.read(32)
+    if len(raw) < 32:
+        raise ValueError(f"{path}: truncated .csr header")
+    version, nv, ne, flags = np.frombuffer(raw, dtype="<i8")
+    if version != _CSR_VERSION:
+        raise ValueError(f"{path}: unsupported .csr format version {version}")
+    out = {"format_version": int(version), "num_verts": int(nv),
+           "num_edges": int(ne)}
+    for i, name in enumerate(_CSR_FLAG_BITS):
+        out[name] = bool((int(flags) >> i) & 1)
+    return out
+
+
+def read_csr_binary(path: str):
+    """Reference binary ``.csr`` → (edge pa.Table(src,dst[,weight]),
+    header dict).  Mirrors FileToCSR/CSRFileReader
+    (readMtxToCSR.cpp:338-395): offsets are stored in the EDGE type,
+    indices in the vertex type, weights in float/double per the header's
+    width flags.  Edge rows come out 0-indexed (dst shifted down when
+    the header says 1-indexed), source-major — the same normal form
+    read_mtx produces.  Driver-side by design: this is the reference's
+    fixture/interchange format, not the corpus path."""
+    header = read_csr_header(path)
+    et = "<i8" if header["is_edge_t64"] else "<i4"
+    vt = "<i8" if header["is_vertex_t64"] else "<i4"
+    wt = "<f8" if header["is_weight_t64"] else "<f4"
+    nv, ne = header["num_verts"], header["num_edges"]
+    with open(path, "rb") as f:
+        f.seek(32)
+        offsets = np.fromfile(f, dtype=et, count=nv + 1).astype(np.int64)
+        indices = np.fromfile(f, dtype=vt, count=ne).astype(np.int64)
+        weights = (np.fromfile(f, dtype=wt, count=ne).astype(np.float64)
+                   if header["is_weighted"] else None)
+    if len(offsets) != nv + 1 or len(indices) != ne:
+        raise ValueError(f"{path}: truncated .csr payload")
+    src = np.repeat(np.arange(nv, dtype=np.int64),
+                    np.diff(offsets)) if nv else np.empty(0, np.int64)
+    dst = indices if header["is_zero_indexed"] else indices - 1
+    cols = {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+    if weights is not None:
+        cols["weight"] = pa.array(weights, pa.float64())
+    return pa.table(cols), header
+
+
+def write_csr_binary(path: str, tab: pa.Table, *, is_weighted: bool,
+                     is_directed: bool, has_reverse_edges: bool,
+                     num_verts: int | None = None,
+                     vertex_t64: bool = False, edge_t64: bool = False,
+                     weight_t64: bool = False) -> dict:
+    """Edge table (0-indexed src/dst[, weight]) → reference binary
+    ``.csr`` (CSRToFile, readMtxToCSR.cpp:285-336): header + offsets
+    (edge type) + indices (vertex type) + optional weights.  Rows are
+    CSR-ified source-major; the file is written 0-indexed."""
+    import pandas as pd
+
+    df = tab.select(["src", "dst"] + (["weight"] if is_weighted else [])) \
+        .to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    if num_verts is not None:
+        nv = num_verts
+    else:
+        nv = int(max(df["src"].max(), df["dst"].max()) + 1) if len(df) else 0
+    ne = len(df)
+    counts = np.bincount(df["src"].to_numpy(), minlength=nv) if nv \
+        else np.empty(0, np.int64)
+    offsets = np.zeros(nv + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    flags = (int(is_weighted) | (1 << 1)                 # always 0-indexed
+             | (int(is_directed) << 2) | (int(has_reverse_edges) << 3)
+             | (int(vertex_t64) << 4) | (int(edge_t64) << 5)
+             | (int(weight_t64) << 6))
+    et = "<i8" if edge_t64 else "<i4"
+    vt = "<i8" if vertex_t64 else "<i4"
+    wt = "<f8" if weight_t64 else "<f4"
+    with open(path, "wb") as f:
+        np.asarray([_CSR_VERSION, nv, ne, flags], dtype="<i8").tofile(f)
+        offsets.astype(et).tofile(f)
+        df["dst"].to_numpy().astype(vt).tofile(f)
+        if is_weighted:
+            df["weight"].to_numpy().astype(wt).tofile(f)
+    return read_csr_header(path)
+
+
 def convert(in_path: str, out_path: str, *, keep_reverse_edges: bool = False,
             drop_weights: bool = False, cfg=None):
     """fileConvert analogue: any↔any between .mtx and .parquet with
@@ -160,6 +254,11 @@ def convert(in_path: str, out_path: str, *, keep_reverse_edges: bool = False,
     cfg = cfg or DEFAULT_CONFIG
     if in_path.endswith(".mtx"):
         ds, header = read_mtx(in_path)
+        is_weighted = header["is_weighted"] and not drop_weights
+        is_directed = header["is_directed"]
+    elif in_path.endswith(".csr"):
+        tab, header = read_csr_binary(in_path)
+        ds = rd.from_arrow(tab)
         is_weighted = header["is_weighted"] and not drop_weights
         is_directed = header["is_directed"]
     elif in_path.endswith(".parquet"):
@@ -185,6 +284,15 @@ def convert(in_path: str, out_path: str, *, keep_reverse_edges: bool = False,
     if out_path.endswith(".mtx"):
         write_mtx(ds, out_path, is_weighted=is_weighted,
                   is_directed=is_directed or keep_reverse_edges)
+    elif out_path.endswith(".csr"):
+        import ray
+        tab = pa.concat_tables(
+            [t for t in (ray.get(r) for r in ds.to_arrow_refs()) if len(t)]
+            or [pa.table({"src": pa.array([], pa.int64()),
+                          "dst": pa.array([], pa.int64())})])
+        write_csr_binary(out_path, tab, is_weighted=is_weighted,
+                         is_directed=is_directed,
+                         has_reverse_edges=keep_reverse_edges)
     elif out_path.endswith(".parquet"):
         write_edges_parquet(ds, out_path, is_weighted=is_weighted,
                             is_directed=is_directed,

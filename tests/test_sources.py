@@ -108,3 +108,96 @@ class TestMtx:
         info = inspect_parquet(out)
         assert "weight" not in info["columns"]
         assert info["is_weighted"] == "0"
+
+
+class TestCSRBinary:
+    """Reference binary .csr format (CSRFileHeader layout,
+    readMtxToCSR.hpp:44-64 / CSRToFile readMtxToCSR.cpp:285-336)."""
+
+    def _edges(self):
+        import pyarrow as pa
+        return pa.table({
+            "src": pa.array([0, 0, 1, 2, 3], pa.int64()),
+            "dst": pa.array([1, 2, 2, 3, 0], pa.int64()),
+            "weight": pa.array([1.5, 2.0, 0.25, 1.0, 3.0], pa.float64()),
+        })
+
+    def test_roundtrip_weighted(self, tmp_path):
+        from raydedup.sources.mtx import read_csr_binary, write_csr_binary
+        p = str(tmp_path / "g.csr")
+        hdr = write_csr_binary(p, self._edges(), is_weighted=True,
+                               is_directed=True, has_reverse_edges=False)
+        assert hdr["format_version"] == 2
+        assert hdr["num_verts"] == 4 and hdr["num_edges"] == 5
+        assert hdr["is_weighted"] and hdr["is_directed"]
+        assert not hdr["has_reverse_edges"]
+        assert hdr["is_zero_indexed"]
+        tab, hdr2 = read_csr_binary(p)
+        assert hdr2 == hdr
+        df = tab.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+        want = self._edges().to_pandas().sort_values(["src", "dst"]) \
+            .reset_index(drop=True)
+        assert (df["src"] == want["src"]).all()
+        assert (df["dst"] == want["dst"]).all()
+        # float32 storage (is_weight_t64=False default, like the
+        # reference's default -DDISABLE_DP_WEIGHT build)
+        import numpy as np
+        assert np.allclose(df["weight"], want["weight"], atol=1e-6)
+
+    def test_roundtrip_64bit_types(self, tmp_path):
+        from raydedup.sources.mtx import read_csr_binary, write_csr_binary
+        p = str(tmp_path / "g64.csr")
+        write_csr_binary(p, self._edges(), is_weighted=True,
+                         is_directed=False, has_reverse_edges=True,
+                         vertex_t64=True, edge_t64=True, weight_t64=True)
+        tab, hdr = read_csr_binary(p)
+        assert hdr["is_vertex_t64"] and hdr["is_edge_t64"] \
+            and hdr["is_weight_t64"]
+        assert (tab["weight"].to_numpy()
+                == self._edges().to_pandas().sort_values(["src", "dst"])
+                ["weight"].to_numpy()).all()
+
+    def test_header_binary_layout_matches_reference(self, tmp_path):
+        # byte-level check of the 32-byte header: 3 LE int64 + bitfield
+        import numpy as np
+        from raydedup.sources.mtx import write_csr_binary
+        p = str(tmp_path / "h.csr")
+        write_csr_binary(p, self._edges(), is_weighted=True,
+                         is_directed=True, has_reverse_edges=False)
+        raw = np.fromfile(p, dtype="<i8", count=4)
+        assert raw[0] == 2 and raw[1] == 4 and raw[2] == 5
+        # bit0 weighted=1, bit1 zeroIndexed=1, bit2 directed=1 → 0b111
+        assert raw[3] == 0b0111
+
+    def test_convert_csr_mtx_roundtrip(self, ray_session, tmp_path):
+        from raydedup.sources.mtx import convert, read_csr_binary
+        p1 = tmp_path / "in.mtx"
+        p1.write_text(MTX_GENERAL)
+        csr = str(tmp_path / "g.csr")
+        convert(str(p1), csr)
+        tab, hdr = read_csr_binary(csr)
+        back = str(tmp_path / "back.mtx")
+        convert(csr, back)
+        from raydedup.sources.mtx import read_mtx
+        ds1, _ = read_mtx(str(p1))
+        ds2, _ = read_mtx(back)
+        a = ds1.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+        b = ds2.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+        assert (a[["src", "dst"]] == b[["src", "dst"]]).all().all()
+
+    def test_cli_inspect_csr(self, tmp_path, capsys):
+        import json
+        from raydedup.__main__ import cmd_inspect
+        from raydedup.sources.mtx import write_csr_binary
+
+        class A:
+            pass
+
+        a = A()
+        p = str(tmp_path / "g.csr")
+        write_csr_binary(p, self._edges(), is_weighted=False,
+                         is_directed=True, has_reverse_edges=False)
+        a.path = p
+        cmd_inspect(a)
+        out = json.loads(capsys.readouterr().out)
+        assert out["num_verts"] == 4 and not out["is_weighted"]
