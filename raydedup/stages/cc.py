@@ -3,9 +3,11 @@
 Iterative hash-min label propagation (the standard map-reduce CC): every
 node starts labeled with its own id; each round every node takes the min
 label over itself and its neighbors (``groupby(node).min(label)``, one
-shuffle per round, SURVEY.md §4.2).  Converges in O(diameter) rounds —
-dup clusters are near-cliques, so few — and is bounded by
-``cfg.cc_max_iters``.  Each round's label table can be checkpointed
+shuffle per round, SURVEY.md §4.2) and then POINTER-JUMPS
+(label(v) ← label(label(v)), one extra exchange) — neighbor propagation
+alone needs O(diameter) rounds and a pathological chain would exhaust
+the iteration cap, while label doubling converges every component in
+O(log diameter) rounds.  Bounded by ``cfg.cc_max_iters``.  Each round's label table can be checkpointed
 (pipelines/checkpoint.py) so a resumed job restarts from the last round.
 
 The final label of every node is the minimum doc_id in its component —
@@ -192,6 +194,51 @@ def _connected_components_distributed(pairs_ds, cfg: PipelineConfig,
                 for p in range(n_parts)]
         return (*outs, len(cand))
 
+    @ray.remote(num_returns=n_parts)
+    def _jump_request(label_tab):
+        """Pointer-jumping phase 1: route every (node, label) row to the
+        partition owning hash(label), so label(label(v)) can be looked
+        up there."""
+        node = np.asarray(label_tab["node"], dtype=np.int64)
+        comp = np.asarray(label_tab["component"], dtype=np.int64)
+        part = _hash_part(comp)
+        order = np.argsort(part, kind="stable")
+        node, comp, part = node[order], comp[order], part[order]
+        bounds = np.searchsorted(part, np.arange(n_parts + 1))
+        return tuple(
+            pa.table({"node": pa.array(node[bounds[p]:bounds[p + 1]], pa.int64()),
+                      "component": pa.array(comp[bounds[p]:bounds[p + 1]], pa.int64())})
+            for p in range(n_parts))
+
+    @ray.remote(num_returns=n_parts)
+    def _jump_lookup(label_tab, *req_tabs):
+        """Phase 2: answer label(label(v)) from this partition's label
+        table (every label value is a node id, so its entry lives here by
+        the hash invariant), route answers back to hash(node)."""
+        reqs = [t for t in req_tabs if len(t)]
+        empty = tuple(pa.table({"node": pa.array([], pa.int64()),
+                                "component": pa.array([], pa.int64())})
+                      for _ in range(n_parts))
+        if not reqs:
+            return empty
+        req = pa.concat_tables(reqs)
+        node = np.asarray(req["node"], dtype=np.int64)
+        comp = np.asarray(req["component"], dtype=np.int64)
+        lnode = np.asarray(label_tab["node"], dtype=np.int64)
+        lcomp = np.asarray(label_tab["component"], dtype=np.int64)
+        pos = np.searchsorted(lnode, comp)
+        pos = np.clip(pos, 0, max(len(lnode) - 1, 0))
+        ok = lnode[pos] == comp if len(lnode) else np.zeros(len(comp), bool)
+        comp2 = np.where(ok, lcomp[pos] if len(lcomp) else 0, comp)
+        part = _hash_part(node)
+        order = np.argsort(part, kind="stable")
+        node, comp2, part = node[order], comp2[order], part[order]
+        bounds = np.searchsorted(part, np.arange(n_parts + 1))
+        return tuple(
+            pa.table({"node": pa.array(node[bounds[p]:bounds[p + 1]], pa.int64()),
+                      "component": pa.array(comp2[bounds[p]:bounds[p + 1]], pa.int64())})
+            for p in range(n_parts))
+
     @ray.remote(num_returns=2)
     def _merge_round(old_labels, *msg_tabs):
         tabs = [t for t in msg_tabs if len(t)]
@@ -247,6 +294,17 @@ def _connected_components_distributed(pairs_ds, cfg: PipelineConfig,
                    for q in range(n_parts)]
         label_blocks = [r[0] for r in results]
         changed = sum(ray.get([r[1] for r in results]))
+        # pointer jumping (label doubling): label(v) <- label(label(v)).
+        # Neighbor propagation alone needs O(diameter) rounds — a
+        # pathological chain would exhaust cc_max_iters; with doubling
+        # every component converges in O(log diameter) rounds.
+        jreq = [_jump_request.remote(label_blocks[p]) for p in range(n_parts)]
+        jans = [_jump_lookup.remote(label_blocks[p], *[r[p] for r in jreq])
+                for p in range(n_parts)]
+        jres = [_merge_round.remote(label_blocks[q], *[a[q] for a in jans])
+                for q in range(n_parts)]
+        label_blocks = [r[0] for r in jres]
+        changed += sum(ray.get([r[1] for r in jres]))
         if checkpoint_fn is not None:
             labels_ds = rd.from_arrow_refs(list(label_blocks))
             labels_ds = checkpoint_fn(it, labels_ds)

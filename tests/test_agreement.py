@@ -53,3 +53,49 @@ class TestPhysicalPlanAgreement:
         r1 = near_dup_pairs(corpus_ds, CFG).to_pandas()
         r2 = near_dup_pairs(corpus_ds, CFG).to_pandas()
         assert _sorted_pairs(r1) == _sorted_pairs(r2)
+
+    def test_fused_vs_staged_candidates_identical(self, ray_session,
+                                                  corpus_ds):
+        """candidate_pairs_from_docs (map side fused into the exchange's
+        split tasks) must emit EXACTLY the pair set of the staged
+        signatures -> explode_bands -> candidate_pairs path."""
+        from raydedup.stages.lsh import (
+            candidate_pairs, candidate_pairs_from_docs, explode_bands)
+        from raydedup.stages.signatures import signatures
+        sig = signatures(corpus_ds, CFG, keep_shingles=False,
+                         keep_minhash=False, with_simhash=False)
+        staged = candidate_pairs(explode_bands(sig, CFG), CFG).to_pandas()
+        fused = candidate_pairs_from_docs(corpus_ds, CFG).to_pandas()
+        assert len(staged) > 0
+        assert sorted(map(tuple, staged[["a", "b"]].values.tolist())) \
+            == sorted(map(tuple, fused[["a", "b"]].values.tolist()))
+
+    def test_slim_vs_full_strategy_identical(self, ray_session, corpus_ds):
+        from raydedup.pipelines.neardup import near_dup_pairs
+        p_slim = near_dup_pairs(corpus_ds, CFG, strategy="slim").to_pandas()
+        p_full = near_dup_pairs(corpus_ds, CFG, strategy="full").to_pandas()
+        assert _sorted_pairs(p_slim) == _sorted_pairs(p_full)
+
+    def test_distributed_vs_local_cc_random_graph(self, ray_session):
+        """hash-min label propagation == driver union-find on a 100k-edge
+        random graph with mixed component shapes (chains + blobs)."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+        from raydedup.stages.cc import connected_components
+        rng = np.random.default_rng(3)
+        blob_a = rng.integers(0, 30_000, 60_000)
+        blob_b = rng.integers(0, 30_000, 60_000)
+        chain_n = np.arange(100_000, 140_000)
+        edges_a = np.concatenate([blob_a, chain_n[:-1]])
+        edges_b = np.concatenate([blob_b, chain_n[1:]])
+        keep = edges_a != edges_b
+        a = np.minimum(edges_a, edges_b)[keep]
+        b = np.maximum(edges_a, edges_b)[keep]
+        pairs = rd.from_arrow(pa.table({"a": pa.array(a, pa.int64()),
+                                        "b": pa.array(b, pa.int64())}))
+        d = connected_components(pairs, CFG, mode="distributed").to_pandas()
+        l = connected_components(pairs, CFG, mode="local").to_pandas()
+        got_d = dict(zip(d["node"], d["component"]))
+        got_l = dict(zip(l["node"], l["component"]))
+        assert got_d == got_l
