@@ -196,21 +196,34 @@ def pairwise_weighted_jaccard(
     vol_a = ca[a_offsets[1:]] - ca[a_offsets[:-1]]
     vol_b = cb[b_offsets[1:]] - cb[b_offsets[:-1]]
 
-    # shared-element weight: same lexsort trick, summing weights of dups
-    len_a = a_offsets[1:] - a_offsets[:-1]
-    len_b = b_offsets[1:] - b_offsets[:-1]
-    pid = np.concatenate([
-        np.repeat(np.arange(n_pairs, dtype=np.int64), len_a),
-        np.repeat(np.arange(n_pairs, dtype=np.int64), len_b),
-    ])
-    vals = np.concatenate([a_values, b_values])
-    wts = np.concatenate([wa, wb])
+    # shared-element weight: the same lockstep two-pointer merge as the
+    # unweighted kernel (sorted-unique rows), collecting matched values
+    # per pair and resolving their weights with ONE vectorized lookup at
+    # the end — no whole-batch lexsort
     wi = np.zeros(n_pairs, dtype=np.float64)
-    if len(vals):
-        order = np.lexsort((vals, pid))
-        sv, sp, sw = vals[order], pid[order], wts[order]
-        dup = (sv[1:] == sv[:-1]) & (sp[1:] == sp[:-1])
-        np.add.at(wi, sp[1:][dup], sw[1:][dup])
+    ia = a_offsets[:-1].astype(np.int64, copy=True)
+    ib = b_offsets[:-1].astype(np.int64, copy=True)
+    ea = a_offsets[1:].astype(np.int64, copy=False)
+    eb = b_offsets[1:].astype(np.int64, copy=False)
+    matched_vals: list = []
+    matched_pid: list = []
+    active = np.flatnonzero((ia < ea) & (ib < eb))
+    while len(active):
+        va = a_values[ia[active]]
+        vb = b_values[ib[active]]
+        eq = va == vb
+        lt = va < vb
+        if eq.any():
+            matched_vals.append(va[eq])
+            matched_pid.append(active[eq])
+        ia[active] += eq | lt
+        ib[active] += eq | ~lt
+        still = (ia[active] < ea[active]) & (ib[active] < eb[active])
+        active = active[still]
+    if matched_vals:
+        mv = np.concatenate(matched_vals)
+        mp = np.concatenate(matched_pid)
+        np.add.at(wi, mp, lookup(mv))
 
     ws = vol_a + vol_b
     wu = ws - wi

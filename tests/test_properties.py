@@ -131,3 +131,21 @@ def test_char_ngrams_match_python(texts):
     for i, t in enumerate(texts):
         want = {t[j:j + 2] for j in range(len(t) - 1)} if len(t) >= 2 else set()
         assert offs[i + 1] - offs[i] == len(want), t
+
+
+@settings(max_examples=50, deadline=None)
+@given(set_lists, set_lists)
+def test_weighted_jaccard_matches_python(a_sets, b_sets):
+    from raydedup.functions.setops import pairwise_weighted_jaccard
+    n = min(len(a_sets), len(b_sets))
+    a_sets, b_sets = a_sets[:n], b_sets[:n]
+    av, ao = _csr(a_sets)
+    bv, bo = _csr(b_sets)
+    w = np.arange(130, dtype=np.float64) * 0.5 + 1.0   # w(x) = 1 + x/2
+    wi, wu, j = pairwise_weighted_jaccard(av, ao, bv, bo, weight_of=w)
+    for i in range(n):
+        sa, sb = set(a_sets[i]), set(b_sets[i])
+        want_wi = sum(w[x] for x in sa & sb)
+        want_ws = sum(w[x] for x in sa) + sum(w[x] for x in sb)
+        assert abs(wi[i] - want_wi) < 1e-9
+        assert abs(wu[i] - (want_ws - want_wi)) < 1e-9
