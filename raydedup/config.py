@@ -66,6 +66,15 @@ class PipelineConfig:
     # Pure execution tuning: changing these cannot change any output, so
     # they are excluded from config_hash (everything else invalidates
     # checkpoints — see CheckpointManager.is_complete).
+    #
+    # INVARIANT this rests on: batch_size doubles as the fused
+    # exchanges' map_chunk_rows (hash_partition_map(map_fn=...)), so
+    # every fused map_fn MUST be strictly per-row-deterministic — its
+    # output for a row may not depend on which other rows share the
+    # chunk.  A future map_fn with cross-row state must either be kept
+    # out of checkpointed stages or batch_size must move out of
+    # _TUNING_ONLY (stale checkpoints would otherwise survive a
+    # batch-size change that alters results).
     _TUNING_ONLY = ("batch_size", "minhash_perm_chunk", "num_partitions")
 
     def config_hash(self) -> str:

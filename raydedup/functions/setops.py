@@ -60,6 +60,28 @@ def pairwise_intersection_sizes(
     return _intersection_mergecount(a_values, a_offsets, b_values, b_offsets)
 
 
+# Pairs whose merge length (|A|+|B|) exceeds this leave the lockstep
+# loop: the loop costs one numpy round-trip per merge STEP of the
+# longest active pair, so a single pair of huge documents would run
+# thousands of iterations over a nearly-empty active set.  Long pairs
+# instead get one per-pair searchsorted (min·log max) — a handful of
+# vectorized calls, never per-element Python.
+_LOCKSTEP_MAX_MERGE = 4096
+
+
+def _row_intersect_sorted(small: np.ndarray, large: np.ndarray) -> np.ndarray:
+    """Matched values of two sorted duplicate-free rows via one
+    binary-search probe of the smaller into the larger — the reference's
+    iterate-smaller kernel (jaccard.cpp:332-336) for a single pair."""
+    if len(small) > len(large):
+        small, large = large, small
+    if len(large) == 0:
+        return small[:0]
+    pos = np.searchsorted(large, small)
+    pos = np.minimum(pos, len(large) - 1)
+    return small[large[pos] == small]
+
+
 def _intersection_mergecount(a_values, a_offsets, b_values, b_offsets):
     """Lockstep two-pointer merge, vectorized ACROSS pairs: every pair
     advances its (i, j) cursor pair one step per iteration over the
@@ -70,7 +92,9 @@ def _intersection_mergecount(a_values, a_offsets, b_values, b_offsets):
     lexsort formulation measured 8x slower (two stable int64 argsorts
     over every element vs one linear scan).  No value-width assumption —
     this is the full-range 64-bit (shingle hash) kernel; 32-bit values
-    take the packed searchsorted kernel instead.
+    take the packed searchsorted kernel instead.  Pairs longer than
+    ``_LOCKSTEP_MAX_MERGE`` are routed to per-pair searchsorted so one
+    giant document cannot dominate the loop's iteration count.
     """
     n_pairs = len(a_offsets) - 1
     ia = a_offsets[:-1].astype(np.int64, copy=True)
@@ -78,6 +102,11 @@ def _intersection_mergecount(a_values, a_offsets, b_values, b_offsets):
     ea = a_offsets[1:].astype(np.int64, copy=False)
     eb = b_offsets[1:].astype(np.int64, copy=False)
     inter = np.zeros(n_pairs, dtype=np.int64)
+    long_pairs = np.flatnonzero((ea - ia) + (eb - ib) > _LOCKSTEP_MAX_MERGE)
+    for p in long_pairs:
+        inter[p] = len(_row_intersect_sorted(
+            a_values[ia[p]:ea[p]], b_values[ib[p]:eb[p]]))
+        ia[p] = ea[p]          # exclude from the lockstep active set
     active = np.flatnonzero((ia < ea) & (ib < eb))
     while len(active):
         va = a_values[ia[active]]
@@ -207,6 +236,16 @@ def pairwise_weighted_jaccard(
     eb = b_offsets[1:].astype(np.int64, copy=False)
     matched_vals: list = []
     matched_pid: list = []
+    # same hybrid dispatch as _intersection_mergecount: huge pairs take
+    # one per-pair searchsorted instead of stretching the lockstep loop
+    long_pairs = np.flatnonzero((ea - ia) + (eb - ib) > _LOCKSTEP_MAX_MERGE)
+    for p in long_pairs:
+        mv = _row_intersect_sorted(a_values[ia[p]:ea[p]],
+                                   b_values[ib[p]:eb[p]])
+        if len(mv):
+            matched_vals.append(mv)
+            matched_pid.append(np.full(len(mv), p, dtype=np.int64))
+        ia[p] = ea[p]
     active = np.flatnonzero((ia < ea) & (ib < eb))
     while len(active):
         va = a_values[ia[active]]

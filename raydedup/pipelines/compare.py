@@ -22,13 +22,20 @@ from ..functions.shuffle import hash_partition_map
 def compare_scores(gold_ds, test_ds, tol: float = 1e-6,
                    cfg: PipelineConfig = DEFAULT_CONFIG,
                    keys: tuple[str, str] = ("a", "b"),
-                   value_col: str = "jaccard") -> dict:
-    """→ {matched, mismatched, missing, added, max_abs_diff, warnings}.
+                   value_col: str = "jaccard",
+                   max_samples: int = 10) -> dict:
+    """→ {matched, mismatched, missing, added, max_abs_diff, warnings,
+         samples}.
 
     missing = coordinates only in gold; added = only in test;
     mismatched = present in both with |gold − test| > tol
     (the fabs-tolerance compare of compareCoords.cpp:219).
-    """
+
+    ``samples``: up to ``max_samples`` offending coordinates as
+    {kind, a, b, gold, test} dicts (deterministic: smallest keys first)
+    — the analogue of the reference's per-element mismatch printout
+    (compareCoords.cpp:230-276), so a failing compare is localizable
+    without rerunning."""
     ka, kb = keys
     n_parts = cfg.resolved_partitions()
 
@@ -51,6 +58,15 @@ def compare_scores(gold_ds, test_ds, tol: float = 1e-6,
     both = gold_ds.map_batches(_tag(0), batch_format="pyarrow").union(
         test_ds.map_batches(_tag(1), batch_format="pyarrow"))
 
+    def _samples_cols(kind=None, aa=None, bb=None, gold=None, test=None):
+        mk = lambda vals, ty: pa.array([list(vals)] if vals is not None
+                                       else [[]], pa.list_(ty))
+        return {
+            "s_kind": mk(kind, pa.string()), "s_a": mk(aa, pa.int64()),
+            "s_b": mk(bb, pa.int64()), "s_gold": mk(gold, pa.float64()),
+            "s_test": mk(test, pa.float64()),
+        }
+
     def _cmp(tab: pa.Table | None) -> pa.Table:
         empty = pa.table({
             "matched": pa.array([0], pa.int64()),
@@ -58,6 +74,7 @@ def compare_scores(gold_ds, test_ds, tol: float = 1e-6,
             "missing": pa.array([0], pa.int64()),
             "added": pa.array([0], pa.int64()),
             "max_abs_diff": pa.array([0.0], pa.float64()),
+            **_samples_cols(),
         })
         if tab is None or len(tab) == 0:
             return empty
@@ -75,8 +92,23 @@ def compare_scores(gold_ds, test_ds, tol: float = 1e-6,
         gold_only = (s == 0) & ~paired
         test_only = (s == 1)
         test_only[np.flatnonzero(paired) + 1] = False
-        diffs = np.abs(v[paired] - v[np.flatnonzero(paired) + 1])
-        mism = int((diffs > tol).sum())
+        pidx = np.flatnonzero(paired)
+        diffs = np.abs(v[pidx] - v[pidx + 1])
+        bad = diffs > tol
+        mism = int(bad.sum())
+        # offending-row samples (per-partition cap; rows are already
+        # key-sorted, so taking the head is deterministic)
+        nan = float("nan")
+        s_kind, s_a, s_b, s_gold, s_test = [], [], [], [], []
+        for i in pidx[bad][:max_samples]:
+            s_kind.append("mismatch"); s_a.append(int(a[i])); s_b.append(int(b[i]))
+            s_gold.append(float(v[i])); s_test.append(float(v[i + 1]))
+        for i in np.flatnonzero(gold_only)[:max_samples]:
+            s_kind.append("missing"); s_a.append(int(a[i])); s_b.append(int(b[i]))
+            s_gold.append(float(v[i])); s_test.append(nan)
+        for i in np.flatnonzero(test_only)[:max_samples]:
+            s_kind.append("added"); s_a.append(int(a[i])); s_b.append(int(b[i]))
+            s_gold.append(nan); s_test.append(float(v[i]))
         return pa.table({
             "matched": pa.array([int(paired.sum())], pa.int64()),
             "mismatched": pa.array([mism], pa.int64()),
@@ -84,6 +116,7 @@ def compare_scores(gold_ds, test_ds, tol: float = 1e-6,
             "added": pa.array([int(test_only.sum())], pa.int64()),
             "max_abs_diff": pa.array(
                 [float(diffs.max()) if len(diffs) else 0.0], pa.float64()),
+            **_samples_cols(s_kind, s_a, s_b, s_gold, s_test),
         })
 
     parts = hash_partition_map(both, "part", _cmp, n_parts).to_pandas()
@@ -96,4 +129,14 @@ def compare_scores(gold_ds, test_ds, tol: float = 1e-6,
         "tol": tol,
     }
     out["warnings"] = out["mismatched"] + out["missing"] + out["added"]
+    samples = []
+    for _, row in parts.iterrows():
+        samples.extend(
+            {"kind": k, "a": int(aa), "b": int(bb),
+             "gold": None if np.isnan(g) else float(g),
+             "test": None if np.isnan(t) else float(t)}
+            for k, aa, bb, g, t in zip(row["s_kind"], row["s_a"], row["s_b"],
+                                       row["s_gold"], row["s_test"]))
+    samples.sort(key=lambda s: (s["a"], s["b"], s["kind"]))
+    out["samples"] = samples[:max_samples]
     return out

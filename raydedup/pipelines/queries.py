@@ -118,9 +118,20 @@ def q_exact_dup_pairs(sf_dir):
     return out
 
 
+# Mirrors exact_dup_pairs' hybrid contract exactly: groups up to
+# EXACT_PAIRS_MAX_GROUP members enumerate all pairs a<b; larger groups
+# (boilerplate floods) emit the linear star (min_id, member) —
+# connectivity-equivalent, never quadratic.
 SQL_EXACT_DUP_PAIRS = """
+WITH grp AS (SELECT doc_id, text,
+                    count(*)   OVER (PARTITION BY text) AS n,
+                    min(doc_id) OVER (PARTITION BY text) AS m
+             FROM documents)
 SELECT x.doc_id AS a, y.doc_id AS b
-FROM documents x JOIN documents y ON x.text = y.text AND x.doc_id < y.doc_id
+FROM grp x JOIN grp y ON x.text = y.text AND x.doc_id < y.doc_id
+WHERE x.n <= 1000
+UNION ALL
+SELECT m AS a, doc_id AS b FROM grp WHERE n > 1000 AND doc_id <> m
 """
 
 

@@ -224,6 +224,12 @@ def write_csr_binary(path: str, tab: pa.Table, *, is_weighted: bool,
         else np.empty(0, np.int64)
     offsets = np.zeros(nv + 1, dtype=np.int64)
     np.cumsum(counts, out=offsets[1:])
+    # auto-promote widths: a silent .astype('<i4') wrap would corrupt
+    # the file (the reference selects widths via its template flags)
+    if ne >= 2 ** 31:
+        edge_t64 = True
+    if nv > 2 ** 31:          # vertex ids go up to nv-1
+        vertex_t64 = True
     flags = (int(is_weighted) | (1 << 1)                 # always 0-indexed
              | (int(is_directed) << 2) | (int(has_reverse_edges) << 3)
              | (int(vertex_t64) << 4) | (int(edge_t64) << 5)

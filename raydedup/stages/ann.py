@@ -200,8 +200,13 @@ def ann_ivf_topk(ds, query_ids, k: int = 10, *, n_clusters: int | None = None,
     q_ids = ids_p[q_mask]
     q_clusters = np.argsort(-(q_mat @ cents.T), axis=1)[:, :nprobe]  # (Q, nprobe)
     probed = np.unique(q_clusters)
-    q_ref = ray.put({"ids": q_ids, "mat": q_mat, "clusters": q_clusters,
-                     "probed": probed})
+    # invert once on the driver: cluster -> indices of queries probing it,
+    # so the probe tasks do one matmul per (cluster, its queries) instead
+    # of one Python iteration per query
+    cluster_to_q = {int(c): np.unique(np.nonzero(q_clusters == c)[0])
+                    for c in probed}
+    q_ref = ray.put({"ids": q_ids, "mat": q_mat, "probed": probed,
+                     "cluster_to_q": cluster_to_q})
 
     def _probe(batch: pa.Table) -> pa.Table:
         c = ray.get(cents_ref)
@@ -215,17 +220,26 @@ def ann_ivf_topk(ds, query_ids, k: int = 10, *, n_clusters: int | None = None,
         assign = np.argmax(mat @ c.T, axis=1)
         keep = np.isin(assign, q["probed"])
         ids, mat, assign = ids[keep], mat[keep], assign[keep]
+        # group the batch's rows by assigned cluster (radix-friendly
+        # stable argsort), then ONE (rows × queries-probing-cluster)
+        # matmul + columnwise top-k per cluster — O(present clusters)
+        # Python iterations, not O(|queries|)
+        order = np.argsort(assign, kind="stable")
+        ids, mat, assign = ids[order], mat[order], assign[order]
+        bounds = np.flatnonzero(np.concatenate(
+            [[True], assign[1:] != assign[:-1]]))
+        bounds = np.append(bounds, len(assign))
         outs_q, outs_v, outs_c = [], [], []
-        for qi in range(len(q["ids"])):
-            cand = np.isin(assign, q["clusters"][qi])
-            if not cand.any():
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            qi = q["cluster_to_q"].get(int(assign[s]))
+            if qi is None:
                 continue
-            sims = mat[cand] @ q["mat"][qi]
-            kk = min(k, len(sims))
-            top = np.argpartition(-sims, kk - 1)[:kk]
-            outs_q.append(np.full(kk, q["ids"][qi], dtype=np.int64))
-            outs_v.append(ids[cand][top])
-            outs_c.append(sims[top])
+            sims = mat[s:e] @ q["mat"][qi].T          # (rows, nq)
+            kk = min(k, e - s)
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
+            outs_q.append(np.repeat(q["ids"][qi], kk))
+            outs_v.append(ids[s:e][top].T.ravel())
+            outs_c.append(np.take_along_axis(sims, top, axis=0).T.ravel())
         if not outs_q:
             return pa.table({"query_id": pa.array([], pa.int64()),
                              "vec_id": pa.array([], pa.int64()),

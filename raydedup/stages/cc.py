@@ -17,6 +17,7 @@ which makes the SQL oracle for exact-dup components simply
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -65,29 +66,47 @@ def connected_components(pairs_ds, cfg: PipelineConfig, checkpoint_fn=None,
 
 
 def _connected_components_local(pairs_ds):
-    """Union-find over a collected pair list — O(E α(E)) on the driver.
-    Only reached when the edge list is provably small (auto threshold)."""
+    """Vectorized hash-min + pointer jumping over a collected pair list
+    — O((V+E)·log diameter), every step a whole-array numpy op (the
+    earlier per-edge Python union-find cost tens of driver-seconds at
+    the 5M-edge gate).  Only reached when the edge list is provably
+    small (auto threshold)."""
     import pandas as pd
     import ray.data as rd
 
     df = pairs_ds.select_columns(["a", "b"]).to_pandas()
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in zip(df["a"].to_numpy(), df["b"].to_numpy()):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    nodes = sorted(parent)
-    out = pd.DataFrame({"node": nodes,
-                        "component": [find(n) for n in nodes]})
-    out["node"] = out["node"].astype("int64")
-    out["component"] = out["component"].astype("int64")
+    a = df["a"].to_numpy(dtype=np.int64, copy=False)
+    b = df["b"].to_numpy(dtype=np.int64, copy=False)
+    # compact ids: np.unique sorts, so the min compacted index of a
+    # component is also its min original node id
+    allv = np.concatenate([a, b])
+    nodes = np.unique(allv)
+    inv = np.searchsorted(nodes, allv)    # ~3x faster than return_inverse
+    u, v = inv[: len(a)], inv[len(a):]
+    # one-time sort of the symmetrized edge list; per round the
+    # neighbor-min is then a gather + np.minimum.reduceat (segmented
+    # min), ~20x faster than np.minimum.at scatter
+    e = np.concatenate([u, v])
+    t = np.concatenate([v, u])
+    order = np.argsort(e, kind="stable")
+    ts = t[order]
+    es = e[order]
+    starts = np.flatnonzero(np.concatenate([[True], es[1:] != es[:-1]]))
+    uids = es[starts]
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        new = label.copy()
+        new[uids] = np.minimum(new[uids],
+                               np.minimum.reduceat(label[ts], starts))
+        while True:                       # pointer-jump to fixpoint
+            nn = new[new]
+            if np.array_equal(nn, new):
+                break
+            new = nn
+        if np.array_equal(new, label):
+            break
+        label = new
+    out = pd.DataFrame({"node": nodes, "component": nodes[label]})
     return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
 
 

@@ -246,10 +246,14 @@ def substring_dedup(docs_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
         np.cumsum(kept_per_doc, out=new_offs[1:])
         flat = lists.flatten()
         kept_tokens = flat.filter(pa.array(keep)) if total else flat
-        new_list = pa.ListArray.from_arrays(
-            pa.array(new_offs, pa.int32()) if new_offs[-1] < 2**31
-            else pa.array(new_offs, pa.int64()),
-            kept_tokens)
+        if new_offs[-1] < 2**31:
+            new_list = pa.ListArray.from_arrays(
+                pa.array(new_offs, pa.int32()), kept_tokens)
+        else:
+            # ListArray offsets are int32 by contract; ≥2^31 tokens per
+            # partition needs the large variant (binary_join accepts it)
+            new_list = pa.LargeListArray.from_arrays(
+                pa.array(new_offs, pa.int64()), kept_tokens)
         deduped = pc.binary_join(new_list, " ")
         return pa.table({
             id_col: docs[id_col],

@@ -65,3 +65,39 @@ class TestCharNgram:
         v_all, o_all = char_ngram_batch(arr, 3)
         v_sl, o_sl = char_ngram_batch(arr.slice(1, 2), 3)
         assert (v_sl == v_all[o_all[1]:o_all[3]]).all()
+
+
+class TestMismatchSamples:
+    def test_samples_localize_offenders(self, ray_session):
+        import ray.data as rd
+        import pyarrow as pa
+        from raydedup.pipelines.compare import compare_scores
+        gold = rd.from_arrow(pa.table(
+            {"a": [1, 2, 3], "b": [4, 5, 6], "jaccard": [0.5, 0.7, 0.9]}))
+        test = rd.from_arrow(pa.table(
+            {"a": [1, 2, 7], "b": [4, 5, 8], "jaccard": [0.5, 0.75, 0.1]}))
+        rep = compare_scores(gold, test, tol=1e-3)
+        kinds = {(s["kind"], s["a"], s["b"]) for s in rep["samples"]}
+        assert kinds == {("mismatch", 2, 5), ("missing", 3, 6),
+                         ("added", 7, 8)}
+        mism = next(s for s in rep["samples"] if s["kind"] == "mismatch")
+        assert mism["gold"] == 0.7 and mism["test"] == 0.75
+        miss = next(s for s in rep["samples"] if s["kind"] == "missing")
+        assert miss["test"] is None
+
+    def test_samples_capped_and_deterministic(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+        import pyarrow as pa
+        from raydedup.pipelines.compare import compare_scores
+        n = 200
+        gold = rd.from_arrow(pa.table(
+            {"a": np.arange(n), "b": np.arange(n) + 1000,
+             "jaccard": np.full(n, 0.5)}))
+        test = rd.from_arrow(pa.table(
+            {"a": np.arange(n), "b": np.arange(n) + 1000,
+             "jaccard": np.full(n, 0.9)}))
+        r1 = compare_scores(gold, test, tol=1e-3, max_samples=5)
+        r2 = compare_scores(gold, test, tol=1e-3, max_samples=5)
+        assert len(r1["samples"]) == 5 and r1["samples"] == r2["samples"]
+        assert r1["mismatched"] == n

@@ -265,3 +265,36 @@ class TestHashing:
         y = splitmix64(x)
         assert y[0] != y[1]
         assert bin(int(y[0]) ^ int(y[1])).count("1") > 10
+
+
+class TestLongPairHybridDispatch:
+    """Pairs whose merge length exceeds _LOCKSTEP_MAX_MERGE route to a
+    per-pair searchsorted instead of stretching the lockstep loop
+    (round-3 ADVICE: one giant pair must not dominate the batch)."""
+
+    def test_long_pairs_exact(self):
+        import numpy as np
+        from raydedup.functions.setops import (
+            _LOCKSTEP_MAX_MERGE, pairwise_intersection_sizes,
+            pairwise_weighted_jaccard)
+        rng = np.random.default_rng(11)
+        sets_a, sets_b = [], []
+        for _ in range(30):                       # short tail
+            sets_a.append(np.unique(rng.integers(0, 2**63, 40).astype(np.uint64)))
+            sets_b.append(np.unique(rng.integers(0, 2**63, 40).astype(np.uint64)))
+        big = np.unique(rng.integers(0, 2**63, 3 * _LOCKSTEP_MAX_MERGE)
+                        .astype(np.uint64))
+        sets_a.append(big[: 2 * _LOCKSTEP_MAX_MERGE])   # giant overlapping pair
+        sets_b.append(big[_LOCKSTEP_MAX_MERGE:])
+        sets_a.append(big[:10])                          # asymmetric long/short
+        sets_b.append(big)
+        av = np.concatenate(sets_a)
+        bv = np.concatenate(sets_b)
+        ao = np.concatenate([[0], np.cumsum([len(s) for s in sets_a])]).astype(np.int64)
+        bo = np.concatenate([[0], np.cumsum([len(s) for s in sets_b])]).astype(np.int64)
+        got = pairwise_intersection_sizes(av, ao, bv, bo)
+        want = np.array([len(np.intersect1d(a, b))
+                         for a, b in zip(sets_a, sets_b)])
+        assert (got == want).all()
+        wi, _, _ = pairwise_weighted_jaccard(av, ao, bv, bo)
+        assert np.allclose(wi, want)

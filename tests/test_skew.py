@@ -202,3 +202,29 @@ class TestDistributedCCCheckpoint:
         cfg = PipelineConfig(num_partitions=4, cc_max_iters=2)
         with pytest.warns(RuntimeWarning, match="did not converge"):
             connected_components(pairs, cfg, mode="distributed").to_pandas()
+
+    def test_overcap_star_matches_oracle_sql(self, ray_session):
+        # The documented contract (SQL_EXACT_DUP_PAIRS) is hybrid:
+        # all-pairs for groups ≤ EXACT_PAIRS_MAX_GROUP, star above.
+        # Verify Ray output == DuckDB oracle on a corpus containing an
+        # OVER-cap group (1200 copies), a small dup group and uniques —
+        # the skew case where the round-2 oracle silently diverged.
+        import duckdb
+        import pandas as pd
+        from raydedup.config import PipelineConfig
+        from raydedup.stages.dedup import exact_dup_pairs
+        from raydedup.pipelines.queries import SQL_EXACT_DUP_PAIRS
+        texts = (["flooded boilerplate"] * 1200
+                 + ["small dup group"] * 4
+                 + ["unique %d" % i for i in range(30)])
+        ds = _docs_ds(texts)
+        cfg = PipelineConfig(num_partitions=4, batch_size=2048)
+        got = exact_dup_pairs(ds, cfg).to_pandas()
+        docs = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                             "text": texts})
+        con = duckdb.connect()
+        con.register("documents", docs)
+        want = con.execute(SQL_EXACT_DUP_PAIRS).df()
+        assert set(zip(got["a"], got["b"])) == set(zip(want["a"], want["b"]))
+        # star for the flood (1199 pairs), all-pairs for the small group (6)
+        assert len(got) == 1199 + 6
