@@ -19,7 +19,13 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .hashing import combine_rolling, hash_utf8_array
+from .hashing import combine_rolling, hash_utf8_array, window_hash_stream
+
+# Bump when the window/shingle hash function changes: stamped into
+# checkpoint manifests so stale signature/candidate checkpoints from an
+# older kernel are recomputed, not reused (batch_size-style config
+# invalidation can't see code changes).
+SHINGLE_KERNEL_VERSION = 2  # v2 = Rabin-Karp window hash (was splitmix fold)
 
 
 def tokenize_arrow(texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
@@ -81,8 +87,7 @@ def shingle_batch(
 
     # hash of every length-k window over the concatenated token stream
     n_win = m - k + 1
-    parts = [tok_hashes[j : n_win + j] for j in range(k)]
-    win_hash = combine_rolling(parts)
+    win_hash = window_hash_stream(tok_hashes, k)
 
     # a window starting at i is a real shingle iff it doesn't cross a
     # doc boundary: doc_of[i] == doc_of[i+k-1]
@@ -127,8 +132,7 @@ def shingle_stream(texts: pa.Array, k: int
         return (np.empty(0, dtype=np.uint64),
                 np.empty(0, dtype=np.int64), n_docs)
     n_win = m - k + 1
-    parts = [tok_hashes[j: n_win + j] for j in range(k)]
-    win_hash = combine_rolling(parts)
+    win_hash = window_hash_stream(tok_hashes, k)
     doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), n_tok)
     valid = doc_of[:n_win] == doc_of[k - 1:]
     return win_hash[valid], doc_of[:n_win][valid], n_docs

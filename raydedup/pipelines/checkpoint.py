@@ -22,6 +22,7 @@ import os
 import shutil
 
 from ..config import PipelineConfig
+from ..functions.text import SHINGLE_KERNEL_VERSION
 from ..sources.pages import EXTRACTOR_VERSION
 
 MANIFEST = "_MANIFEST.json"
@@ -50,6 +51,8 @@ class CheckpointManager:
         return (man.get("complete") is True
                 and man.get("config_hash") == self.cfg.config_hash()
                 and man.get("extractor_version") == EXTRACTOR_VERSION
+                and man.get("shingle_kernel_version", 1)  # pre-field = v1
+                == SHINGLE_KERNEL_VERSION
                 and os.path.isdir(data_dir))
 
     def stage(self, name: str, compute_fn, counters=None):
@@ -92,6 +95,7 @@ class CheckpointManager:
             "complete": True,
             "config_hash": self.cfg.config_hash(),
             "extractor_version": EXTRACTOR_VERSION,
+            "shingle_kernel_version": SHINGLE_KERNEL_VERSION,
             "rows": int(sum(per_file.values())),
             "partitions": per_file,          # per-partition lineage
             "counters": ctr,

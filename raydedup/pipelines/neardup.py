@@ -32,7 +32,8 @@ from ..stages.verify import SEMI_FILTER_MAX_PAIRS, verify_pairs
 def near_dup_pairs(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
                    id_col: str = "doc_id", text_col: str = "text",
                    threshold: float | None = ..., sig_ds=None,
-                   strategy: str = "slim", counters=None):
+                   strategy: str = "slim", counters=None,
+                   debug_dir: str | None = None):
     """→ Dataset(a, b, intersection, union, jaccard) of verified
     near-duplicate pairs with jaccard ≥ threshold (default
     cfg.verify_threshold).
@@ -46,6 +47,11 @@ def near_dup_pairs(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
     materializes the complete signature table (shingle blobs included)
     once and verifies against it — right when nearly every doc is a
     candidate endpoint, or when the caller reuses the signature table.
+
+    ``debug_dir`` (slim path only): dump the fused intermediates (band
+    rows, bucket candidate pairs) as parquet under this directory — the
+    DEBUG_2 analogue for the path whose intermediates otherwise never
+    exist in storage.
     """
     if sig_ds is not None:
         # caller-provided full signatures (must carry shingles)
@@ -81,7 +87,8 @@ def near_dup_pairs(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
     t0 = _time.perf_counter()
     from ..stages.lsh import candidate_pairs_from_docs
     cands = candidate_pairs_from_docs(
-        docs, cfg, id_col=id_col, text_col=text_col, counters=counters)
+        docs, cfg, id_col=id_col, text_col=text_col, counters=counters,
+        debug_dir=debug_dir)
     # ONE pass over the candidate blocks: the refs are already
     # materialized tables (raw-task exchange output).  Row counts come
     # from worker-side len() tasks first, so the driver only collects

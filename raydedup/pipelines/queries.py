@@ -843,6 +843,20 @@ WHERE list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) >= 0.
 """
 
 
+def q_exact_dedup_corpus(sf_dir):
+    """Corpus-out exact dedup (the single-exchange keep-min plan): the
+    surviving rows themselves, not just the keep list."""
+    return dd.exact_dedup(_docs(sf_dir, ["doc_id", "text"]), CFG)
+
+
+SQL_EXACT_DEDUP_CORPUS = """
+SELECT doc_id, text FROM (
+  SELECT doc_id, text,
+         min(doc_id) OVER (PARTITION BY text) AS keep
+  FROM documents) WHERE doc_id = keep
+"""
+
+
 def q_lang_id(sf_dir):
     """Stopword-vote language ID (rows-only: heuristic table not in SQL)."""
     return ts.lang_id(_docs(sf_dir, ["doc_id", "text"])) \
@@ -855,6 +869,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "quality_scores": q_quality,
     "exact_dedup_groups": q_exact_dedup_groups,
+    "exact_dedup_corpus": q_exact_dedup_corpus,
     "exact_dup_pairs": q_exact_dup_pairs,
     "exact_dup_components": q_exact_dup_components,
     "near_dup_pairs": q_near_dup_pairs,
@@ -890,6 +905,7 @@ ORACLES = {
     "fingerprint": SQL_FINGERPRINT,
     "quality_scores": SQL_QUALITY,
     "exact_dedup_groups": SQL_EXACT_DEDUP_GROUPS,
+    "exact_dedup_corpus": SQL_EXACT_DEDUP_CORPUS,
     "exact_dup_pairs": SQL_EXACT_DUP_PAIRS,
     "exact_dup_components": SQL_EXACT_DUP_COMPONENTS,
     "near_dup_pairs": SQL_NEAR_DUP_PAIRS,

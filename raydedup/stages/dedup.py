@@ -101,11 +101,46 @@ def _min_sum_aggs():
 def exact_dedup(ds, cfg: PipelineConfig, id_col: str = "doc_id",
                 text_col: str = "text"):
     """Keep exactly one row (the min doc_id) per distinct text.
-    Returns the deduplicated Dataset with the original columns."""
-    groups = exact_dup_groups(ds, cfg, id_col=id_col, text_col=text_col)
-    keep = groups.select_columns(["keep_id"]).rename_columns({"keep_id": id_col})
-    return ds.join(keep, join_type="inner",
-                   num_partitions=cfg.resolved_partitions(), on=(id_col,))
+    Returns the deduplicated Dataset with the original columns.
+
+    Physical plan: ONE manual hash exchange — full rows are partitioned
+    by content hash (each dup group lands whole in one partition) and
+    the min-doc_id row per 128-bit-hash group is kept in-partition.
+    This replaces the earlier exact_dup_groups + ``ds.join`` plan: the
+    keep-list side is ~corpus-sized (one row per distinct text), so the
+    join was a second full shuffle through Ray's sort-based exchange —
+    the path this repo measured slow everywhere else (verify.py)."""
+    from ..functions.hashing import splitmix64
+    from ..functions.shuffle import hash_partition_map
+
+    n_parts = cfg.resolved_partitions()
+    out_schema = ds.schema().base_schema
+
+    def _tag(t: pa.Table) -> pa.Table:
+        h = np.asarray(t["text_hash"], dtype=np.int64)
+        part = (np.asarray(splitmix64(h.view(np.uint64)))
+                % np.uint64(n_parts)).astype(np.int64)
+        return t.append_column("part", pa.array(part, pa.int64()))
+
+    tagged = with_text_hash(ds, text_col).map_batches(
+        _tag, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _keep(tab: pa.Table | None) -> pa.Table:
+        if tab is None or len(tab) == 0:
+            return out_schema.empty_table()
+        h1 = np.asarray(tab["text_hash"], dtype=np.int64)
+        h2 = np.asarray(tab["text_hash2"], dtype=np.int64)
+        ids = np.asarray(tab[id_col], dtype=np.int64)
+        order = np.lexsort((ids, h2, h1))
+        h1s, h2s = h1[order], h2[order]
+        starts = np.empty(len(order), dtype=bool)
+        starts[0] = True
+        starts[1:] = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
+        keep_rows = np.sort(order[starts])    # min id per group, in
+        out = tab.take(pa.array(keep_rows, pa.int64()))  # original order
+        return out.select(out_schema.names)
+
+    return hash_partition_map(tagged, "part", _keep, n_parts)
 
 
 EXACT_PAIRS_MAX_GROUP = 1000   # all-pairs enumeration cap per dup group

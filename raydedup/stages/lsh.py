@@ -261,10 +261,22 @@ def candidate_pairs(band_ds, cfg: PipelineConfig, id_col: str = "doc_id",
     return hash_partition_map(pairs, "part", _dedup, n_parts)
 
 
+def _debug_dump(tab: pa.Table, dirpath: str) -> None:
+    """Worker-side intermediate dump for ``debug_dir`` mode — one
+    parquet file per task invocation (unique name, append-safe)."""
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+    os.makedirs(dirpath, exist_ok=True)
+    pq.write_table(tab, os.path.join(dirpath,
+                                     f"part-{uuid.uuid4().hex}.parquet"))
+
+
 def candidate_pairs_from_docs(docs, cfg: PipelineConfig, *,
                               id_col: str = "doc_id",
                               text_col: str = "text", counters=None,
-                              dedup: str = "global"):
+                              dedup: str = "global", debug_dir: str | None = None):
     """docs → candidate pairs with the ENTIRE map side (fused stream-OPH
     signatures → band explosion → partition tag) executed inside the
     shuffle's split tasks: the 32x-exploded band rows are sliced into
@@ -272,7 +284,14 @@ def candidate_pairs_from_docs(docs, cfg: PipelineConfig, *,
     the object store as an intermediate dataset.  One barrier less and
     ~2x less plasma traffic than signatures()+explode_bands()+
     candidate_pairs() — the scaling-efficiency path for the flagship
-    pipeline."""
+    pipeline.
+
+    ``debug_dir``: when set, every fused intermediate that normally
+    never touches storage is dumped as parquet — band rows to
+    ``{debug_dir}/bands/``, per-bucket candidate pairs to
+    ``{debug_dir}/candidates/`` — the analogue of the reference's
+    DEBUG_2 intermediate-vector dumps (jaccard.cpp:823-867), so a wrong
+    answer on the fused path is localizable stage by stage."""
     from ..stages.signatures import SignatureStage
 
     n_parts = cfg.resolved_partitions()
@@ -305,11 +324,14 @@ def candidate_pairs_from_docs(docs, cfg: PipelineConfig, *,
         flat = np.asarray(bands.flatten(), dtype=np.uint64).view(np.int64)
         ids = np.repeat(np.asarray(sig[id_col], dtype=np.int64), bw)
         part = (flat.view(np.uint64) % np.uint64(n_parts)).astype(np.int64)
-        return pa.table({
+        out = pa.table({
             "band_key": pa.array(flat, pa.int64()),
             id_col: pa.array(ids, pa.int64()),
             "part": pa.array(part, pa.int64()),
         })
+        if debug_dir is not None:
+            _debug_dump(out, f"{debug_dir}/bands")
+        return out
 
     cap = cfg.band_bucket_cap
     local_only = dedup == "local"
@@ -341,7 +363,10 @@ def candidate_pairs_from_docs(docs, cfg: PipelineConfig, *,
                                ^ hi.view(np.uint64))
                     % np.uint64(n_parts)).astype(np.int64)
             cols["part"] = pa.array(part, pa.int64())
-        return pa.table(cols)
+        out = pa.table(cols)
+        if debug_dir is not None:
+            _debug_dump(out, f"{debug_dir}/candidates")
+        return out
 
     pairs = hash_partition_map(docs.select_columns([id_col, text_col]),
                                "part", _emit, n_parts, map_fn=_map,

@@ -28,7 +28,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
-from ..functions.hashing import combine_rolling, splitmix64
+from ..functions.hashing import splitmix64, window_hash_stream
 from ..functions.text import tokenize_arrow
 
 
@@ -45,8 +45,7 @@ def window_hash_batch(texts: pa.Array, k: int
         return (np.empty(0, np.uint64), np.empty(0, np.int64),
                 np.empty(0, np.int64))
     n_win = m - k + 1
-    parts = [tok_hashes[j : n_win + j] for j in range(k)]
-    win_hash = combine_rolling(parts)
+    win_hash = window_hash_stream(tok_hashes, k)
     doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), n_tok)
     valid = doc_of[:n_win] == doc_of[k - 1 :]
     gpos = np.flatnonzero(valid)

@@ -544,7 +544,8 @@ SEMI_FILTER_MAX_PAIRS = 50_000_000    # endpoint-id semi-join prune cap
 
 def verify_pairs(pairs_ds, sig_ds, cfg: PipelineConfig,
                  threshold: float | None = ..., id_col: str = "doc_id",
-                 set_col: str = "shingles", assume_small: bool | None = None):
+                 set_col: str = "shingles", assume_small: bool | None = None,
+                 sig_prefiltered: bool = False):
     """Full verification: gather both shingle sets per pair, score, filter.
 
     Physical plan choice: when the candidate set is small (the common
@@ -554,6 +555,9 @@ def verify_pairs(pairs_ds, sig_ds, cfg: PipelineConfig,
     10^12-doc path — pairs flow through two hash-partitioned joins on
     doc_id.  ``assume_small=False`` forces the join path without
     counting (counting materializes the candidate pipeline once).
+    ``sig_prefiltered=True`` declares sig_ds already pruned to the
+    candidate endpoints — skips the endpoint collect + semi-filter this
+    wrapper would otherwise redo (callers on pre-semi'd inputs).
     """
     thr = cfg.verify_threshold if threshold is ... else threshold
     if assume_small is None or assume_small:
@@ -562,7 +566,8 @@ def verify_pairs(pairs_ds, sig_ds, cfg: PipelineConfig,
         if n_pairs == 0:
             return score_pairs(_empty_joined(), cfg, threshold=threshold)
         need_arr = None
-        if assume_small or n_pairs <= SEMI_FILTER_MAX_PAIRS:
+        if not sig_prefiltered and (assume_small
+                                    or n_pairs <= SEMI_FILTER_MAX_PAIRS):
             # semi-join: collect the candidate endpoint ids (two int64
             # columns — small even for millions of pairs) and prune the
             # signature side to just the needed rows before any gather

@@ -99,3 +99,32 @@ class TestPhysicalPlanAgreement:
         got_d = dict(zip(d["node"], d["component"]))
         got_l = dict(zip(l["node"], l["component"]))
         assert got_d == got_l
+
+
+class TestDebugDumps:
+    def test_fused_debug_bands_match_staged_explode(self, ray_session,
+                                                    corpus_ds, tmp_path):
+        """debug_dir mode dumps the fused path's band rows; they must
+        equal the staged explode_bands output exactly — the DEBUG_2
+        localization hook (reference jaccard.cpp:823-867)."""
+        import glob
+        import pyarrow.parquet as pq
+        from raydedup.stages.lsh import candidate_pairs_from_docs, explode_bands
+        from raydedup.stages.signatures import signatures
+        dbg = str(tmp_path / "dbg")
+        cands = candidate_pairs_from_docs(
+            corpus_ds, CFG, debug_dir=dbg).to_pandas()
+        band_files = glob.glob(f"{dbg}/bands/*.parquet")
+        cand_files = glob.glob(f"{dbg}/candidates/*.parquet")
+        assert band_files and cand_files
+        dumped = pa.concat_tables([pq.read_table(f) for f in band_files]) \
+            .to_pandas()
+        sig = signatures(corpus_ds, CFG, with_simhash=False)
+        staged = explode_bands(sig, CFG).to_pandas()
+        key = lambda df: sorted(zip(df["band_key"], df["doc_id"]))
+        assert key(dumped) == key(staged)
+        # dumped per-bucket candidates cover the final candidate set
+        dcand = pa.concat_tables([pq.read_table(f).select(["a", "b"])
+                                  for f in cand_files]).to_pandas()
+        assert set(zip(cands["a"], cands["b"])) <= set(zip(dcand["a"],
+                                                           dcand["b"]))
