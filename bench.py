@@ -171,14 +171,16 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     """N vs 4N CPUs, fresh processes, same input (the sandbox stand-in
-    for N- vs 4N-node clusters).  Default pair 4/16: both levels must be
+    for N- vs 4N-node clusters).  Default pair 2/8: both levels must be
     CPU-bound for the ratio to measure SOFTWARE scaling — at 8+ CPUs
     this single socket's DRAM bandwidth saturates first (per-task
-    core-seconds inflate ~3x at 32 workers; BASELINE.md), a ceiling the
-    real N-vs-4N-node comparison does not share (every node adds its
-    own DRAM+NIC).  8/32 numbers are also recorded in BASELINE.md."""
+    core-seconds inflate ~3x at 32 workers; node-emulation probe shows
+    1.89x slowdown with zero shared software — BASELINE.md), a ceiling
+    the real N-vs-4N-node comparison does not share (every node adds
+    its own DRAM+NIC).  The 4/16 and 8/32 pairs are also measured and
+    recorded in BASELINE.md every round."""
     import subprocess
-    lo = int(os.environ.get("GRAFT_SCALING_LO", "4"))
+    lo = int(os.environ.get("GRAFT_SCALING_LO", "2"))
     hi = 4 * lo
 
     def once(n):
