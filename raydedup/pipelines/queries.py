@@ -857,6 +857,77 @@ SELECT doc_id, text FROM (
 """
 
 
+def _docs_side(sf_dir, ref: bool):
+    """Deterministic corpus/reference split of the documents table for
+    the decontamination queries: doc_id % 10 == 0 → reference side."""
+    import numpy as _np
+
+    def _side(t):
+        ids = _np.asarray(t["doc_id"], _np.int64)
+        keep = (ids % 10 == 0) if ref else (ids % 10 != 0)
+        return t.filter(pa.array(keep))
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _side, batch_format="pyarrow")
+
+
+def q_decontam_kept(sf_dir):
+    from ..stages.decontam import decontaminate
+    return decontaminate(_docs_side(sf_dir, False), _docs_side(sf_dir, True),
+                         CFG)
+
+
+def q_decontam_matches(sf_dir):
+    from ..stages.decontam import decontamination_matches
+    return decontamination_matches(_docs_side(sf_dir, False),
+                                   _docs_side(sf_dir, True), CFG)
+
+
+def q_decontam_exact_kept(sf_dir):
+    from ..stages.decontam import decontaminate_exact
+    return decontaminate_exact(_docs_side(sf_dir, False),
+                               _docs_side(sf_dir, True), CFG)
+
+
+_DECONTAM_CTES = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i)
+  WHERE len(t) >= 5
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+  FROM sh x JOIN sh y ON x.s = y.s
+  WHERE x.doc_id % 10 <> 0 AND y.doc_id % 10 = 0
+  GROUP BY 1, 2
+)
+"""
+
+SQL_DECONTAM_KEPT = _DECONTAM_CTES + """
+SELECT doc_id, text FROM documents
+WHERE doc_id % 10 <> 0 AND doc_id NOT IN (
+  SELECT i.a FROM inter i
+  JOIN cnt ca ON ca.doc_id = i.a JOIN cnt cb ON cb.doc_id = i.b
+  WHERE i.c::DOUBLE / (ca.n + cb.n - i.c) >= 0.8)
+"""
+
+SQL_DECONTAM_MATCHES = _DECONTAM_CTES + """
+SELECT i.a AS corpus_id, i.b AS ref_id,
+       i.c::DOUBLE / (ca.n + cb.n - i.c) AS jaccard
+FROM inter i
+JOIN cnt ca ON ca.doc_id = i.a JOIN cnt cb ON cb.doc_id = i.b
+WHERE i.c::DOUBLE / (ca.n + cb.n - i.c) >= 0.8
+"""
+
+SQL_DECONTAM_EXACT_KEPT = """
+SELECT doc_id, text FROM documents
+WHERE doc_id % 10 <> 0
+  AND text NOT IN (SELECT text FROM documents WHERE doc_id % 10 = 0)
+"""
+
+
 def q_lang_id(sf_dir):
     """Stopword-vote language ID (rows-only: heuristic table not in SQL)."""
     return ts.lang_id(_docs(sf_dir, ["doc_id", "text"])) \
@@ -897,6 +968,9 @@ QUERIES = {
     "edge_jaccard_weighted": q_edge_jaccard_weighted,
     "char_ngram_adjacent": q_char_ngram_adjacent,
     "embedding_dup_pairs": q_embedding_dup_pairs,
+    "decontam_kept": q_decontam_kept,
+    "decontam_matches": q_decontam_matches,
+    "decontam_exact_kept": q_decontam_exact_kept,
 }
 
 ORACLES = {
@@ -929,6 +1003,9 @@ ORACLES = {
     "edge_jaccard_weighted": SQL_EDGE_JACCARD_WEIGHTED,
     "char_ngram_adjacent": SQL_CHAR_NGRAM_ADJACENT,
     "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
+    "decontam_kept": SQL_DECONTAM_KEPT,
+    "decontam_matches": SQL_DECONTAM_MATCHES,
+    "decontam_exact_kept": SQL_DECONTAM_EXACT_KEPT,
     # rows-only (non-SQL-expressible): simhash_dup_pairs, ann_lsh_buckets,
     # lang_id
 }

@@ -1,0 +1,90 @@
+"""Decontamination-stage tests: planted leaks must be dropped, clean
+docs kept, matches audited, exact variant byte-precise."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from raydedup.config import PipelineConfig
+
+CFG = PipelineConfig(num_partitions=4, batch_size=64)
+
+
+def _ds(ids, texts):
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.asarray(ids, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+    }))
+
+
+def _mk_corpus():
+    rng = np.random.default_rng(5)
+    base = ["w%d" % i for i in range(60)]
+    ref_texts = [" ".join(rng.permutation(base).tolist()) for _ in range(5)]
+    # leaked: reference doc with ONE token changed (J ≈ 55/57 > 0.8)
+    leaked = []
+    for t in ref_texts[:3]:
+        toks = t.split()
+        toks[30] = "CHANGED"
+        leaked.append(" ".join(toks))
+    clean = [" ".join("c%d_%d" % (i, j) for j in range(50))
+             for i in range(10)]
+    corpus_texts = leaked + clean
+    return ref_texts, corpus_texts
+
+
+class TestDecontaminate:
+    def test_planted_leaks_dropped_clean_kept(self, ray_session):
+        from raydedup.stages.decontam import decontaminate
+        ref_texts, corpus_texts = _mk_corpus()
+        ref = _ds(range(1000, 1000 + len(ref_texts)), ref_texts)
+        corpus = _ds(range(len(corpus_texts)), corpus_texts)
+        kept = decontaminate(corpus, ref, CFG).to_pandas()
+        assert sorted(kept["doc_id"]) == list(range(3, 13))  # leaks 0-2 gone
+
+    def test_matches_against_bruteforce(self, ray_session):
+        from raydedup.functions.text import shingle_batch
+        from raydedup.functions.setops import pairwise_jaccard
+        from raydedup.stages.decontam import decontamination_matches
+        ref_texts, corpus_texts = _mk_corpus()
+        ref = _ds(range(1000, 1000 + len(ref_texts)), ref_texts)
+        corpus = _ds(range(len(corpus_texts)), corpus_texts)
+        got = decontamination_matches(corpus, ref, CFG).to_pandas()
+        # brute force: all (corpus, ref) pairs
+        want = set()
+        cv, co = shingle_batch(pa.array(corpus_texts), CFG.k_shingle)
+        rv, ro = shingle_batch(pa.array(ref_texts), CFG.k_shingle)
+        for i in range(len(corpus_texts)):
+            for j in range(len(ref_texts)):
+                _, _, jac = pairwise_jaccard(
+                    cv[co[i]:co[i + 1]], np.array([0, co[i + 1] - co[i]]),
+                    rv[ro[j]:ro[j + 1]], np.array([0, ro[j + 1] - ro[j]]))
+                if jac[0] >= CFG.verify_threshold:
+                    want.add((i, 1000 + j))
+        assert set(zip(got["corpus_id"], got["ref_id"])) == want
+        assert len(want) == 3
+
+    def test_exact_variant(self, ray_session):
+        from raydedup.stages.decontam import decontaminate_exact
+        ref = _ds([100, 101], ["exact duplicate body", "other ref"])
+        corpus = _ds([0, 1, 2], ["exact duplicate body",
+                                 "near exact duplicate body",
+                                 "completely different"])
+        kept = decontaminate_exact(corpus, ref, CFG).to_pandas()
+        assert sorted(kept["doc_id"]) == [1, 2]   # only byte-identical dropped
+
+    def test_empty_reference_keeps_all(self, ray_session):
+        from raydedup.stages.decontam import decontaminate, decontaminate_exact
+        corpus = _ds([0, 1], ["a doc here today", "another doc there now"])
+        empty_ref = _ds([], [])
+        assert decontaminate(corpus, empty_ref, CFG).count() == 2
+        assert decontaminate_exact(corpus, empty_ref, CFG).count() == 2
+
+    def test_short_docs_never_match(self, ray_session):
+        # < k tokens → empty shingle set → never dropped (matches the
+        # SQL oracle's len(t) >= 5 guard)
+        from raydedup.stages.decontam import decontaminate
+        ref = _ds([100], ["tiny doc"])
+        corpus = _ds([0], ["tiny doc"])   # identical but sub-shingle-length
+        assert decontaminate(corpus, ref, CFG).count() == 1
