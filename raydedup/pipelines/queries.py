@@ -857,6 +857,49 @@ SELECT doc_id, text FROM (
 """
 
 
+def q_repetition_stats(sf_dir):
+    return ts.repetition_stats(_docs(sf_dir, ["doc_id", "text"]))
+
+
+SQL_REPETITION_STATS = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+w AS (SELECT doc_id, unnest(t) AS word FROM toks),
+wc AS (SELECT doc_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS d,
+              max(c)::BIGINT AS mx
+       FROM (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2)
+       GROUP BY 1),
+bg AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS b
+       FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+       WHERE len(t) >= 2),
+bc AS (SELECT doc_id, max(c)::BIGINT AS mb, sum(c)::BIGINT AS nb
+       FROM (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2)
+       GROUP BY 1)
+SELECT w.doc_id,
+       ((w.n - w.d) * 1000000) // w.n AS dup_word_frac_e6,
+       (w.mx * 1000000) // w.n AS top_word_frac_e6,
+       coalesce((bc.mb * 1000000) // bc.nb, 0) AS top_bigram_frac_e6
+FROM wc w LEFT JOIN bc ON bc.doc_id = w.doc_id
+"""
+
+
+def q_pii_scrub(sf_dir):
+    return ts.scrub_pii(_docs(sf_dir, ["doc_id", "text"])) \
+             .select_columns(["doc_id", "text_scrubbed"])
+
+
+SQL_PII_SCRUB = """
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\\d{3}[-.]\\d{3}[-.]\\d{4}', '<PHONE>', 'g'),
+         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')
+       AS text_scrubbed
+FROM documents
+"""
+
+
 def _docs_side(sf_dir, ref: bool):
     """Deterministic corpus/reference split of the documents table for
     the decontamination queries: doc_id % 10 == 0 → reference side."""
@@ -971,6 +1014,8 @@ QUERIES = {
     "decontam_kept": q_decontam_kept,
     "decontam_matches": q_decontam_matches,
     "decontam_exact_kept": q_decontam_exact_kept,
+    "repetition_stats": q_repetition_stats,
+    "pii_scrub": q_pii_scrub,
 }
 
 ORACLES = {
@@ -1006,6 +1051,8 @@ ORACLES = {
     "decontam_kept": SQL_DECONTAM_KEPT,
     "decontam_matches": SQL_DECONTAM_MATCHES,
     "decontam_exact_kept": SQL_DECONTAM_EXACT_KEPT,
+    "repetition_stats": SQL_REPETITION_STATS,
+    "pii_scrub": SQL_PII_SCRUB,
     # rows-only (non-SQL-expressible): simhash_dup_pairs, ann_lsh_buckets,
     # lang_id
 }

@@ -61,6 +61,107 @@ def quality_scores(ds, text_col: str = "text"):
     return ds.map_batches(_score, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def repetition_stats(ds, text_col: str = "text"):
+    """Gopher/RefinedWeb-style intra-document repetition signals, fully
+    vectorized (one lexsort + run-length pass per batch):
+
+      dup_word_frac_e6   = (n_words − distinct_words)·1e6 // n_words
+      top_word_frac_e6   = max word count·1e6 // n_words
+      top_bigram_frac_e6 = max bigram count·1e6 // n_bigrams (0 if none)
+
+    Fractions are e6 integers (exact integer division) so the DuckDB
+    oracle agrees bit-for-bit — the avg_chars pattern.  Tokenization is
+    DuckDB ``string_split(text, ' ')`` exactly (split of '' is [''])."""
+    from ..functions.hashing import hash_utf8_array, window_hash_stream
+
+    def _rep(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch[text_col], "")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        la = pc.split_pattern(texts, pattern=" ")
+        offs = np.asarray(la.offsets, dtype=np.int64)
+        h = hash_utf8_array(la.values)
+        n = (offs[1:] - offs[:-1])          # ≥1 for every doc
+        n_docs = len(n)
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), n)
+
+        def _per_doc_runs(keys, docs, n_groups):
+            """(distinct count, max run length) per doc for (doc, key)
+            runs; docs must be nondecreasing."""
+            order = np.lexsort((keys, docs))
+            ks, ds_ = keys[order], docs[order]
+            new = np.empty(len(ks), dtype=bool)
+            new[0] = True
+            new[1:] = (ks[1:] != ks[:-1]) | (ds_[1:] != ds_[:-1])
+            ridx = np.flatnonzero(new)
+            rlen = np.diff(np.append(ridx, len(ks)))
+            run_doc = ds_[ridx]
+            distinct = np.bincount(run_doc, minlength=n_groups)
+            first = np.empty(len(run_doc), dtype=bool)
+            first[0] = True
+            first[1:] = run_doc[1:] != run_doc[:-1]
+            mx = np.zeros(n_groups, dtype=np.int64)
+            if len(run_doc):
+                mx[run_doc[first]] = np.maximum.reduceat(
+                    rlen, np.flatnonzero(first))
+            return distinct.astype(np.int64), mx
+
+        distinct, top_word = _per_doc_runs(h, doc_of, n_docs)
+
+        # bigrams: window hash of width 2 over the flat token-hash
+        # stream, windows crossing doc boundaries dropped
+        if len(h) >= 2:
+            bh = window_hash_stream(h, 2)
+            valid = doc_of[:-1] == doc_of[1:]
+            bh, bdoc = bh[valid], doc_of[:-1][valid]
+        else:
+            bh = np.empty(0, dtype=np.uint64)
+            bdoc = np.empty(0, dtype=np.int64)
+        nb = np.maximum(n - 1, 0)
+        if len(bh):
+            _, top_bigram = _per_doc_runs(bh, bdoc, n_docs)
+        else:
+            top_bigram = np.zeros(n_docs, dtype=np.int64)
+
+        e6 = np.int64(1_000_000)
+        dup_frac = (n - distinct) * e6 // n
+        top_w = top_word * e6 // n
+        top_b = np.where(nb > 0, top_bigram * e6 // np.maximum(nb, 1), 0)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "dup_word_frac_e6": pa.array(dup_frac, pa.int64()),
+            "top_word_frac_e6": pa.array(top_w, pa.int64()),
+            "top_bigram_frac_e6": pa.array(top_b, pa.int64()),
+        })
+
+    return ds.map_batches(_rep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# RE2 patterns — pyarrow's replace_substring_regex and DuckDB's
+# regexp_replace are both RE2, so the SQL oracle applies the SAME
+# patterns and must agree byte-for-byte.
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\d{3}[-.]\d{3}[-.]\d{4}", "<PHONE>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def scrub_pii(ds, text_col: str = "text", out_col: str = "text_scrubbed"):
+    """+ ``out_col``: text with emails / phone numbers / IPv4 literals
+    replaced by typed placeholders — sequential RE2 passes, vectorized
+    over the whole batch (compiled kernels, no Python per row)."""
+
+    def _scrub(batch: pa.Table) -> pa.Table:
+        out = pc.fill_null(batch[text_col], "")
+        for pat, repl in PII_PATTERNS:
+            out = pc.replace_substring_regex(out, pattern=pat,
+                                             replacement=repl)
+        return batch.append_column(out_col, out)
+
+    return ds.map_batches(_scrub, batch_format="pyarrow", zero_copy_batch=True)
+
+
 class LangIdStage:
     """Stopword-vote language ID — a stateful actor-pool stage: the
     per-language sorted stopword-hash tables are built once per actor in
