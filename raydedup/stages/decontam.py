@@ -47,6 +47,14 @@ def _gather_rows(values: np.ndarray, offsets: np.ndarray,
     return values[src], out_offs
 
 
+def build_reference_pack(reference_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
+                         *, id_col: str = "doc_id", text_col: str = "text"):
+    """Public pack builder: call once and pass the result as ``pack=``
+    to both ``decontaminate`` and ``decontamination_matches`` to sign
+    and collect the reference a single time."""
+    return _build_reference_pack(reference_ds, cfg, id_col, text_col)
+
+
 def _build_reference_pack(reference_ds, cfg: PipelineConfig,
                           id_col: str, text_col: str):
     """Distributed signature pass over the reference, collected into one
@@ -146,14 +154,16 @@ def _match_batch(batch: pa.Table, pack: dict, cfg: PipelineConfig,
 
 def decontaminate(corpus_ds, reference_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
                   *, id_col: str = "doc_id", text_col: str = "text",
-                  threshold: float | None = None, counters=None):
+                  threshold: float | None = None, counters=None, pack=None):
     """Corpus rows whose text does NOT near-duplicate (J ≥ threshold,
     default cfg.verify_threshold) any reference doc — original columns
-    preserved, streaming, zero shuffles."""
+    preserved, streaming, zero shuffles.  ``pack``: a prebuilt
+    ``build_reference_pack`` result (reference_ds ignored then)."""
     import ray
 
     thr = cfg.verify_threshold if threshold is None else threshold
-    pack = _build_reference_pack(reference_ds, cfg, id_col, text_col)
+    if pack is None:
+        pack = _build_reference_pack(reference_ds, cfg, id_col, text_col)
     if pack is None:
         return corpus_ds
     pack_ref = ray.put(pack)
@@ -174,14 +184,16 @@ def decontaminate(corpus_ds, reference_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
 def decontamination_matches(corpus_ds, reference_ds,
                             cfg: PipelineConfig = DEFAULT_CONFIG, *,
                             id_col: str = "doc_id", text_col: str = "text",
-                            threshold: float | None = None):
+                            threshold: float | None = None, pack=None):
     """→ Dataset(corpus_id, ref_id, jaccard): every (corpus doc,
     reference doc) near-dup match at J ≥ threshold — the audit-trail
-    companion to ``decontaminate`` (what leaked, and from where)."""
+    companion to ``decontaminate`` (what leaked, and from where).
+    ``pack``: prebuilt ``build_reference_pack`` result."""
     import ray
 
     thr = cfg.verify_threshold if threshold is None else threshold
-    pack = _build_reference_pack(reference_ds, cfg, id_col, text_col)
+    if pack is None:
+        pack = _build_reference_pack(reference_ds, cfg, id_col, text_col)
     empty = pa.table({"corpus_id": pa.array([], pa.int64()),
                       "ref_id": pa.array([], pa.int64()),
                       "jaccard": pa.array([], pa.float64())})

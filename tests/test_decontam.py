@@ -88,3 +88,15 @@ class TestDecontaminate:
         ref = _ds([100], ["tiny doc"])
         corpus = _ds([0], ["tiny doc"])   # identical but sub-shingle-length
         assert decontaminate(corpus, ref, CFG).count() == 1
+
+    def test_prebuilt_pack_reuse(self, ray_session):
+        from raydedup.stages.decontam import (
+            build_reference_pack, decontaminate, decontamination_matches)
+        ref_texts, corpus_texts = _mk_corpus()
+        ref = _ds(range(1000, 1000 + len(ref_texts)), ref_texts)
+        corpus = _ds(range(len(corpus_texts)), corpus_texts)
+        pack = build_reference_pack(ref, CFG)
+        kept = decontaminate(corpus, None, CFG, pack=pack).to_pandas()
+        m = decontamination_matches(corpus, None, CFG, pack=pack).to_pandas()
+        assert sorted(kept["doc_id"]) == list(range(3, 13))
+        assert len(m) == 3
