@@ -224,18 +224,43 @@ def near_dup_dedup(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
             np.asarray(t["node"], dtype=np.int64)[
                 np.asarray(t["node"]) != np.asarray(t["component"])]
             for t in ltabs]))
-        drop_ref = ray.put(drops)
+        return _broadcast_drop_filter(docs, drops, id_col)
 
-        def _keep(t: pa.Table) -> pa.Table:
-            dr = ray.get(drop_ref)
-            ids = np.asarray(t[id_col], dtype=np.int64)
-            pos = np.clip(np.searchsorted(dr, ids), 0, len(dr) - 1)
-            return t.filter(pa.array(dr[pos] != ids))
+    def _to_drops(t):
+        node = np.asarray(t["node"], dtype=np.int64)
+        comp = np.asarray(t["component"], dtype=np.int64)
+        return pa.table({"drop_id": pa.array(node[node != comp], pa.int64())})
 
-        return docs.map_batches(_keep, batch_format="pyarrow",
-                                zero_copy_batch=True)
+    drops_ds = labels.map_batches(_to_drops, batch_format="pyarrow")
+    return _partitioned_anti_join(docs, drops_ds, cfg, id_col)
 
-    # partitioned anti-join: docs and drop ids co-partitioned by hash(id)
+
+def _broadcast_drop_filter(docs, drops_sorted, id_col: str):
+    """Filter out a SORTED int64 id array from docs: one ray.put, a
+    searchsorted probe per batch."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    drop_ref = ray.put(drops_sorted)
+
+    def _keep(t: pa.Table) -> pa.Table:
+        dr = ray.get(drop_ref)
+        ids = np.asarray(t[id_col], dtype=np.int64)
+        pos = np.clip(np.searchsorted(dr, ids), 0, len(dr) - 1)
+        return t.filter(pa.array(dr[pos] != ids))
+
+    return docs.map_batches(_keep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def _partitioned_anti_join(docs, drops_ds, cfg: PipelineConfig, id_col: str):
+    """Anti-join docs against a Dataset with one int64 ``drop_id``
+    column, co-partitioned by hash(id) — the 10^12-doc path (a drop set
+    of 40% of a crawl cannot be broadcast)."""
+    import numpy as np
+    import pyarrow as pa
+
     from ..functions.hashing import splitmix64
     from ..functions.shuffle import hash_partition_map
 
@@ -256,9 +281,7 @@ def near_dup_dedup(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
         return pa.table(cols)
 
     def _tag_drops(t: pa.Table) -> pa.Table:
-        node = np.asarray(t["node"], dtype=np.int64)
-        comp = np.asarray(t["component"], dtype=np.int64)
-        node = node[node != comp]
+        node = np.asarray(t["drop_id"], dtype=np.int64)
         cols = {}
         for c in doc_cols:
             cols[c] = (pa.array(node, doc_types[c]) if c == id_col
@@ -282,8 +305,147 @@ def near_dup_dedup(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
         return keep_tab.select(doc_cols)
 
     tagged = docs.map_batches(_tag_docs, batch_format="pyarrow").union(
-        labels.map_batches(_tag_drops, batch_format="pyarrow"))
+        drops_ds.map_batches(_tag_drops, batch_format="pyarrow"))
     return hash_partition_map(tagged, "part", _anti, n_parts)
+
+
+def near_dup_canonical(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       quality_col: str = "n_chars",
+                       threshold: float | None = ..., counters=None):
+    """Quality-aware cluster collapse: keep, per near-dup cluster, the
+    member with the HIGHEST ``quality_col`` (tie → min id) instead of
+    blindly keeping the min id — the selection a production pipeline
+    runs so the canonical copy is the longest / highest-scoring variant,
+    not whichever crawled first.  Docs outside any cluster pass through.
+
+    Physical plan: cluster labels (bounded by the dup count, same
+    contract as near_dup_dedup) → member quality via a broadcast
+    semi-filter of the corpus → per-component argmax → drop set → the
+    shared broadcast-filter / partitioned-anti-join gate.  Above the
+    broadcast gate everything stays an exchange: (doc_id, quality) rows
+    co-partitioned with labels by hash(id), argmax co-partitioned by
+    hash(component), drops anti-joined by hash(id).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    labels = near_dup_clusters(docs, cfg, id_col=id_col, text_col=text_col,
+                               threshold=threshold,
+                               counters=counters).materialize()
+    ltabs = [t for t in ray.get(list(labels.to_arrow_refs())) if len(t)]
+    if not ltabs:
+        return docs
+    node = np.concatenate([np.asarray(t["node"], dtype=np.int64)
+                           for t in ltabs])
+    comp = np.concatenate([np.asarray(t["component"], dtype=np.int64)
+                           for t in ltabs])
+    if counters is not None:
+        counters.add.remote({"canonical_members": len(node)})
+
+    if len(node) <= NEAR_DEDUP_BROADCAST_MAX_DROPS:
+        order = np.argsort(node)
+        node_s, comp_s = node[order], comp[order]
+        ids_ref = ray.put(node_s)
+
+        def _stats(t: pa.Table) -> pa.Table:
+            nd = ray.get(ids_ref)
+            ids = np.asarray(t[id_col], dtype=np.int64)
+            pos = np.clip(np.searchsorted(nd, ids), 0, len(nd) - 1)
+            m = pa.array(nd[pos] == ids)
+            return pa.table({
+                id_col: t[id_col].filter(m).cast(pa.int64()),
+                "q": t[quality_col].filter(m).cast(pa.int64()),
+            })
+
+        stabs = [t for t in ray.get(list(
+            docs.map_batches(_stats, batch_format="pyarrow",
+                             zero_copy_batch=True).to_arrow_refs())) if len(t)]
+        sid = np.concatenate([np.asarray(t[id_col], np.int64) for t in stabs])
+        sq = np.concatenate([np.asarray(t["q"], np.int64) for t in stabs])
+        so = np.argsort(sid)
+        sid, sq = sid[so], sq[so]
+        q = sq[np.searchsorted(sid, node_s)]
+        o2 = np.lexsort((node_s, -q, comp_s))
+        comp_o = comp_s[o2]
+        first = np.empty(len(comp_o), dtype=bool)
+        first[0] = True
+        first[1:] = comp_o[1:] != comp_o[:-1]
+        drops = np.sort(node_s[o2][~first])
+        if counters is not None:
+            counters.add.remote({"canonical_dropped": len(drops)})
+        return _broadcast_drop_filter(docs, drops, id_col)
+
+    # over the gate: two member-sized exchanges, then partitioned anti
+    from ..functions.hashing import splitmix64
+    from ..functions.shuffle import hash_partition_map
+
+    n_parts = cfg.resolved_partitions()
+
+    def _hashp(x):
+        return (np.asarray(splitmix64(x.view(np.uint64)))
+                % np.uint64(n_parts)).astype(np.int64)
+
+    def _tag_stat(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col], dtype=np.int64)
+        return pa.table({
+            "i": pa.array(ids, pa.int64()),
+            "q": t[quality_col].cast(pa.int64()),
+            "c": pa.nulls(len(t), pa.int64()),
+            "part": pa.array(_hashp(ids), pa.int64()),
+        })
+
+    def _tag_label(t: pa.Table) -> pa.Table:
+        n = np.asarray(t["node"], dtype=np.int64)
+        return pa.table({
+            "i": pa.array(n, pa.int64()),
+            "q": pa.nulls(len(n), pa.int64()),
+            "c": t["component"].cast(pa.int64()),
+            "part": pa.array(_hashp(n), pa.int64()),
+        })
+
+    def _merge(tab: pa.Table | None) -> pa.Table:
+        if tab is None or len(tab) == 0:
+            return pa.table({"i": pa.array([], pa.int64()),
+                             "q": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64()),
+                             "part": pa.array([], pa.int64())})
+        isl = np.asarray(tab["c"].combine_chunks().is_valid())
+        st = tab.filter(pa.array(~isl))
+        sid = np.asarray(st["i"], dtype=np.int64)
+        sq = np.asarray(st["q"], dtype=np.int64)
+        so = np.argsort(sid)
+        sid, sq = sid[so], sq[so]
+        lt = tab.filter(pa.array(isl))
+        n = np.asarray(lt["i"], dtype=np.int64)
+        c = np.asarray(lt["c"], dtype=np.int64)
+        q = sq[np.searchsorted(sid, n)]
+        return pa.table({"i": pa.array(n, pa.int64()),
+                         "q": pa.array(q, pa.int64()),
+                         "c": pa.array(c, pa.int64()),
+                         "part": pa.array(_hashp(c), pa.int64())})
+
+    docs_stats = docs.map_batches(_tag_stat, batch_format="pyarrow")
+    tagged = docs_stats.union(
+        labels.map_batches(_tag_label, batch_format="pyarrow"))
+    members = hash_partition_map(tagged, "part", _merge, n_parts)
+
+    def _argmax_drops(tab: pa.Table | None) -> pa.Table:
+        if tab is None or len(tab) == 0:
+            return pa.table({"drop_id": pa.array([], pa.int64())})
+        n = np.asarray(tab["i"], dtype=np.int64)
+        q = np.asarray(tab["q"], dtype=np.int64)
+        c = np.asarray(tab["c"], dtype=np.int64)
+        o = np.lexsort((n, -q, c))
+        c_o = c[o]
+        first = np.empty(len(c_o), dtype=bool)
+        first[0] = True
+        first[1:] = c_o[1:] != c_o[:-1]
+        return pa.table({"drop_id": pa.array(n[o][~first], pa.int64())})
+
+    drops_ds = hash_partition_map(members, "part", _argmax_drops, n_parts)
+    return _partitioned_anti_join(docs, drops_ds, cfg, id_col)
 
 
 def near_dup_clusters(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,

@@ -971,6 +971,128 @@ WHERE doc_id % 10 <> 0
 """
 
 
+# ------------------------------------------------------------- temporal ops
+
+def q_events_asof(sf_dir):
+    """As-of join: each click event annotated with the value (exact
+    cents) of the latest purchase by the same user at-or-before its ts —
+    the temporal enrichment Ray Data has no native operator for
+    (stages/temporal.py)."""
+    import ray.data as rd
+    from ..stages.temporal import asof_join
+    clicks = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+        filter=(pc.field("event_type") == "click")).drop_columns(["event_type"])
+    purchases = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "value", "event_type"],
+        filter=(pc.field("event_type") == "purchase")).drop_columns(["event_type"])
+    purchases = purchases.map_batches(
+        lambda t: pa.table({
+            "user_id": t["user_id"], "ts": t["ts"],
+            "v_cents": pc.round(pc.multiply(t["value"], 100.0), 0)
+                         .cast(pa.int64()),
+        }), batch_format="pyarrow")
+    return asof_join(clicks, purchases, CFG, value_col="v_cents",
+                     out_col="asof_value_cents")
+
+
+SQL_EVENTS_ASOF = """
+SELECT l.event_id, l.user_id, l.ts, r.v_cents AS asof_value_cents
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT user_id, ts, round(max(value) * 100)::BIGINT AS v_cents
+                FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) r
+ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q_events_window(sf_dir):
+    """Event-time sliding window: per event, count + exact-cent sum of
+    the same user's events in the closed preceding hour."""
+    import ray.data as rd
+    from ..stages.temporal import windowed_agg
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    ev = ev.map_batches(
+        lambda t: pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"], "ts": t["ts"],
+            "cents": pc.round(pc.multiply(t["value"], 100.0), 0)
+                       .cast(pa.int64()),
+        }), batch_format="pyarrow")
+    return windowed_agg(ev, CFG, cents_col="cents", window_minutes=60)
+
+
+SQL_EVENTS_WINDOW = """
+SELECT event_id, user_id, ts,
+       count(*) OVER w AS n_window,
+       sum(round(value * 100)::BIGINT) OVER w AS sum_cents_window
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 60 MINUTE PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_top_vocab(sf_dir):
+    """Global top-100 tokens by frequency (combiner wordcount)."""
+    from ..stages.vocab import top_k_vocab
+    return top_k_vocab(_docs(sf_dir, ["text"]), CFG, k=100)
+
+
+SQL_TOP_VOCAB = """
+SELECT token, count(*)::BIGINT AS n FROM (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+WHERE token <> '' GROUP BY token ORDER BY n DESC, token ASC LIMIT 100
+"""
+
+
+def q_near_dup_canonical(sf_dir):
+    """Quality-aware cluster collapse: keep the longest member (tie →
+    min doc_id) of each near-dup cluster."""
+    from .neardup import near_dup_canonical
+    return near_dup_canonical(
+        _docs(sf_dir, ["doc_id", "text", "n_chars"]), CFG,
+        quality_col="n_chars").select_columns(["doc_id"])
+
+
+SQL_NEAR_DUP_CANONICAL = """
+WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i)
+  WHERE len(t) >= 5
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.a, i.b FROM inter i
+  JOIN cnt ca ON ca.doc_id = i.a JOIN cnt cb ON cb.doc_id = i.b
+  WHERE i.c::DOUBLE / (ca.n + cb.n - i.c) >= 0.8
+),
+edges AS (SELECT a AS n, b AS m FROM pairs UNION SELECT b, a FROM pairs),
+reach(n, m) AS (
+  SELECT n, m FROM edges
+  UNION
+  SELECT r.n, e.m FROM reach r JOIN edges e ON r.m = e.n
+),
+comp AS (SELECT n AS node, least(n, min(m)) AS component FROM reach GROUP BY n),
+memq AS (SELECT c.node, c.component, d.n_chars
+         FROM comp c JOIN documents d ON d.doc_id = c.node),
+canon AS (
+  SELECT node FROM (
+    SELECT node, row_number() OVER (PARTITION BY component
+                                    ORDER BY n_chars DESC, node ASC) AS rn
+    FROM memq) WHERE rn = 1)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM memq)
+   OR doc_id IN (SELECT node FROM canon)
+"""
+
+
 def q_lang_id(sf_dir):
     """Stopword-vote language ID (rows-only: heuristic table not in SQL)."""
     return ts.lang_id(_docs(sf_dir, ["doc_id", "text"])) \
@@ -1016,6 +1138,10 @@ QUERIES = {
     "decontam_exact_kept": q_decontam_exact_kept,
     "repetition_stats": q_repetition_stats,
     "pii_scrub": q_pii_scrub,
+    "events_asof": q_events_asof,
+    "events_window": q_events_window,
+    "top_vocab": q_top_vocab,
+    "near_dup_canonical": q_near_dup_canonical,
 }
 
 ORACLES = {
@@ -1053,6 +1179,10 @@ ORACLES = {
     "decontam_exact_kept": SQL_DECONTAM_EXACT_KEPT,
     "repetition_stats": SQL_REPETITION_STATS,
     "pii_scrub": SQL_PII_SCRUB,
+    "events_asof": SQL_EVENTS_ASOF,
+    "events_window": SQL_EVENTS_WINDOW,
+    "top_vocab": SQL_TOP_VOCAB,
+    "near_dup_canonical": SQL_NEAR_DUP_CANONICAL,
     # rows-only (non-SQL-expressible): simhash_dup_pairs, ann_lsh_buckets,
     # lang_id
 }

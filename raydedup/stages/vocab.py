@@ -1,0 +1,67 @@
+"""Global top-k vocabulary over a text corpus — the canonical combiner
+pattern (word count) that a crawl-scale pipeline runs to build token
+stats / frequency cutoffs.
+
+Scale shape: the map side splits each batch into tokens with Arrow's C++
+``split_pattern`` kernel and PRE-AGGREGATES counts per batch with
+Arrow's hash group-by, so what enters the exchange is one (token,
+partial_count) row per distinct token per map chunk — never the raw
+token stream.  Tokens are routed to their partition by a byte-exact FNV
+hash of the token bytes (functions/hashing.hash_utf8_array, no Python
+string objects), each partition sums its partials and trims to its own
+top-k (safe: a token lives in exactly one partition, so per-partition
+counts are already global), and the final k-of-(P·k) merge is a
+Dataset sort+limit over P·k rows.
+
+Token definition is the single-space split shared with the shingle
+oracle SQL (``string_split(text, ' ')``), empty tokens dropped —
+byte-identical between pyarrow and DuckDB.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..functions.hashing import hash_utf8_array
+from ..functions.shuffle import hash_partition_map
+
+
+def top_k_vocab(docs_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
+                text_col: str = "text", k: int = 100, sep: str = " "):
+    """→ Dataset(token, n) of the k most frequent tokens, ordered by
+    (n desc, token asc) — the tie-break makes the cut deterministic."""
+    n_parts = cfg.resolved_partitions()
+
+    def _partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(
+            t[text_col].combine_chunks(), sep))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        part = pa.table({"token": toks}).group_by("token") \
+            .aggregate([("token", "count")])
+        tok_col = part["token"].combine_chunks()
+        pid = (hash_utf8_array(tok_col) % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({
+            "token": tok_col,
+            "n": part["token_count"].cast(pa.int64()),
+            "part": pa.array(pid, pa.int64()),
+        })
+
+    empty = pa.table({"token": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+
+    def _topk(tab: pa.Table | None) -> pa.Table:
+        if tab is None or len(tab) == 0:
+            return empty
+        agg = tab.group_by("token").aggregate([("n", "sum")])
+        total = pa.table({"token": agg["token"],
+                          "n": agg["n_sum"].cast(pa.int64())})
+        return total.sort_by([("n", "descending"), ("token", "ascending")]) \
+            .slice(0, k)
+
+    parts = hash_partition_map(
+        docs_ds, "part", _topk, n_parts,
+        map_fn=_partial, map_chunk_rows=cfg.batch_size)
+    return parts.sort(["n", "token"], descending=[True, False]).limit(k)

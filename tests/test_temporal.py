@@ -1,0 +1,207 @@
+"""Temporal operators (stages/temporal.py), top-k vocabulary
+(stages/vocab.py), and quality-aware canonical selection
+(pipelines/neardup.near_dup_canonical) — crafted fixtures with
+hand-computed expectations plus DuckDB cross-checks, and the over-gate
+(partitioned) canonical path forced via the broadcast constant."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from raydedup.config import PipelineConfig
+
+CFG = PipelineConfig(num_partitions=4)
+
+
+def _ds(table: pa.Table):
+    import ray.data as rd
+    return rd.from_arrow(table)
+
+
+def _ts(*minutes):
+    return pa.array(np.array(minutes, dtype="int64") * 60_000_000,
+                    pa.timestamp("us"))
+
+
+class TestAsofJoin:
+    def test_hand_checked(self, ray_session):
+        from raydedup.stages.temporal import asof_join
+        # user 1: rights at t=10 (v=100) and t=30 (v=300)
+        # user 2: right at t=50 (v=500); user 3: no rights
+        left = _ds(pa.table({
+            "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "user_id": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+            "ts": _ts(5, 10, 31, 49, 50, 7),
+        }))
+        right = _ds(pa.table({
+            "user_id": pa.array([1, 1, 2], pa.int64()),
+            "ts": _ts(10, 30, 50),
+            "v": pa.array([100, 300, 500], pa.int64()),
+        }))
+        out = asof_join(left, right, CFG, value_col="v", out_col="v") \
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        # t=5: before any right -> null; t=10: inclusive match -> 100
+        # t=31 -> 300; t=49 -> null; t=50 inclusive -> 500; user 3 -> null
+        assert out["v"].astype("Int64").tolist() == \
+            [pd.NA, 100, 300, pd.NA, 500, pd.NA]
+        assert out["user_id"].tolist() == [1, 1, 1, 2, 2, 3]
+
+    def test_matches_duckdb_asof(self, ray_session):
+        from raydedup.stages.temporal import asof_join
+        rng = np.random.default_rng(7)
+        n_l, n_r = 500, 300
+        lt = pa.table({
+            "event_id": pa.array(np.arange(n_l, dtype=np.int64)),
+            "user_id": pa.array(rng.integers(0, 20, n_l), pa.int64()),
+            "ts": pa.array(rng.integers(0, 10**9, n_l), pa.timestamp("us")),
+        })
+        # unique (user, ts) right side (the documented ambiguity contract)
+        ru = rng.integers(0, 20, n_r)
+        rts = rng.choice(10**9, size=n_r, replace=False)
+        rt = pa.table({
+            "user_id": pa.array(ru, pa.int64()),
+            "ts": pa.array(rts.astype(np.int64), pa.timestamp("us")),
+            "v": pa.array(rng.integers(0, 10**6, n_r), pa.int64()),
+        })
+        out = asof_join(_ds(lt), _ds(rt), CFG, value_col="v",
+                        out_col="v").to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("l", lt.to_pandas())
+        con.register("r", rt.to_pandas())
+        gold = con.sql("""
+            SELECT l.event_id, r.v
+            FROM l ASOF LEFT JOIN r
+            ON l.user_id = r.user_id AND l.ts >= r.ts
+            ORDER BY event_id""").df()
+        assert (out["v"].astype("Int64").fillna(-1).to_numpy()
+                == gold["v"].astype("Int64").fillna(-1).to_numpy()).all()
+
+
+class TestWindowedAgg:
+    def test_hand_checked(self, ray_session):
+        from raydedup.stages.temporal import windowed_agg
+        # user 1 events at minutes 0, 30, 60, 121; window = 60 min closed
+        ev = _ds(pa.table({
+            "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "user_id": pa.array([1, 1, 1, 1], pa.int64()),
+            "ts": _ts(0, 30, 60, 121),
+            "cents": pa.array([10, 20, 40, 80], pa.int64()),
+        }))
+        out = windowed_agg(ev, CFG, cents_col="cents", window_minutes=60) \
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        # t=60 includes t=0 (closed interval); t=121 includes only itself
+        assert out["n_window"].tolist() == [1, 2, 3, 1]
+        assert out["sum_cents_window"].tolist() == [10, 30, 70, 80]
+
+    def test_matches_duckdb_range_window(self, ray_session):
+        from raydedup.stages.temporal import windowed_agg
+        rng = np.random.default_rng(11)
+        n = 2000
+        ev = pa.table({
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "user_id": pa.array(rng.integers(0, 25, n), pa.int64()),
+            "ts": pa.array(rng.integers(0, 10**10, n), pa.timestamp("us")),
+            "cents": pa.array(rng.integers(-500, 500, n), pa.int64()),
+        })
+        out = windowed_agg(_ds(ev), CFG, cents_col="cents",
+                           window_minutes=17).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("ev", ev.to_pandas())
+        gold = con.sql("""
+            SELECT event_id, count(*) OVER w AS n_window,
+                   sum(cents) OVER w AS sum_cents_window
+            FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 17 MINUTE PRECEDING AND CURRENT ROW)
+            ORDER BY event_id""").df()
+        assert (out["n_window"].to_numpy()
+                == gold["n_window"].to_numpy()).all()
+        assert (out["sum_cents_window"].to_numpy()
+                == gold["sum_cents_window"].astype(np.int64).to_numpy()).all()
+
+    def test_segment_fallback_agrees(self, ray_session):
+        # force the per-segment loop by monkeypatch-free construction is
+        # impossible (int64 span), so call the kernel paths directly
+        from raydedup.stages import temporal as tp
+        rng = np.random.default_rng(3)
+        keys = np.sort(rng.integers(0, 8, 200))
+        ts = rng.integers(0, 10**7, 200)
+        order = np.lexsort((ts, keys))
+        keys, ts = keys[order], ts[order]
+        w = np.int64(1000)
+        rank = tp._key_ranks(keys)
+        ts_rel = ts - ts.min()
+        span = np.int64(ts_rel.max()) + 1
+        band = rank.astype(np.int64) * span
+        c = band + ts_rel
+        lo_f = np.searchsorted(c, band + np.maximum(ts_rel - w, 0), "left")
+        hi_f = np.searchsorted(c, c, "right")
+        seg_starts = np.flatnonzero(np.concatenate(
+            ([True], keys[1:] != keys[:-1])))
+        seg_ends = np.append(seg_starts[1:], len(keys))
+        lo_s = np.empty(len(keys), np.int64)
+        hi_s = np.empty(len(keys), np.int64)
+        for a, b in zip(seg_starts, seg_ends):
+            seg = ts[a:b]
+            lo_s[a:b] = a + np.searchsorted(seg, seg - w, side="left")
+            hi_s[a:b] = a + np.searchsorted(seg, seg, side="right")
+        assert (lo_f == lo_s).all() and (hi_f == hi_s).all()
+
+
+class TestTopKVocab:
+    def test_counts_and_tiebreak(self, ray_session):
+        from raydedup.stages.vocab import top_k_vocab
+        docs = _ds(pa.table({"text": pa.array(
+            ["a b b  c", "b c a", "c"], pa.string())}))
+        out = top_k_vocab(docs, CFG, k=2).to_pandas()
+        # counts: a=2 b=3 c=3; double space makes an empty token (dropped)
+        assert list(out["token"]) == ["b", "c"]
+        assert list(out["n"]) == [3, 3]
+
+    def test_matches_duckdb(self, ray_session):
+        from raydedup.stages.vocab import top_k_vocab
+        rng = np.random.default_rng(5)
+        words = [f"w{i}" for i in range(50)]
+        texts = [" ".join(rng.choice(words, size=rng.integers(3, 30)))
+                 for _ in range(300)]
+        tab = pa.table({"text": pa.array(texts, pa.string())})
+        out = top_k_vocab(_ds(tab), CFG, k=10).to_pandas()
+        con = duckdb.connect()
+        con.register("d", tab.to_pandas())
+        gold = con.sql("""
+            SELECT token, count(*)::BIGINT AS n FROM (
+              SELECT unnest(string_split(text, ' ')) AS token FROM d)
+            WHERE token <> '' GROUP BY token
+            ORDER BY n DESC, token ASC LIMIT 10""").df()
+        assert list(out["token"]) == list(gold["token"])
+        assert list(out["n"]) == list(gold["n"])
+
+
+class TestNearDupCanonical:
+    def _corpus(self):
+        base = " ".join(f"tok{i}" for i in range(60))
+        longer = base + " extra1 extra2"
+        # docs 0,1,2 are a near-dup cluster; 2 is the longest
+        texts = [base, base + " extra1", longer, "unrelated " * 30,
+                 "also unrelated entirely " * 20]
+        return pa.table({
+            "doc_id": pa.array(np.arange(5, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        })
+
+    def test_keeps_longest_member(self, ray_session):
+        from raydedup.pipelines.neardup import near_dup_canonical
+        out = near_dup_canonical(_ds(self._corpus()), CFG,
+                                 quality_col="n_chars").to_pandas()
+        assert sorted(out["doc_id"]) == [2, 3, 4]
+
+    def test_partitioned_path_agrees(self, ray_session, monkeypatch):
+        from raydedup.pipelines import neardup as nd
+        monkeypatch.setattr(nd, "NEAR_DEDUP_BROADCAST_MAX_DROPS", 0)
+        out = nd.near_dup_canonical(_ds(self._corpus()), CFG,
+                                    quality_col="n_chars").to_pandas()
+        assert sorted(out["doc_id"]) == [2, 3, 4]
