@@ -1093,6 +1093,22 @@ WHERE doc_id NOT IN (SELECT node FROM memq)
 """
 
 
+def q_quota_sample(sf_dir):
+    """Per-source quota rebalancing: at most 20 docs per source, the 20
+    smallest doc_ids (deterministic)."""
+    from ..stages.sampling import quota_per_key
+    return quota_per_key(_docs(sf_dir, ["doc_id", "source"]), CFG,
+                         key_col="source", order_col="doc_id", n=20)
+
+
+SQL_QUOTA_SAMPLE = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn <= 20
+"""
+
+
 def q_lang_id(sf_dir):
     """Stopword-vote language ID (rows-only: heuristic table not in SQL)."""
     return ts.lang_id(_docs(sf_dir, ["doc_id", "text"])) \
@@ -1142,6 +1158,7 @@ QUERIES = {
     "events_window": q_events_window,
     "top_vocab": q_top_vocab,
     "near_dup_canonical": q_near_dup_canonical,
+    "quota_sample": q_quota_sample,
 }
 
 ORACLES = {
@@ -1183,6 +1200,7 @@ ORACLES = {
     "events_window": SQL_EVENTS_WINDOW,
     "top_vocab": SQL_TOP_VOCAB,
     "near_dup_canonical": SQL_NEAR_DUP_CANONICAL,
+    "quota_sample": SQL_QUOTA_SAMPLE,
     # rows-only (non-SQL-expressible): simhash_dup_pairs, ann_lsh_buckets,
     # lang_id
 }
