@@ -1093,6 +1093,19 @@ WHERE doc_id NOT IN (SELECT node FROM memq)
 """
 
 
+def q_token_df(sf_dir):
+    """Document-frequency table (distinct docs per token)."""
+    from ..stages.vocab import token_doc_freq
+    return token_doc_freq(_docs(sf_dir, ["doc_id", "text"]), CFG)
+
+
+SQL_TOKEN_DF = """
+SELECT token, count(DISTINCT doc_id)::BIGINT AS df FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+WHERE token <> '' GROUP BY token
+"""
+
+
 def q_quota_sample(sf_dir):
     """Per-source quota rebalancing: at most 20 docs per source, the 20
     smallest doc_ids (deterministic)."""
@@ -1159,6 +1172,7 @@ QUERIES = {
     "top_vocab": q_top_vocab,
     "near_dup_canonical": q_near_dup_canonical,
     "quota_sample": q_quota_sample,
+    "token_df": q_token_df,
 }
 
 ORACLES = {
@@ -1201,6 +1215,7 @@ ORACLES = {
     "top_vocab": SQL_TOP_VOCAB,
     "near_dup_canonical": SQL_NEAR_DUP_CANONICAL,
     "quota_sample": SQL_QUOTA_SAMPLE,
+    "token_df": SQL_TOKEN_DF,
     # rows-only (non-SQL-expressible): simhash_dup_pairs, ann_lsh_buckets,
     # lang_id
 }

@@ -65,3 +65,53 @@ def top_k_vocab(docs_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
         docs_ds, "part", _topk, n_parts,
         map_fn=_partial, map_chunk_rows=cfg.batch_size)
     return parts.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+def token_doc_freq(docs_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   min_df: int = 1, sep: str = " "):
+    """→ Dataset(token, df): number of DISTINCT docs containing each
+    token (the document-frequency table behind idf weighting / stopword
+    discovery), tokens with df >= min_df.
+
+    Same combiner shape as top_k_vocab with one extra step: the map side
+    uniques (doc, token) pairs per batch BEFORE counting — a doc is one
+    row, so per-batch uniquing is exact, and what ships is one (token,
+    partial_df) row per distinct token per map chunk."""
+    n_parts = cfg.resolved_partitions()
+
+    def _partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t[text_col].combine_chunks(), sep)
+        flat = pc.list_flatten(toks)
+        doc = np.repeat(np.arange(len(t), dtype=np.int64),
+                        np.asarray(pc.list_value_length(toks),
+                                   dtype=np.int64))
+        keep = pc.not_equal(flat, "")
+        pairs = pa.table({"d": pa.array(doc, pa.int64()), "token": flat}) \
+            .filter(keep)
+        uniq = pairs.group_by(["d", "token"]).aggregate([])
+        part = uniq.group_by("token").aggregate([("token", "count")])
+        tok_col = part["token"].combine_chunks()
+        pid = (hash_utf8_array(tok_col) % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({
+            "token": tok_col,
+            "df": part["token_count"].cast(pa.int64()),
+            "part": pa.array(pid, pa.int64()),
+        })
+
+    empty = pa.table({"token": pa.array([], pa.string()),
+                      "df": pa.array([], pa.int64())})
+
+    def _sum(tab: pa.Table | None) -> pa.Table:
+        if tab is None or len(tab) == 0:
+            return empty
+        agg = tab.group_by("token").aggregate([("df", "sum")])
+        out = pa.table({"token": agg["token"],
+                        "df": agg["df_sum"].cast(pa.int64())})
+        if min_df > 1:
+            out = out.filter(pc.greater_equal(out["df"], min_df))
+        return out
+
+    return hash_partition_map(
+        docs_ds, "part", _sum, n_parts,
+        map_fn=_partial, map_chunk_rows=cfg.batch_size)

@@ -180,6 +180,41 @@ class TestTopKVocab:
         assert list(out["n"]) == list(gold["n"])
 
 
+class TestTokenDocFreq:
+    def test_distinct_doc_counting(self, ray_session):
+        from raydedup.stages.vocab import token_doc_freq
+        docs = _ds(pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            # "a" appears twice in doc0 but df counts docs, not tokens
+            "text": pa.array(["a a b", "a c", "c"], pa.string()),
+        }))
+        out = token_doc_freq(docs, CFG).to_pandas() \
+            .sort_values("token").reset_index(drop=True)
+        assert dict(zip(out["token"], out["df"])) == {"a": 2, "b": 1, "c": 2}
+
+    def test_matches_duckdb(self, ray_session):
+        from raydedup.stages.vocab import token_doc_freq
+        rng = np.random.default_rng(17)
+        words = [f"w{i}" for i in range(40)]
+        tab = pa.table({
+            "doc_id": pa.array(np.arange(200, dtype=np.int64)),
+            "text": pa.array([" ".join(rng.choice(words,
+                                                  size=rng.integers(2, 25)))
+                              for _ in range(200)], pa.string()),
+        })
+        out = token_doc_freq(_ds(tab), CFG, min_df=2).to_pandas() \
+            .sort_values("token").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("d", tab.to_pandas())
+        gold = con.sql("""
+            SELECT token, count(DISTINCT doc_id)::BIGINT AS df FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM d)
+            WHERE token <> '' GROUP BY token HAVING count(DISTINCT doc_id) >= 2
+            ORDER BY token""").df()
+        assert list(out["token"]) == list(gold["token"])
+        assert list(out["df"]) == list(gold["df"])
+
+
 class TestNearDupCanonical:
     def _corpus(self):
         base = " ".join(f"tok{i}" for i in range(60))
