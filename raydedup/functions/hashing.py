@@ -15,6 +15,8 @@ All functions operate on whole numpy arrays; no Python per-row loops.
 
 from __future__ import annotations
 
+import functools as _functools
+
 import numpy as np
 import pandas as pd
 
@@ -142,9 +144,18 @@ def hash_int64(values: np.ndarray) -> np.ndarray:
 
 
 def perm_seeds(num_perms: int, seed: int) -> np.ndarray:
-    """Deterministic per-permutation 64-bit seeds from the config seed."""
+    """Deterministic per-permutation 64-bit seeds from the config seed.
+    Memoized per worker: callers sit inside per-batch map fns (e.g.
+    decontam's _match_batch), and PCG64 init per batch is measurable."""
+    return _perm_seeds_cached(num_perms, seed)
+
+
+@_functools.lru_cache(maxsize=16)
+def _perm_seeds_cached(num_perms: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
-    return rng.integers(0, 2**64, size=num_perms, dtype=np.uint64)
+    out = rng.integers(0, 2**64, size=num_perms, dtype=np.uint64)
+    out.setflags(write=False)
+    return out
 
 
 def _splitmix64_inplace(x: np.ndarray, t: np.ndarray) -> None:
