@@ -1122,6 +1122,124 @@ SELECT doc_id, source FROM (
 """
 
 
+# ------------------------------------------------------------- tiered dedup
+
+# shared CTE chain: exact-keep set, tier-1 survivors, near-dup CTEs over
+# survivors (same shingle/threshold family as SQL_NEAR_DUP_*), removal set
+_TIERED_CTES = """
+ek AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+s1 AS (SELECT doc_id, text FROM documents
+       WHERE doc_id IN (SELECT doc_id FROM ek)),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM s1),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i)
+  WHERE len(t) >= 5
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.a, i.b FROM inter i
+  JOIN cnt ca ON ca.doc_id = i.a JOIN cnt cb ON cb.doc_id = i.b
+  WHERE i.c::DOUBLE / (ca.n + cb.n - i.c) >= 0.8
+),
+edges AS (SELECT a AS n, b AS m FROM pairs UNION SELECT b, a FROM pairs),
+reach(n, m) AS (
+  SELECT n, m FROM edges
+  UNION
+  SELECT r.n, e.m FROM reach r JOIN edges e ON r.m = e.n
+),
+comp AS (SELECT n AS node, least(n, min(m)) AS component FROM reach GROUP BY n),
+nd AS (SELECT node FROM comp WHERE node <> component)
+"""
+
+
+def q_tiered_disposition(sf_dir):
+    """Composed tiered dedup (exact → near-dup): per-doc disposition."""
+    from .tiered import tiered_dedup
+    return tiered_dedup(_docs(sf_dir, ["doc_id", "text"]), CFG).disposition
+
+
+SQL_TIERED_DISPOSITION = """
+WITH RECURSIVE
+""" + _TIERED_CTES + """
+SELECT d.doc_id,
+       CASE WHEN d.doc_id NOT IN (SELECT doc_id FROM ek) THEN 'exact'
+            WHEN d.doc_id IN (SELECT node FROM nd) THEN 'neardup'
+            ELSE 'kept' END AS tier
+FROM documents d
+"""
+
+
+def q_tiered_stats(sf_dir):
+    """Per-tier doc counts of the composed tiered dedup."""
+    from .tiered import tiered_dedup_stats
+    return tiered_dedup_stats(_docs(sf_dir, ["doc_id", "text"]), CFG)
+
+
+SQL_TIERED_STATS = """
+WITH RECURSIVE
+""" + _TIERED_CTES + """
+SELECT tier, count(*)::BIGINT AS n_docs FROM (
+  SELECT CASE WHEN d.doc_id NOT IN (SELECT doc_id FROM ek) THEN 'exact'
+              WHEN d.doc_id IN (SELECT node FROM nd) THEN 'neardup'
+              ELSE 'kept' END AS tier
+  FROM documents d)
+GROUP BY tier
+"""
+
+
+def q_tiered_trim_stats(sf_dir):
+    """Tier 3: per-doc substring cut-token counts over the tiered-kept
+    corpus (docs with ≥1 cut span)."""
+    from .tiered import tiered_trim_stats
+    return tiered_trim_stats(_docs(sf_dir, ["doc_id", "text"]), CFG,
+                             min_tokens=5)
+
+
+SQL_TIERED_TRIM_STATS = """
+WITH RECURSIVE
+""" + _TIERED_CTES + """,
+kept AS (SELECT doc_id, text FROM s1
+         WHERE doc_id NOT IN (SELECT node FROM nd)),
+toks2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM kept),
+win AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+4], ' ') AS w
+  FROM toks2, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i)
+  WHERE len(t) >= 5
+),
+firsts AS (SELECT w, min(doc_id * 1000000 + pos) AS fkey
+           FROM win GROUP BY w HAVING count(*) >= 2),
+dups AS (
+  SELECT win.doc_id, win.pos
+  FROM win JOIN firsts ON firsts.w = win.w
+  WHERE win.doc_id * 1000000 + win.pos <> firsts.fkey
+),
+marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5
+              THEN 0 ELSE 1 END AS brk
+  FROM dups
+),
+grp AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM marked
+),
+spans AS (
+  SELECT doc_id, min(pos) AS start_tok, max(pos) + 5 AS end_tok
+  FROM grp GROUP BY doc_id, g
+)
+SELECT doc_id, sum(end_tok - start_tok)::BIGINT AS n_cut_tokens
+FROM spans GROUP BY doc_id
+"""
+
+
 def q_lang_id(sf_dir):
     """Stopword-vote language ID (rows-only: heuristic table not in SQL)."""
     return ts.lang_id(_docs(sf_dir, ["doc_id", "text"])) \
@@ -1173,6 +1291,9 @@ QUERIES = {
     "near_dup_canonical": q_near_dup_canonical,
     "quota_sample": q_quota_sample,
     "token_df": q_token_df,
+    "tiered_disposition": q_tiered_disposition,
+    "tiered_stats": q_tiered_stats,
+    "tiered_trim_stats": q_tiered_trim_stats,
 }
 
 ORACLES = {
@@ -1216,6 +1337,9 @@ ORACLES = {
     "near_dup_canonical": SQL_NEAR_DUP_CANONICAL,
     "quota_sample": SQL_QUOTA_SAMPLE,
     "token_df": SQL_TOKEN_DF,
+    "tiered_disposition": SQL_TIERED_DISPOSITION,
+    "tiered_stats": SQL_TIERED_STATS,
+    "tiered_trim_stats": SQL_TIERED_TRIM_STATS,
     # rows-only (non-SQL-expressible): simhash_dup_pairs, ann_lsh_buckets,
     # lang_id
 }
