@@ -1240,6 +1240,24 @@ FROM spans GROUP BY doc_id
 """
 
 
+def q_mix_sample(sf_dir):
+    """Source-weighted train-mix downsampling (md5 method for oracle
+    parity; the scale path uses the vectorized splitmix sampler)."""
+    from ..stages.sampling import mix_sample
+    return mix_sample(_docs(sf_dir, ["doc_id", "source"]),
+                      {"src0": 0.25, "src1": 0.5, "src2": 0.0},
+                      key_col="source", id_col="doc_id", method="md5")
+
+
+SQL_MIX_SAMPLE = """
+SELECT doc_id, source FROM documents
+WHERE (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT)::DOUBLE
+        / 4294967296.0
+      < CASE source WHEN 'src0' THEN 0.25 WHEN 'src1' THEN 0.5
+                    WHEN 'src2' THEN 0.0 ELSE 1.0 END
+"""
+
+
 def q_lang_id(sf_dir):
     """Stopword-vote language ID (rows-only: heuristic table not in SQL)."""
     return ts.lang_id(_docs(sf_dir, ["doc_id", "text"])) \
@@ -1294,6 +1312,7 @@ QUERIES = {
     "tiered_disposition": q_tiered_disposition,
     "tiered_stats": q_tiered_stats,
     "tiered_trim_stats": q_tiered_trim_stats,
+    "mix_sample": q_mix_sample,
 }
 
 ORACLES = {
@@ -1340,6 +1359,7 @@ ORACLES = {
     "tiered_disposition": SQL_TIERED_DISPOSITION,
     "tiered_stats": SQL_TIERED_STATS,
     "tiered_trim_stats": SQL_TIERED_TRIM_STATS,
+    "mix_sample": SQL_MIX_SAMPLE,
     # rows-only (non-SQL-expressible): simhash_dup_pairs, ann_lsh_buckets,
     # lang_id
 }

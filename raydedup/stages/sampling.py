@@ -65,3 +65,54 @@ def quota_per_key(ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
     tagged = ds.map_batches(_tag, batch_format="pyarrow",
                             zero_copy_batch=True)
     return hash_partition_map(tagged, "part", _cut, n_parts)
+
+
+def mix_sample(ds, weights: dict[str, float], *,
+               key_col: str = "source", id_col: str = "doc_id",
+               default_weight: float = 1.0, method: str = "splitmix",
+               seed: int = 0):
+    """Source-weighted downsampling: keep each row with probability
+    ``weights[key]`` (1.0 = keep all, 0.0 = drop all; keys absent from
+    ``weights`` use ``default_weight``) — the train-mix rebalancing
+    step (e.g. "web × 0.3, wiki × 1.0") every corpus build runs.
+
+    Deterministic per ROW, not per run: the keep decision is a pure
+    function of (id, seed), so re-runs, resumed shards and different
+    partition layouts select the SAME rows — and the selection is
+    independent of the corpus's partition/arrival order.  Zero shuffle:
+    one streaming ``map_batches`` filter; the weight table is a plain
+    broadcast-by-closure dict (bounded by the number of sources).
+
+    ``method``:
+      * ``"splitmix"`` (default) — keep iff
+        ``splitmix64(id XOR seed) / 2^64 < w``.  Vectorized, the
+        10^12-doc path.
+      * ``"md5"`` — keep iff the top-8-hex-digit fraction of
+        ``md5(str(id))`` < w.  Per-row hashlib (fixture scale only),
+        exists so the driver oracle can reproduce the exact kept set in
+        DuckDB (``md5()`` parity, like with_md5_fingerprint); both
+        methods are statistically equivalent samplers.
+    """
+    schema = ds.schema()
+    cols = list(schema.names)
+
+    def _keep_mask(t: pa.Table) -> np.ndarray:
+        keys = t[key_col].combine_chunks().to_pylist()
+        w = np.asarray([weights.get(k, default_weight) for k in keys],
+                       dtype=np.float64)
+        ids = np.asarray(t[id_col], dtype=np.int64)
+        if method == "md5":
+            import hashlib
+            frac = np.asarray(
+                [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                 for i in ids], dtype=np.float64) / float(1 << 32)
+        else:
+            h = splitmix64(ids.view(np.uint64) ^ np.uint64(seed))
+            frac = h.astype(np.float64) / float(2**64)
+        return frac < w
+
+    def _filter(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(_keep_mask(t))).select(cols)
+
+    return ds.map_batches(_filter, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -50,3 +50,52 @@ class TestQuotaPerKey:
                             n=2).to_pandas().sort_values(["k", "o"])
         assert list(map(tuple, out.to_numpy())) == [(7, 1), (7, 3), (8, 2),
                                                     (8, 4)]
+
+
+class TestMixSample:
+    def _ds(self, n=4000):
+        import ray.data as rd
+        sources = ["web", "wiki", "code", "junk"]
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "source": pa.array([sources[i % 4] for i in range(n)]),
+        }))
+
+    WEIGHTS = {"web": 0.3, "wiki": 1.0, "junk": 0.0}
+
+    def test_rates_and_determinism(self, ray_session):
+        from raydedup.stages.sampling import mix_sample
+        out1 = mix_sample(self._ds(), self.WEIGHTS).to_pandas()
+        out2 = mix_sample(self._ds(), self.WEIGHTS).to_pandas()
+        # deterministic: identical kept set across runs
+        assert sorted(out1["doc_id"]) == sorted(out2["doc_id"])
+        by = out1.groupby("source").size()
+        assert by.get("junk", 0) == 0          # w=0 drops all
+        assert by["wiki"] == 1000              # w=1 keeps all
+        assert 200 <= by["web"] <= 400         # w=0.3 of 1000
+        assert by.get("code", 0) == 1000       # default_weight=1.0
+
+    def test_seed_changes_selection(self, ray_session):
+        from raydedup.stages.sampling import mix_sample
+        a = set(mix_sample(self._ds(), {"web": 0.3}, seed=0)
+                .to_pandas().query("source=='web'")["doc_id"])
+        b = set(mix_sample(self._ds(), {"web": 0.3}, seed=1)
+                .to_pandas().query("source=='web'")["doc_id"])
+        assert a != b
+
+    def test_md5_method_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from raydedup.stages.sampling import mix_sample
+        ds = self._ds(800)
+        got = sorted(mix_sample(ds, self.WEIGHTS, method="md5")
+                     .to_pandas()["doc_id"])
+        df = ds.to_pandas()
+        want = sorted(duckdb.connect().execute("""
+            SELECT doc_id FROM df
+            WHERE (('0x' || substr(md5(doc_id::VARCHAR),1,8))::BIGINT)::DOUBLE
+                    / 4294967296.0
+                  < CASE source WHEN 'web' THEN 0.3 WHEN 'wiki' THEN 1.0
+                                WHEN 'junk' THEN 0.0 ELSE 1.0 END
+        """).df()["doc_id"])
+        assert got == want
