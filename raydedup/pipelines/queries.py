@@ -1258,6 +1258,25 @@ WHERE (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT)::DOUBLE
 """
 
 
+def q_pack_sequences(sf_dir):
+    """Token-budget sequence packing (distributed two-phase prefix sum)."""
+    from ..stages.packing import pack_sequences
+    return pack_sequences(_docs(sf_dir, ["doc_id", "text"]), CFG,
+                          budget=2048)
+
+
+SQL_PACK_SEQUENCES = """
+WITH tok AS (SELECT doc_id,
+                    len(string_split(text, ' '))::BIGINT AS n_tokens
+             FROM documents),
+c AS (SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cexcl
+      FROM tok)
+SELECT doc_id, n_tokens, (cexcl // 2048)::BIGINT AS bin FROM c
+"""
+
+
 def q_lang_id(sf_dir):
     """Stopword-vote language ID (rows-only: heuristic table not in SQL)."""
     return ts.lang_id(_docs(sf_dir, ["doc_id", "text"])) \
@@ -1313,6 +1332,7 @@ QUERIES = {
     "tiered_stats": q_tiered_stats,
     "tiered_trim_stats": q_tiered_trim_stats,
     "mix_sample": q_mix_sample,
+    "pack_sequences": q_pack_sequences,
 }
 
 ORACLES = {
@@ -1360,6 +1380,7 @@ ORACLES = {
     "tiered_stats": SQL_TIERED_STATS,
     "tiered_trim_stats": SQL_TIERED_TRIM_STATS,
     "mix_sample": SQL_MIX_SAMPLE,
+    "pack_sequences": SQL_PACK_SEQUENCES,
     # rows-only (non-SQL-expressible): simhash_dup_pairs, ann_lsh_buckets,
     # lang_id
 }
