@@ -8,6 +8,7 @@ readCSRHeader, SURVEY.md §3) as subcommands.
                                  [--weighted]
     python -m raydedup neardup  <docs.parquet> <out_dir>
                                  [--ckpt DIR] [--threshold T] [--k K]
+    python -m raydedup tiered   <docs.parquet> <out_dir> [--threshold T]
 
 CLI entry points own the Ray session (guarded init); library code never
 calls ray.init.
@@ -87,6 +88,23 @@ def cmd_neardup(args):
     print(f"wrote {args.output}")
 
 
+def cmd_tiered(args):
+    _ray_session()
+    import ray.data as rd
+    from .config import DEFAULT_CONFIG
+    from .pipelines.tiered import tiered_dedup
+
+    cfg = DEFAULT_CONFIG.with_(
+        **({"verify_threshold": args.threshold} if args.threshold else {}),
+    )
+    docs = rd.read_parquet(args.input)
+    res = tiered_dedup(docs, cfg)
+    res.corpus.write_parquet(f"{args.output}/corpus")
+    res.disposition.write_parquet(f"{args.output}/disposition")
+    counts = res.disposition.to_pandas()["tier"].value_counts().to_dict()
+    print(json.dumps({"tiers": counts, "out": args.output}, sort_keys=True))
+
+
 def cmd_compare(args):
     _ray_session()
     import ray.data as rd
@@ -126,6 +144,13 @@ def main(argv=None):
     s.add_argument("--tol", type=float, default=1e-6)
     s.add_argument("--value-col", default="jaccard")
     s.set_defaults(fn=cmd_compare)
+
+    s = sub.add_parser("tiered", help="tiered dedup (exact -> near-dup): "
+                                      "writes corpus/ + disposition/")
+    s.add_argument("input")
+    s.add_argument("output")
+    s.add_argument("--threshold", type=float, default=None)
+    s.set_defaults(fn=cmd_tiered)
 
     s = sub.add_parser("neardup", help="near-dup clustering over documents")
     s.add_argument("input")
