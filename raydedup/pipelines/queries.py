@@ -1277,6 +1277,75 @@ SELECT doc_id, n_tokens, (cexcl // 2048)::BIGINT AS bin FROM c
 """
 
 
+# ------------------------------------------------------------------- urls
+
+def _variant_urls(sf_dir):
+    """documents → (doc_id, url) with deterministic canonicalization
+    fodder: pairs of doc_ids share a base url, and doc_id%4 picks a
+    variant (tracking param / fragment / trailing slash / clean)."""
+    import numpy as np
+
+    def _mk(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        idstr = pa.array((ids // 2).astype(str), pa.string())
+        base = pc.binary_join_element_wise(
+            pa.scalar("example.com/p"), idstr, "/")
+        suf = pa.array(
+            np.array(["", "?utm_source=x", "#frag", "/"], dtype=object)[
+                ids % 4], pa.string())
+        return pa.table({"doc_id": t["doc_id"],
+                         "url": pc.binary_join_element_wise(base, suf, "")})
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(
+        _mk, batch_format="pyarrow")
+
+
+_SQL_VARIANT_URLS = """
+u AS (SELECT doc_id,
+             'example.com/p/' || (doc_id // 2)::VARCHAR ||
+             CASE doc_id % 4 WHEN 1 THEN '?utm_source=x'
+                             WHEN 2 THEN '#frag'
+                             WHEN 3 THEN '/' ELSE '' END AS url
+      FROM documents),
+canon AS (SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    url, '#.*$', '', 'g'),
+    '(utm_[a-z]+|fbclid|gclid)=[^&]*&?', '', 'g'),
+    '\\?&', '?', 'g'),
+    '[?&]+$', '', 'g'),
+    '/+$', '', 'g') AS canonical_url
+  FROM u)
+"""
+
+
+def q_canonical_urls(sf_dir):
+    """Crawl-frontier URL canonicalization (RE2 chain, DuckDB parity)."""
+    from ..stages.urls import canonicalize_urls
+    return canonicalize_urls(_variant_urls(sf_dir)) \
+        .select_columns(["doc_id", "canonical_url"])
+
+
+SQL_CANONICAL_URLS = "WITH " + _SQL_VARIANT_URLS + """
+SELECT doc_id, canonical_url FROM canon
+"""
+
+
+def q_url_dedup(sf_dir):
+    """URL-level crawl dedup: one page per canonical URL (min doc_id)."""
+    from ..stages.urls import url_dedup
+    return url_dedup(_variant_urls(sf_dir), CFG) \
+        .select_columns(["doc_id", "canonical_url"])
+
+
+SQL_URL_DEDUP = "WITH " + _SQL_VARIANT_URLS + """
+SELECT doc_id, canonical_url FROM (
+  SELECT doc_id, canonical_url,
+         row_number() OVER (PARTITION BY canonical_url
+                            ORDER BY doc_id) AS rn
+  FROM canon) WHERE rn = 1
+"""
+
+
 def q_lang_id(sf_dir):
     """Stopword-vote language ID (rows-only: heuristic table not in SQL)."""
     return ts.lang_id(_docs(sf_dir, ["doc_id", "text"])) \
@@ -1333,6 +1402,8 @@ QUERIES = {
     "tiered_trim_stats": q_tiered_trim_stats,
     "mix_sample": q_mix_sample,
     "pack_sequences": q_pack_sequences,
+    "canonical_urls": q_canonical_urls,
+    "url_dedup": q_url_dedup,
 }
 
 ORACLES = {
@@ -1381,6 +1452,8 @@ ORACLES = {
     "tiered_trim_stats": SQL_TIERED_TRIM_STATS,
     "mix_sample": SQL_MIX_SAMPLE,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "canonical_urls": SQL_CANONICAL_URLS,
+    "url_dedup": SQL_URL_DEDUP,
     # rows-only (non-SQL-expressible): simhash_dup_pairs, ann_lsh_buckets,
     # lang_id
 }
