@@ -1346,6 +1346,42 @@ SELECT doc_id, canonical_url FROM (
 """
 
 
+def q_normalize_text(sf_dir):
+    """Text normalization (lower + whitespace collapse + trim) over
+    deterministically perturbed inputs (the sf corpus is already
+    normalized, so doc_id%3 plants case/whitespace noise both sides)."""
+    import numpy as np
+
+    from ..stages.textstats import normalize_text
+
+    def _variant(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        base = pc.fill_null(t["text"], "")
+        upper = pc.utf8_upper(base)
+        padded = pc.binary_join_element_wise(
+            pa.scalar("  "), base, pa.scalar("   "), "")
+        m = ids % 3
+        v = pc.if_else(pa.array(m == 0), upper,
+                       pc.if_else(pa.array(m == 1), padded, base))
+        return pa.table({"doc_id": t["doc_id"], "text": v})
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _variant, batch_format="pyarrow")
+    return normalize_text(docs).select_columns(["doc_id", "text_normalized"])
+
+
+SQL_NORMALIZE_TEXT = r"""
+WITH v AS (SELECT doc_id,
+                  CASE doc_id % 3 WHEN 0 THEN upper(text)
+                                  WHEN 1 THEN '  ' || text || '   '
+                                  ELSE text END AS t
+           FROM documents)
+SELECT doc_id,
+       trim(regexp_replace(lower(t), '\s+', ' ', 'g')) AS text_normalized
+FROM v
+"""
+
+
 def q_lang_id(sf_dir):
     """Stopword-vote language ID (rows-only: heuristic table not in SQL)."""
     return ts.lang_id(_docs(sf_dir, ["doc_id", "text"])) \
@@ -1404,6 +1440,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "canonical_urls": q_canonical_urls,
     "url_dedup": q_url_dedup,
+    "normalize_text": q_normalize_text,
 }
 
 ORACLES = {
@@ -1454,6 +1491,7 @@ ORACLES = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "canonical_urls": SQL_CANONICAL_URLS,
     "url_dedup": SQL_URL_DEDUP,
+    "normalize_text": SQL_NORMALIZE_TEXT,
     # rows-only (non-SQL-expressible): simhash_dup_pairs, ann_lsh_buckets,
     # lang_id
 }

@@ -203,3 +203,21 @@ def lang_id(ds, text_col: str = "text", concurrency=(1, 4)):
     return ds.map_batches(LangIdStage, batch_format="pyarrow",
                           fn_constructor_args=(text_col,),
                           concurrency=concurrency)
+
+
+def normalize_text(ds, text_col: str = "text",
+                   out_col: str = "text_normalized"):
+    """+ ``out_col``: lowercase, whitespace runs collapsed to one
+    space, leading/trailing whitespace stripped — the canonical text
+    normalization run before exact-hash dedup so trivially-reformatted
+    copies collide.  Pure Arrow kernels (utf8_lower +
+    replace_substring_regex + trim), zero shuffle; byte-parity with
+    DuckDB ``trim(regexp_replace(lower(t), '\\s+', ' ', 'g'))`` is
+    pinned in tests."""
+
+    def _norm(batch: pa.Table) -> pa.Table:
+        out = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            pc.utf8_lower(pc.fill_null(batch[text_col], "")), r"\s+", " "))
+        return batch.append_column(out_col, out)
+
+    return ds.map_batches(_norm, batch_format="pyarrow", zero_copy_batch=True)

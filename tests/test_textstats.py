@@ -137,3 +137,24 @@ class TestPiiScrub:
         want = [r[0] for r in con.execute(
             f"SELECT {expr} FROM d").fetchall()]
         assert got == want
+
+
+class TestNormalizeText:
+    def test_normalize_and_duckdb_parity(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from raydedup.stages.textstats import normalize_text
+        texts = ["  Hello   WORLD  ", "Tabs\tand\nnewlines  here",
+                 "MiXeD CaSe", "", "already clean"]
+        t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+        out = normalize_text(rd.from_arrow(t)).to_pandas() \
+            .sort_values("doc_id")
+        df = t.to_pandas()
+        want = duckdb.connect().execute(
+            r"SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+            r" AS c FROM df ORDER BY doc_id").df()["c"].tolist()
+        assert list(out["text_normalized"]) == want
+        # normalized variants of the same content collide for exact dedup
+        assert out["text_normalized"][0] == "hello world"
