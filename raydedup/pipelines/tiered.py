@@ -50,8 +50,8 @@ class TieredResult(NamedTuple):
 
 def tiered_dedup(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
                  id_col: str = "doc_id", text_col: str = "text",
-                 threshold: float | None = ..., counters=None
-                 ) -> TieredResult:
+                 threshold: float | None = ..., counters=None,
+                 checkpoint_fn=None) -> TieredResult:
     import ray
 
     from ..functions.hashing import splitmix64
@@ -111,7 +111,8 @@ def tiered_dedup(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
     # ---- tier 2: near-dup clusters over tier-1 survivors
     labels = near_dup_clusters(survivors, cfg, id_col=id_col,
                                text_col=text_col, threshold=threshold,
-                               counters=counters).materialize()
+                               counters=counters,
+                               checkpoint_fn=checkpoint_fn).materialize()
     ltabs = [t for t in ray.get(list(labels.to_arrow_refs())) if len(t)]
     n_drop = sum(
         int((np.asarray(t["node"]) != np.asarray(t["component"])).sum())
