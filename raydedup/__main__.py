@@ -9,6 +9,8 @@ readCSRHeader, SURVEY.md §3) as subcommands.
     python -m raydedup neardup  <docs.parquet> <out_dir>
                                  [--ckpt DIR] [--threshold T] [--k K]
     python -m raydedup tiered   <docs.parquet> <out_dir> [--threshold T]
+    python -m raydedup decontam <docs.parquet> <reference.parquet> <out_dir>
+                                 [--threshold T] [--exact]
 
 CLI entry points own the Ray session (guarded init); library code never
 calls ray.init.
@@ -105,6 +107,34 @@ def cmd_tiered(args):
     print(json.dumps({"tiers": counts, "out": args.output}, sort_keys=True))
 
 
+def cmd_decontam(args):
+    _ray_session()
+    import ray.data as rd
+    from .config import DEFAULT_CONFIG
+    from .stages.decontam import (build_reference_pack, decontaminate,
+                                  decontaminate_exact,
+                                  decontamination_matches)
+
+    cfg = DEFAULT_CONFIG.with_(
+        **({"verify_threshold": args.threshold} if args.threshold else {}),
+    )
+    corpus = rd.read_parquet(args.input)
+    reference = rd.read_parquet(args.reference)
+    # sign + collect the reference exactly once; both the corpus filter
+    # and the audit-trail matches reuse the same broadcast pack
+    pack = build_reference_pack(reference, cfg)
+    matches = decontamination_matches(corpus, None, cfg, pack=pack)
+    matches.write_parquet(f"{args.output}/matches")
+    clean = decontaminate(corpus, None, cfg, pack=pack)
+    if args.exact:
+        clean = decontaminate_exact(clean, reference, cfg)
+    clean.write_parquet(f"{args.output}/corpus")
+    # count from the written files — never re-execute the match pipeline
+    n_match = rd.read_parquet(f"{args.output}/matches").count()
+    print(json.dumps({"matches": n_match, "out": args.output},
+                     sort_keys=True))
+
+
 def cmd_compare(args):
     _ray_session()
     import ray.data as rd
@@ -151,6 +181,17 @@ def main(argv=None):
     s.add_argument("output")
     s.add_argument("--threshold", type=float, default=None)
     s.set_defaults(fn=cmd_tiered)
+
+    s = sub.add_parser("decontam", help="remove docs near-duplicating a "
+                                        "reference set: writes corpus/ + "
+                                        "matches/ (one pack build)")
+    s.add_argument("input")
+    s.add_argument("reference")
+    s.add_argument("output")
+    s.add_argument("--threshold", type=float, default=None)
+    s.add_argument("--exact", action="store_true",
+                   help="also drop byte-identical matches")
+    s.set_defaults(fn=cmd_decontam)
 
     s = sub.add_parser("neardup", help="near-dup clustering over documents")
     s.add_argument("input")

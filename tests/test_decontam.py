@@ -100,3 +100,30 @@ class TestDecontaminate:
         m = decontamination_matches(corpus, None, CFG, pack=pack).to_pandas()
         assert sorted(kept["doc_id"]) == list(range(3, 13))
         assert len(m) == 3
+
+
+class TestDecontamCLI:
+    def test_cmd_decontam_writes_both_outputs(self, ray_session, tmp_path):
+        import argparse
+        import pyarrow.parquet as pq
+        from raydedup.__main__ import cmd_decontam
+
+        ref_texts, corpus_texts = _mk_corpus()
+        ref_tab = pa.table({
+            "doc_id": pa.array(np.arange(1000, 1000 + len(ref_texts))),
+            "text": pa.array(ref_texts, pa.string())})
+        cor_tab = pa.table({
+            "doc_id": pa.array(np.arange(len(corpus_texts))),
+            "text": pa.array(corpus_texts, pa.string())})
+        pq.write_table(ref_tab, tmp_path / "ref.parquet")
+        pq.write_table(cor_tab, tmp_path / "corpus.parquet")
+        out = tmp_path / "out"
+        cmd_decontam(argparse.Namespace(
+            input=str(tmp_path / "corpus.parquet"),
+            reference=str(tmp_path / "ref.parquet"),
+            output=str(out), threshold=None, exact=False))
+        import ray.data as rd
+        kept = rd.read_parquet(str(out / "corpus")).to_pandas()
+        matches = rd.read_parquet(str(out / "matches")).to_pandas()
+        assert sorted(kept["doc_id"]) == list(range(3, 13))
+        assert len(matches) == 3
