@@ -1382,6 +1382,76 @@ FROM v
 """
 
 
+def _multiline_docs(sf_dir):
+    """documents → (doc_id, text) with deterministic line structure:
+    a nav line shared per source (always boilerplate), the original
+    body, a tag line shared by doc_id%997 (below the removal threshold
+    at sf0.001, above it at sf0.1 — exercises both outcomes), and a
+    footer shared by doc_id%7 (always boilerplate)."""
+    import numpy as np
+
+    def _mk(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        tag = pa.array((ids % 997).astype(str), pa.string())
+        foot = pa.array((ids % 7).astype(str), pa.string())
+        txt = pc.binary_join_element_wise(
+            pa.scalar("nav "), t["source"], pa.scalar("\n"),
+            pc.fill_null(t["text"], ""), pa.scalar("\ntag "), tag,
+            pa.scalar("\nfooter "), foot, "")
+        return pa.table({"doc_id": t["doc_id"], "text": txt})
+
+    return _docs(sf_dir, ["doc_id", "text", "source"]).map_batches(
+        _mk, batch_format="pyarrow")
+
+
+_SQL_MULTILINE = """
+ml AS (SELECT doc_id,
+              'nav ' || source || chr(10) || text || chr(10) ||
+              'tag ' || (doc_id % 997)::VARCHAR || chr(10) ||
+              'footer ' || (doc_id % 7)::VARCHAR AS text
+       FROM documents)
+"""
+
+
+def q_dup_lines(sf_dir):
+    """CCNet-style boilerplate audit: distinct lines occurring in ≥3
+    distinct documents, with their document frequency."""
+    from ..stages.lines import line_doc_counts
+    return line_doc_counts(_multiline_docs(sf_dir), CFG, min_docs=3)
+
+
+SQL_DUP_LINES = "WITH " + _SQL_MULTILINE + """,
+l AS (SELECT DISTINCT doc_id,
+             unnest(string_split(text, chr(10))) AS line FROM ml)
+SELECT line, count(*)::BIGINT AS n_docs
+FROM l GROUP BY line HAVING count(*) >= 3
+"""
+
+
+def q_line_dedup(sf_dir):
+    """Boilerplate-line removal: strip lines in ≥5 distinct docs,
+    preserve order of the survivors."""
+    from ..stages.lines import remove_boilerplate_lines
+    return remove_boilerplate_lines(
+        _multiline_docs(sf_dir), CFG, min_docs=5) \
+        .select_columns(["doc_id", "text_clean"])
+
+
+SQL_LINE_DEDUP = "WITH " + _SQL_MULTILINE + """,
+l AS (SELECT doc_id,
+             unnest(string_split(text, chr(10))) AS line,
+             unnest(range(1, len(string_split(text, chr(10))) + 1)) AS ord
+      FROM ml),
+boiler AS (SELECT line FROM l GROUP BY line
+           HAVING count(DISTINCT doc_id) >= 5),
+kept AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS txt
+         FROM l WHERE line NOT IN (SELECT line FROM boiler)
+         GROUP BY doc_id)
+SELECT m.doc_id, coalesce(k.txt, '') AS text_clean
+FROM ml m LEFT JOIN kept k ON k.doc_id = m.doc_id
+"""
+
+
 def q_lang_id(sf_dir):
     """Stopword-vote language ID (rows-only: heuristic table not in SQL)."""
     return ts.lang_id(_docs(sf_dir, ["doc_id", "text"])) \
@@ -1441,6 +1511,8 @@ QUERIES = {
     "canonical_urls": q_canonical_urls,
     "url_dedup": q_url_dedup,
     "normalize_text": q_normalize_text,
+    "dup_lines": q_dup_lines,
+    "line_dedup": q_line_dedup,
 }
 
 ORACLES = {
@@ -1492,6 +1564,8 @@ ORACLES = {
     "canonical_urls": SQL_CANONICAL_URLS,
     "url_dedup": SQL_URL_DEDUP,
     "normalize_text": SQL_NORMALIZE_TEXT,
+    "dup_lines": SQL_DUP_LINES,
+    "line_dedup": SQL_LINE_DEDUP,
     # rows-only (non-SQL-expressible): simhash_dup_pairs, ann_lsh_buckets,
     # lang_id
 }
