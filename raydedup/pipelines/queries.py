@@ -1452,6 +1452,29 @@ FROM ml m LEFT JOIN kept k ON k.doc_id = m.doc_id
 """
 
 
+def q_semantic_dup_pairs(sf_dir):
+    """SemDeDup within-cluster cosine pairs (rows-only: the k-means
+    quantizer is not SQL-expressible; precision/recall gated in
+    tests/test_semdedup.py)."""
+    import ray.data as rd
+
+    from ..stages.semdedup import semantic_dup_pairs
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return semantic_dup_pairs(emb, 0.4, CFG, n_clusters=8)
+
+
+def q_semantic_dedup(sf_dir):
+    """SemDeDup corpus-out: surviving vec_ids (rows-only)."""
+    import ray.data as rd
+
+    from ..stages.semdedup import semantic_dedup
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return semantic_dedup(emb, 0.4, CFG, n_clusters=8) \
+        .select_columns(["vec_id"])
+
+
 def q_lang_id(sf_dir):
     """Stopword-vote language ID (rows-only: heuristic table not in SQL)."""
     return ts.lang_id(_docs(sf_dir, ["doc_id", "text"])) \
@@ -1513,6 +1536,8 @@ QUERIES = {
     "normalize_text": q_normalize_text,
     "dup_lines": q_dup_lines,
     "line_dedup": q_line_dedup,
+    "semantic_dup_pairs": q_semantic_dup_pairs,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 ORACLES = {

@@ -65,18 +65,12 @@ def connected_components(pairs_ds, cfg: PipelineConfig, checkpoint_fn=None,
                                              counters=counters)
 
 
-def _connected_components_local(pairs_ds):
-    """Vectorized hash-min + pointer jumping over a collected pair list
-    — O((V+E)·log diameter), every step a whole-array numpy op (the
-    earlier per-edge Python union-find cost tens of driver-seconds at
-    the 5M-edge gate).  Only reached when the edge list is provably
-    small (auto threshold)."""
-    import pandas as pd
-    import ray.data as rd
-
-    df = pairs_ds.select_columns(["a", "b"]).to_pandas()
-    a = df["a"].to_numpy(dtype=np.int64, copy=False)
-    b = df["b"].to_numpy(dtype=np.int64, copy=False)
+def label_components_arrays(a: np.ndarray, b: np.ndarray):
+    """Vectorized hash-min + pointer jumping over in-memory edge arrays
+    → (nodes, component_label) with label = min node id of the
+    component.  O((V+E)·log diameter), every step a whole-array numpy
+    op.  Shared by the local CC path and the per-cluster labeling in
+    stages/semdedup.py."""
     # compact ids: np.unique sorts, so the min compacted index of a
     # component is also its min original node id
     allv = np.concatenate([a, b])
@@ -106,7 +100,22 @@ def _connected_components_local(pairs_ds):
         if np.array_equal(new, label):
             break
         label = new
-    out = pd.DataFrame({"node": nodes, "component": nodes[label]})
+    return nodes, nodes[label]
+
+
+def _connected_components_local(pairs_ds):
+    """Collected-pair-list CC via :func:`label_components_arrays` (the
+    earlier per-edge Python union-find cost tens of driver-seconds at
+    the 5M-edge gate).  Only reached when the edge list is provably
+    small (auto threshold)."""
+    import pandas as pd
+    import ray.data as rd
+
+    df = pairs_ds.select_columns(["a", "b"]).to_pandas()
+    a = df["a"].to_numpy(dtype=np.int64, copy=False)
+    b = df["b"].to_numpy(dtype=np.int64, copy=False)
+    nodes, comp = label_components_arrays(a, b)
+    out = pd.DataFrame({"node": nodes, "component": comp})
     return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
 
 
