@@ -1452,6 +1452,64 @@ FROM ml m LEFT JOIN kept k ON k.doc_id = m.doc_id
 """
 
 
+def _hosted_docs(sf_dir):
+    """documents → (doc_id, text, url) with deterministic hosts:
+    doc_id%20 picks one of 20 synthetic domains."""
+    import numpy as np
+
+    def _mk(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        url = pc.binary_join_element_wise(
+            pa.scalar("https://h"),
+            pa.array((ids % 20).astype(str), pa.string()),
+            pa.scalar(".example.com/p/"),
+            pa.array(ids.astype(str), pa.string()), "")
+        return pa.table({"doc_id": t["doc_id"], "text": t["text"],
+                         "url": url})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _mk, batch_format="pyarrow")
+
+
+_SQL_HOSTED = """
+hd AS (SELECT doc_id, text,
+              'https://h' || (doc_id % 20)::VARCHAR ||
+              '.example.com/p/' || doc_id::VARCHAR AS url
+       FROM documents),
+hh AS (SELECT doc_id, text,
+              regexp_extract(url, '^(?:https?://)?([^/]+)', 1) AS host
+       FROM hd)
+"""
+
+_BLOCKED_HOSTS = ("h0.example.com", "h7.example.com", "h13.example.com")
+
+
+def q_domain_stats(sf_dir):
+    """Per-host doc count + token volume (content-farm triage)."""
+    from ..stages.domains import domain_stats
+    return domain_stats(_hosted_docs(sf_dir), CFG)
+
+
+SQL_DOMAIN_STATS = "WITH " + _SQL_HOSTED + """
+SELECT host, count(*)::BIGINT AS n_docs,
+       sum(len(string_split(text, ' ')))::BIGINT AS sum_tokens
+FROM hh GROUP BY host
+"""
+
+
+def q_domain_filter(sf_dir):
+    """Blocklist filter: docs surviving a 3-domain blocklist."""
+    from ..stages.domains import filter_domains
+    return filter_domains(_hosted_docs(sf_dir), _BLOCKED_HOSTS) \
+        .select_columns(["doc_id", "host"])
+
+
+SQL_DOMAIN_FILTER = "WITH " + _SQL_HOSTED + """
+SELECT doc_id, host FROM hh
+WHERE host NOT IN ('h0.example.com', 'h7.example.com', 'h13.example.com')
+"""
+
+
 def q_semantic_dup_pairs(sf_dir):
     """SemDeDup within-cluster cosine pairs (rows-only: the k-means
     quantizer is not SQL-expressible; precision/recall gated in
@@ -1538,6 +1596,8 @@ QUERIES = {
     "line_dedup": q_line_dedup,
     "semantic_dup_pairs": q_semantic_dup_pairs,
     "semantic_dedup": q_semantic_dedup,
+    "domain_stats": q_domain_stats,
+    "domain_filter": q_domain_filter,
 }
 
 ORACLES = {
@@ -1591,6 +1651,8 @@ ORACLES = {
     "normalize_text": SQL_NORMALIZE_TEXT,
     "dup_lines": SQL_DUP_LINES,
     "line_dedup": SQL_LINE_DEDUP,
+    "domain_stats": SQL_DOMAIN_STATS,
+    "domain_filter": SQL_DOMAIN_FILTER,
     # rows-only (non-SQL-expressible): simhash_dup_pairs, ann_lsh_buckets,
     # lang_id
 }
