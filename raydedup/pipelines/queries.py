@@ -1510,6 +1510,51 @@ WHERE host NOT IN ('h0.example.com', 'h7.example.com', 'h13.example.com')
 """
 
 
+def q_orders_customer(sf_dir):
+    """Broadcast dim join: orders ⋈ customer (small side shipped once,
+    Acero hash join per batch, zero shuffle)."""
+    import ray.data as rd
+
+    from ..stages.join import broadcast_join
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name", "c_mktsegment"])
+    return broadcast_join(orders, cust, "o_custkey",
+                          right_on="c_custkey") \
+        .select_columns(["o_orderkey", "o_custkey", "c_name",
+                         "c_mktsegment"])
+
+
+SQL_ORDERS_CUSTOMER = """
+SELECT o_orderkey, o_custkey, c_name, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_lineitem_orders(sf_dir):
+    """Partitioned fact-fact join: lineitem ⋈ orders, both sides
+    exchanged once by hash(orderkey), block pairs joined independently."""
+    import ray.data as rd
+
+    from ..stages.join import partitioned_join
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderpriority"])
+    return partitioned_join(li, orders, "l_orderkey", CFG,
+                            right_on="o_orderkey") \
+        .select_columns(["l_orderkey", "l_linenumber", "o_custkey",
+                         "o_orderpriority"])
+
+
+SQL_LINEITEM_ORDERS = """
+SELECT l_orderkey, l_linenumber, o_custkey, o_orderpriority
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+
+
 def q_semantic_dup_pairs(sf_dir):
     """SemDeDup within-cluster cosine pairs (rows-only: the k-means
     quantizer is not SQL-expressible; precision/recall gated in
@@ -1598,6 +1643,8 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "domain_stats": q_domain_stats,
     "domain_filter": q_domain_filter,
+    "orders_customer": q_orders_customer,
+    "lineitem_orders": q_lineitem_orders,
 }
 
 ORACLES = {
@@ -1653,6 +1700,8 @@ ORACLES = {
     "line_dedup": SQL_LINE_DEDUP,
     "domain_stats": SQL_DOMAIN_STATS,
     "domain_filter": SQL_DOMAIN_FILTER,
+    "orders_customer": SQL_ORDERS_CUSTOMER,
+    "lineitem_orders": SQL_LINEITEM_ORDERS,
     # rows-only (non-SQL-expressible): simhash_dup_pairs, ann_lsh_buckets,
     # lang_id
 }
