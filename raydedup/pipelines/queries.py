@@ -1510,6 +1510,27 @@ WHERE host NOT IN ('h0.example.com', 'h7.example.com', 'h13.example.com')
 """
 
 
+def q_token_quantiles(sf_dir):
+    """Exact distributed quantiles of the doc token-count distribution
+    (value-histogram exchange; only (value,count) reaches the driver)."""
+    from ..stages.quantiles import int_quantiles
+    from ..stages.textstats import token_counts
+    counted = token_counts(_docs(sf_dir, ["doc_id", "text"])) \
+        .select_columns(["n_tokens"])
+    return int_quantiles(counted, "n_tokens", qs=(0.5, 0.9, 0.99), cfg=CFG)
+
+
+SQL_TOKEN_QUANTILES = """
+WITH t AS (SELECT len(string_split(text, ' '))::BIGINT AS n_tokens
+           FROM documents)
+SELECT 'p50' AS q, quantile_disc(n_tokens, 0.50)::BIGINT AS value FROM t
+UNION ALL
+SELECT 'p90', quantile_disc(n_tokens, 0.90)::BIGINT FROM t
+UNION ALL
+SELECT 'p99', quantile_disc(n_tokens, 0.99)::BIGINT FROM t
+"""
+
+
 def q_orders_customer(sf_dir):
     """Broadcast dim join: orders ⋈ customer (small side shipped once,
     Acero hash join per batch, zero shuffle)."""
@@ -1645,6 +1666,7 @@ QUERIES = {
     "domain_filter": q_domain_filter,
     "orders_customer": q_orders_customer,
     "lineitem_orders": q_lineitem_orders,
+    "token_quantiles": q_token_quantiles,
 }
 
 ORACLES = {
@@ -1702,6 +1724,7 @@ ORACLES = {
     "domain_filter": SQL_DOMAIN_FILTER,
     "orders_customer": SQL_ORDERS_CUSTOMER,
     "lineitem_orders": SQL_LINEITEM_ORDERS,
+    "token_quantiles": SQL_TOKEN_QUANTILES,
     # rows-only (non-SQL-expressible): simhash_dup_pairs, ann_lsh_buckets,
     # lang_id
 }

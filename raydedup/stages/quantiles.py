@@ -1,0 +1,96 @@
+"""Exact distributed quantiles over integer metrics.
+
+Length/score distributions drive every curation threshold (Gopher's
+length gates, packing budgets, outlier cuts), and at 100 TB you cannot
+sort the corpus to read off a percentile.  For INTEGER metrics the
+exact answer needs no sort and no sketch: a (value → count) histogram
+is an exact sufficient statistic, and its size is the metric's
+cardinality (token counts, char lengths, scores — thousands of
+distinct values), independent of corpus size.
+
+Physical plan: per-batch Arrow ``value_counts`` combiner (one row per
+distinct value per batch travels) → one hash exchange on the value →
+per-partition count sums → the driver collects only the (value, count)
+histogram, cumsums, and reads off ``quantile_disc`` positions
+(DuckDB semantics, pinned by oracle: index ceil(q·n)−1 clamped to 0,
+i.e. the smallest value whose cumulative count ≥ ceil(q·n)).
+
+For unbounded-cardinality metrics (floats, byte lengths of huge blobs)
+pre-bucket the column; the exactness contract is per-bucket then.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..functions.hashing import splitmix64
+from ..functions.shuffle import hash_partition_map
+
+
+def value_histogram(ds, col: str, cfg: PipelineConfig = DEFAULT_CONFIG):
+    """→ Dataset(value:int64, n:int64) — exact global value counts of
+    an integer column (the distributed sufficient statistic)."""
+    n_parts = cfg.num_partitions
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"value": t[col].cast(pa.int64())}) \
+            .group_by("value").aggregate([("value", "count")])
+        v = np.asarray(g["value"], dtype=np.int64)
+        part = (splitmix64(v.view(np.uint64)) % np.uint64(n_parts)) \
+            .astype(np.int64)
+        return pa.table({"value": g["value"],
+                         "n": g["value_count"].cast(pa.int64()),
+                         "_part": pa.array(part, pa.int64())})
+
+    def _reduce(t: pa.Table | None) -> pa.Table:
+        if t is None or len(t) == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"value": z, "n": z})
+        g = t.group_by("value").aggregate([("n", "sum")])
+        return pa.table({"value": g["value"],
+                         "n": g["n_sum"].cast(pa.int64())})
+
+    return hash_partition_map(ds, "_part", _reduce, n_parts,
+                              map_fn=_partial,
+                              map_chunk_rows=cfg.batch_size)
+
+
+def int_quantiles(ds, col: str, qs=(0.5, 0.9, 0.99),
+                  cfg: PipelineConfig = DEFAULT_CONFIG) -> pa.Table:
+    """Exact discrete quantiles of an integer column →
+    pa.Table(q:string 'p50'-style, value:int64).  Only the (value,
+    count) histogram ever reaches the driver."""
+    import ray
+
+    hist_tabs = [t for t in ray.get(
+        list(value_histogram(ds, col, cfg).to_arrow_refs())) if len(t)]
+    if not hist_tabs:
+        return pa.table({"q": pa.array([], pa.string()),
+                         "value": pa.array([], pa.int64())})
+    hist = pa.concat_tables(hist_tabs)
+    v = np.asarray(hist["value"], dtype=np.int64)
+    c = np.asarray(hist["n"], dtype=np.int64)
+    order = np.argsort(v, kind="stable")
+    v, c = v[order], c[order]
+    cum = np.cumsum(c)
+    n = int(cum[-1])
+    labels, values = [], []
+    for q in qs:
+        rank = max(1, math.ceil(q * n))      # quantile_disc position
+        idx = int(np.searchsorted(cum, rank))
+        labels.append(_plabel(q))
+        values.append(int(v[idx]))
+    return pa.table({"q": pa.array(labels, pa.string()),
+                     "value": pa.array(values, pa.int64())})
+
+
+def _plabel(q: float) -> str:
+    pct = q * 100
+    if abs(pct - round(pct)) < 1e-9:
+        return f"p{int(round(pct))}"
+    return f"p{pct:g}"

@@ -1,0 +1,47 @@
+"""Exact distributed integer quantiles (stages/quantiles.py).
+
+Property-checked against DuckDB's quantile_disc on random multisets —
+the histogram exchange must reproduce the sorted-array definition
+exactly, including tie plateaus and extreme q.
+"""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+
+from raydedup.config import DEFAULT_CONFIG
+from raydedup.stages.quantiles import int_quantiles, value_histogram
+
+CFG = DEFAULT_CONFIG.with_(num_partitions=4, batch_size=7)
+
+
+def _ds(values):
+    import ray.data as rd
+    return rd.from_arrow(pa.table({"x": pa.array(values, pa.int64())})) \
+        .repartition(3)
+
+
+def test_histogram_counts(ray_session):
+    vals = [5, 5, 5, 2, 9, 2, 5]
+    h = value_histogram(_ds(vals), "x", CFG).to_pandas()
+    assert dict(zip(h["value"], h["n"])) == {5: 4, 2: 2, 9: 1}
+
+
+def test_matches_duckdb_quantile_disc(ray_session):
+    rng = np.random.default_rng(5)
+    for trial in range(3):
+        vals = rng.integers(0, 50, size=rng.integers(10, 400)).tolist()
+        qs = (0.0, 0.1, 0.5, 0.9, 0.99, 1.0)
+        got = int_quantiles(_ds(vals), "x", qs=qs, cfg=CFG).to_pandas()
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t AS SELECT unnest(?) AS x", [vals])
+        for q, v in zip(qs, got["value"]):
+            want = con.execute(
+                "SELECT quantile_disc(x, ?) FROM t", [q]).fetchone()[0]
+            assert v == want, (trial, q, v, want)
+
+
+def test_labels(ray_session):
+    got = int_quantiles(_ds([1, 2, 3]), "x", qs=(0.5, 0.999), cfg=CFG) \
+        .to_pandas()
+    assert list(got["q"]) == ["p50", "p99.9"]
