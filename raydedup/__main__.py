@@ -100,7 +100,7 @@ def cmd_tiered(args):
         **({"verify_threshold": args.threshold} if args.threshold else {}),
     )
     docs = rd.read_parquet(args.input)
-    res = tiered_dedup(docs, cfg)
+    res = tiered_dedup(docs, cfg, line_min_docs=args.line_min_docs)
     res.corpus.write_parquet(f"{args.output}/corpus")
     res.disposition.write_parquet(f"{args.output}/disposition")
     counts = res.disposition.to_pandas()["tier"].value_counts().to_dict()
@@ -180,6 +180,9 @@ def main(argv=None):
     s.add_argument("input")
     s.add_argument("output")
     s.add_argument("--threshold", type=float, default=None)
+    s.add_argument("--line-min-docs", type=int, default=None,
+                   help="tier-0 boilerplate strip: drop lines in >= N "
+                        "distinct docs before the dedup tiers")
     s.set_defaults(fn=cmd_tiered)
 
     s = sub.add_parser("decontam", help="remove docs near-duplicating a "

@@ -51,7 +51,13 @@ class TieredResult(NamedTuple):
 def tiered_dedup(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
                  id_col: str = "doc_id", text_col: str = "text",
                  threshold: float | None = ..., counters=None,
-                 checkpoint_fn=None) -> TieredResult:
+                 checkpoint_fn=None,
+                 line_min_docs: int | None = None) -> TieredResult:
+    """``line_min_docs``: when set, a tier-0 CCNet-style boilerplate
+    pass rewrites ``text_col`` in place (lines in ≥ that many distinct
+    docs stripped, stages/lines.py) before any dedup tier — so exact
+    and near-dup collide on content, not on shared chrome.  No doc is
+    dropped by tier 0; the disposition contract is unchanged."""
     import ray
 
     from ..functions.hashing import splitmix64
@@ -60,6 +66,22 @@ def tiered_dedup(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
     from .neardup import (NEAR_DEDUP_BROADCAST_MAX_DROPS,
                           _broadcast_drop_filter, _partitioned_anti_join,
                           near_dup_clusters)
+
+    # ---- tier 0 (optional): line-level boilerplate strip, in place
+    if line_min_docs is not None:
+        from ..stages.lines import remove_boilerplate_lines
+
+        cleaned = remove_boilerplate_lines(
+            docs, cfg, text_col=text_col, min_docs=line_min_docs,
+            out_col="__line_clean")
+
+        def _swap(t: pa.Table) -> pa.Table:
+            i = t.column_names.index(text_col)
+            return t.set_column(i, text_col, t["__line_clean"]) \
+                .drop_columns(["__line_clean"])
+
+        docs = cleaned.map_batches(_swap, batch_format="pyarrow",
+                                   zero_copy_batch=True)
 
     n_parts = cfg.resolved_partitions()
     base_schema = docs.schema().base_schema

@@ -87,3 +87,43 @@ class TestTieredDedup:
         disp = res.disposition.to_pandas()
         assert set(disp["tier"]) == {"kept"}
         assert res.corpus.count() == 5
+
+
+class TestLineTier:
+    def test_line_tier_equals_manual_compose(self, ray_session):
+        """tiered_dedup(line_min_docs=N) == remove_boilerplate_lines
+        then tiered_dedup — same corpus text and same disposition."""
+        from raydedup.pipelines.tiered import tiered_dedup
+        from raydedup.stages.lines import remove_boilerplate_lines
+
+        # three docs sharing a footer line, bodies near-identical after
+        # the footer is stripped; without tier 0 the footer keeps them
+        # from being byte-identical
+        rows = [(i, BASE + f" only{i}\nSHARED FOOTER") for i in range(3)]
+        rows += [(10, "solo doc\nSHARED FOOTER"),
+                 (11, "another body entirely")]
+        ds = _docs_ds(rows)
+
+        res = tiered_dedup(ds, CFG, line_min_docs=4)
+        import pyarrow.compute as pc_
+
+        def _swap(t):
+            i = t.column_names.index("text")
+            return t.set_column(i, "text", t["__line_clean"]) \
+                .drop_columns(["__line_clean"])
+
+        manual = tiered_dedup(
+            remove_boilerplate_lines(ds, CFG, min_docs=4,
+                                     out_col="__line_clean")
+            .map_batches(_swap, batch_format="pyarrow"), CFG)
+
+        a = res.corpus.to_pandas().sort_values("doc_id") \
+            .reset_index(drop=True)
+        b = manual.corpus.to_pandas().sort_values("doc_id") \
+            .reset_index(drop=True)
+        assert a.equals(b)
+        da = res.disposition.to_pandas().set_index("doc_id")["tier"].to_dict()
+        db = manual.disposition.to_pandas().set_index("doc_id")["tier"].to_dict()
+        assert da == db
+        # the footer is gone from every surviving text
+        assert not a["text"].str.contains("SHARED FOOTER").any()
