@@ -1510,6 +1510,26 @@ WHERE host NOT IN ('h0.example.com', 'h7.example.com', 'h13.example.com')
 """
 
 
+def q_common_token_stats(sf_dir):
+    """Per-doc common-word counts vs the corpus top-50 vocabulary
+    (LM-free CCNet-style quality proxy, exact integers)."""
+    from ..stages.vocab import common_token_stats
+    return common_token_stats(_docs(sf_dir, ["doc_id", "text"]), CFG, k=50)
+
+
+SQL_COMMON_TOKEN_STATS = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             FROM documents),
+vocab AS (SELECT tok FROM tok WHERE tok <> ''
+          GROUP BY tok ORDER BY count(*) DESC, tok ASC LIMIT 50)
+SELECT doc_id,
+       sum(CASE WHEN tok IN (SELECT tok FROM vocab)
+                THEN 1 ELSE 0 END)::BIGINT AS n_common,
+       count(*)::BIGINT AS n_tokens
+FROM tok GROUP BY doc_id
+"""
+
+
 def q_token_quantiles(sf_dir):
     """Exact distributed quantiles of the doc token-count distribution
     (value-histogram exchange; only (value,count) reaches the driver)."""
@@ -1667,6 +1687,7 @@ QUERIES = {
     "orders_customer": q_orders_customer,
     "lineitem_orders": q_lineitem_orders,
     "token_quantiles": q_token_quantiles,
+    "common_token_stats": q_common_token_stats,
 }
 
 ORACLES = {
@@ -1725,6 +1746,7 @@ ORACLES = {
     "orders_customer": SQL_ORDERS_CUSTOMER,
     "lineitem_orders": SQL_LINEITEM_ORDERS,
     "token_quantiles": SQL_TOKEN_QUANTILES,
+    "common_token_stats": SQL_COMMON_TOKEN_STATS,
     # rows-only (non-SQL-expressible): simhash_dup_pairs, ann_lsh_buckets,
     # lang_id
 }

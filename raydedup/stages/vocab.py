@@ -115,3 +115,51 @@ def token_doc_freq(docs_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
     return hash_partition_map(
         docs_ds, "part", _sum, n_parts,
         map_fn=_partial, map_chunk_rows=cfg.batch_size)
+
+
+def common_token_stats(docs_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       k: int = 50, sep: str = " "):
+    """→ Dataset(id, n_common:int64, n_tokens:int64) — per doc, how
+    many of its whitespace tokens fall in the corpus's top-``k``
+    vocabulary (count desc, token asc tie-break), plus the total token
+    count.  The ratio is the classic common-word/stopword quality
+    signal (CCNet-style LM-free proxy: gibberish and boilerplate-free
+    prose sit at opposite ends); kept as two exact integers so
+    downstream thresholds — and the SQL oracle — never touch floats.
+
+    Physical plan: one combiner exchange builds the top-k table
+    (top_k_vocab), the k tokens broadcast by closure, then one
+    streaming map does an exact ``pc.is_in`` over the flattened token
+    stream with a cumsum-at-offsets per-doc reduction.  Two passes over
+    the corpus total; nothing corpus-sized moves."""
+    import ray
+
+    vocab_tab = pa.concat_tables(
+        [t for t in ray.get(list(
+            top_k_vocab(docs_ds, cfg, text_col=text_col, k=k, sep=sep)
+            .to_arrow_refs())) if len(t)])
+    vset = vocab_tab["token"].combine_chunks() if len(vocab_tab) else \
+        pa.array([], pa.string())
+
+    def _stats(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.fill_null(
+            t[text_col].combine_chunks(), ""), sep)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        common = pc.fill_null(pc.is_in(flat, value_set=vset), False) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = np.asarray(toks.offsets, dtype=np.int64)
+        offs = offs - offs[0]
+        csum = np.concatenate([[0], np.cumsum(common)])
+        n_common = csum[offs[1:]] - csum[offs[:-1]]
+        n_tokens = (offs[1:] - offs[:-1])
+        return pa.table({
+            id_col: t[id_col],
+            "n_common": pa.array(n_common, pa.int64()),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+        })
+
+    return docs_ds.map_batches(_stats, batch_format="pyarrow",
+                               zero_copy_batch=True)

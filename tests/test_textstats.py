@@ -158,3 +158,26 @@ class TestNormalizeText:
         assert list(out["text_normalized"]) == want
         # normalized variants of the same content collide for exact dedup
         assert out["text_normalized"][0] == "hello world"
+
+
+class TestCommonTokenStats:
+    def test_counts_against_manual(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from raydedup.config import DEFAULT_CONFIG
+        from raydedup.stages.vocab import common_token_stats
+
+        cfg = DEFAULT_CONFIG.with_(num_partitions=4, batch_size=2)
+        # "the" x5, "a" x3, "b" x2 -> top-2 vocab = {the, a}
+        rows = [(0, "the a the"), (1, "a b the"), (2, "b the a the"),
+                (3, "zz yy"), (4, "")]
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        })).repartition(2)
+        got = common_token_stats(ds, cfg, k=2).to_pandas() \
+            .set_index("doc_id").sort_index()
+        assert got["n_common"].to_dict() == {0: 3, 1: 2, 2: 3, 3: 0, 4: 0}
+        # '' splits to [''] -> one token, matching DuckDB string_split
+        assert got["n_tokens"].to_dict() == {0: 3, 1: 3, 2: 4, 3: 2, 4: 1}
