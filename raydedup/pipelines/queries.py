@@ -1510,6 +1510,70 @@ WHERE host NOT IN ('h0.example.com', 'h7.example.com', 'h13.example.com')
 """
 
 
+def _increment_corpus(sf_dir):
+    """(corpus_ds, increment_ds) with deterministic collisions: the
+    increment reuses corpus texts for doc_id%3==0 rows (cross-corpus
+    dups), shares 'incdup' texts per doc_id//10 for doc_id%5==0 rows
+    (within-increment dups), and is fresh otherwise."""
+    import numpy as np
+
+    def _corpus(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        txt = pc.binary_join_element_wise(
+            pa.scalar("content "),
+            pa.array((ids // 2).astype(str), pa.string()), "")
+        return pa.table({"doc_id": t["doc_id"], "text": txt})
+
+    def _inc(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        dup_c = pc.binary_join_element_wise(
+            pa.scalar("content "),
+            pa.array((ids // 2).astype(str), pa.string()), "")
+        dup_i = pc.binary_join_element_wise(
+            pa.scalar("incdup "),
+            pa.array((ids // 10).astype(str), pa.string()), "")
+        fresh = pc.binary_join_element_wise(
+            pa.scalar("fresh "), pa.array(ids.astype(str), pa.string()), "")
+        txt = pc.if_else(pa.array(ids % 5 == 0), dup_i,
+                         pc.if_else(pa.array(ids % 3 == 0), dup_c, fresh))
+        return pa.table({"doc_id": pa.array(ids + 10000, pa.int64()),
+                         "text": txt})
+
+    docs = _docs(sf_dir, ["doc_id"])
+    return (docs.map_batches(_corpus, batch_format="pyarrow"),
+            _docs(sf_dir, ["doc_id"]).map_batches(
+                _inc, batch_format="pyarrow"))
+
+
+_SQL_INCREMENT = """
+corpus AS (SELECT doc_id, 'content ' || (doc_id // 2)::VARCHAR AS text
+           FROM documents),
+inc AS (SELECT doc_id + 10000 AS doc_id,
+               CASE WHEN doc_id % 5 = 0
+                      THEN 'incdup ' || (doc_id // 10)::VARCHAR
+                    WHEN doc_id % 3 = 0
+                      THEN 'content ' || (doc_id // 2)::VARCHAR
+                    ELSE 'fresh ' || doc_id::VARCHAR END AS text
+        FROM documents)
+"""
+
+
+def q_incremental_dedup(sf_dir):
+    """Daily-increment exact dedup against the existing corpus (corpus
+    moves as 16-byte hashes only)."""
+    from ..stages.incremental import incremental_exact_dedup
+    corpus, inc = _increment_corpus(sf_dir)
+    return incremental_exact_dedup(inc, corpus, CFG) \
+        .select_columns(["doc_id", "text"])
+
+
+SQL_INCREMENTAL_DEDUP = "WITH " + _SQL_INCREMENT + """
+SELECT i.doc_id, i.text FROM inc i
+WHERE i.text NOT IN (SELECT text FROM corpus)
+  AND i.doc_id = (SELECT min(j.doc_id) FROM inc j WHERE j.text = i.text)
+"""
+
+
 def q_common_token_stats(sf_dir):
     """Per-doc common-word counts vs the corpus top-50 vocabulary
     (LM-free CCNet-style quality proxy, exact integers)."""
@@ -1688,6 +1752,7 @@ QUERIES = {
     "lineitem_orders": q_lineitem_orders,
     "token_quantiles": q_token_quantiles,
     "common_token_stats": q_common_token_stats,
+    "incremental_dedup": q_incremental_dedup,
 }
 
 ORACLES = {
@@ -1747,6 +1812,7 @@ ORACLES = {
     "lineitem_orders": SQL_LINEITEM_ORDERS,
     "token_quantiles": SQL_TOKEN_QUANTILES,
     "common_token_stats": SQL_COMMON_TOKEN_STATS,
+    "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     # rows-only (non-SQL-expressible): simhash_dup_pairs, ann_lsh_buckets,
     # lang_id
 }

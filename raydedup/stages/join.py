@@ -30,7 +30,8 @@ from ..functions.shuffle import hash_partition_map
 
 BROADCAST_JOIN_MAX_ROWS = 5_000_000
 
-_JOIN_TYPES = {"inner": "inner", "left": "left outer"}
+_JOIN_TYPES = {"inner": "inner", "left": "left outer",
+               "semi": "left semi", "anti": "left anti"}
 
 
 def broadcast_join(left_ds, right, on: str, *, how: str = "inner",

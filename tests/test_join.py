@@ -81,3 +81,23 @@ def test_string_keys(ray_session):
     out = partitioned_join(l, r, "host", CFG).to_pandas()
     assert sorted(out["v"]) == [1, 3]
     assert set(out["tag"]) == {"good"}
+
+
+def test_broadcast_semi_anti(ray_session):
+    semi = broadcast_join(_left(), _right_tab(), "k", right_on="rk",
+                          how="semi").to_pandas()
+    assert sorted(semi["lv"]) == ["a", "b", "c"]
+    assert "rv" not in semi.columns
+    anti = broadcast_join(_left(), _right_tab(), "k", right_on="rk",
+                          how="anti").to_pandas()
+    assert sorted(anti["lv"]) == ["d", "e", "f"]
+
+
+def test_partitioned_semi_matches_broadcast(ray_session):
+    import ray.data as rd
+    r = rd.from_arrow(_right_tab()).repartition(2)
+    a = _norm(broadcast_join(_left(), _right_tab(), "k", right_on="rk",
+                             how="semi").to_pandas()[["k", "lv"]])
+    b = _norm(partitioned_join(_left(), r, "k", CFG, right_on="rk",
+                               how="semi").to_pandas()[["k", "lv"]])
+    assert a.equals(b)
