@@ -72,6 +72,27 @@ def near_dup_pairs(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
     # explosion → partition tag) runs inside the candidate exchange's
     # split tasks (candidate_pairs_from_docs) — no signature table and no
     # exploded band-row dataset ever hit the object store.
+    from ..stages.lsh import candidate_pairs_from_docs
+    cands = candidate_pairs_from_docs(
+        docs, cfg, id_col=id_col, text_col=text_col, counters=counters,
+        debug_dir=debug_dir)
+    return verify_candidates(docs, cands, cfg, threshold=threshold,
+                             id_col=id_col, text_col=text_col,
+                             counters=counters)
+
+
+def verify_candidates(docs, cands, cfg: PipelineConfig = DEFAULT_CONFIG, *,
+                      threshold: float | None = ..., id_col: str = "doc_id",
+                      text_col: str = "text", counters=None):
+    """Exact-Jaccard verification of an arbitrary candidate-pair Dataset
+    (columns ``a``, ``b``) against the docs that own both endpoints:
+    shingle sets are recomputed for JUST the candidate-endpoint docs,
+    then scored through the broadcast or two-pass co-partitioned
+    exchange — the tail of the slim flagship path, reusable by any
+    candidate generator (incremental probes, custom blockers).
+
+    ``docs`` must contain every id that appears in ``cands`` (extra docs
+    are streamed past the semi-filter and cost only the scan)."""
     import time as _time
 
     import numpy as np
@@ -85,10 +106,6 @@ def near_dup_pairs(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
         return _time.perf_counter()
 
     t0 = _time.perf_counter()
-    from ..stages.lsh import candidate_pairs_from_docs
-    cands = candidate_pairs_from_docs(
-        docs, cfg, id_col=id_col, text_col=text_col, counters=counters,
-        debug_dir=debug_dir)
     # ONE pass over the candidate blocks: the refs are already
     # materialized tables (raw-task exchange output).  Row counts come
     # from worker-side len() tasks first, so the driver only collects

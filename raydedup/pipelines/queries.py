@@ -1574,6 +1574,99 @@ WHERE i.text NOT IN (SELECT text FROM corpus)
 """
 
 
+def _inc_nd_split(sf_dir, ref: bool):
+    """Deterministic corpus/increment split for the incremental
+    near-dup queries: doc_id % 3 == 0 → existing-corpus side."""
+    import numpy as _np
+
+    def _side(t):
+        ids = _np.asarray(t["doc_id"], _np.int64)
+        keep = (ids % 3 == 0) if ref else (ids % 3 != 0)
+        return t.filter(pa.array(keep))
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _side, batch_format="pyarrow")
+
+
+def q_incremental_near_dup_matches(sf_dir):
+    """Verified near-dup links increment→corpus (a=increment doc,
+    b=corpus doc, exact Jaccard ≥ 0.8)."""
+    from ..stages.incremental import incremental_near_dup_matches
+    return incremental_near_dup_matches(
+        _inc_nd_split(sf_dir, False), _inc_nd_split(sf_dir, True), CFG)
+
+
+_INC_ND_CTES = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i)
+  WHERE len(t) >= 5
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT i.a, i.b, i.c AS intersection, (ca.n + cb.n - i.c) AS u,
+         i.c::DOUBLE / (ca.n + cb.n - i.c) AS jaccard
+  FROM inter i JOIN cnt ca ON ca.doc_id = i.a
+               JOIN cnt cb ON cb.doc_id = i.b
+  WHERE i.c::DOUBLE / (ca.n + cb.n - i.c) >= 0.8
+)
+"""
+
+
+SQL_INCREMENTAL_NEAR_DUP_MATCHES = "WITH " + _INC_ND_CTES + """
+SELECT CASE WHEN a % 3 = 0 THEN b ELSE a END AS a,
+       CASE WHEN a % 3 = 0 THEN a ELSE b END AS b,
+       intersection, u AS "union", jaccard
+FROM scored
+WHERE (a % 3 = 0) <> (b % 3 = 0)
+"""
+
+
+def q_incremental_near_dup(sf_dir):
+    """Increment docs surviving near-dup dedup against the existing
+    corpus (corpus wins; one survivor per within-increment cluster)."""
+    from ..stages.incremental import incremental_near_dup
+    out = incremental_near_dup(
+        _inc_nd_split(sf_dir, False), _inc_nd_split(sf_dir, True), CFG) \
+        .select_columns(["doc_id"]).materialize()
+    if out.count() == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    return out
+
+
+SQL_INCREMENTAL_NEAR_DUP = "WITH RECURSIVE " + _INC_ND_CTES + """,
+matched AS (
+  SELECT DISTINCT CASE WHEN a % 3 = 0 THEN b ELSE a END AS doc_id
+  FROM scored WHERE (a % 3 = 0) <> (b % 3 = 0)
+),
+internal AS (
+  SELECT a, b FROM scored
+  WHERE a % 3 <> 0 AND b % 3 <> 0
+    AND a NOT IN (SELECT doc_id FROM matched)
+    AND b NOT IN (SELECT doc_id FROM matched)
+),
+edges AS (SELECT a AS n, b AS m FROM internal
+          UNION SELECT b, a FROM internal),
+reach(n, m) AS (
+  SELECT n, m FROM edges
+  UNION
+  SELECT r.n, e.m FROM reach r JOIN edges e ON r.m = e.n
+),
+comp AS (SELECT n AS node, least(n, min(m)) AS component
+         FROM reach GROUP BY n)
+SELECT doc_id FROM documents
+WHERE doc_id % 3 <> 0
+  AND doc_id NOT IN (SELECT doc_id FROM matched)
+  AND doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+"""
+
+
 def q_common_token_stats(sf_dir):
     """Per-doc common-word counts vs the corpus top-50 vocabulary
     (LM-free CCNet-style quality proxy, exact integers)."""
@@ -1753,6 +1846,8 @@ QUERIES = {
     "token_quantiles": q_token_quantiles,
     "common_token_stats": q_common_token_stats,
     "incremental_dedup": q_incremental_dedup,
+    "incremental_near_dup": q_incremental_near_dup,
+    "incremental_near_dup_matches": q_incremental_near_dup_matches,
 }
 
 ORACLES = {
@@ -1813,6 +1908,8 @@ ORACLES = {
     "token_quantiles": SQL_TOKEN_QUANTILES,
     "common_token_stats": SQL_COMMON_TOKEN_STATS,
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
+    "incremental_near_dup": SQL_INCREMENTAL_NEAR_DUP,
+    "incremental_near_dup_matches": SQL_INCREMENTAL_NEAR_DUP_MATCHES,
     # rows-only (non-SQL-expressible): simhash_dup_pairs, ann_lsh_buckets,
     # lang_id
 }

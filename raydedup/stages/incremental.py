@@ -141,3 +141,138 @@ def incremental_exact_dedup(new_ds, corpus_ds,
     c_refs = corpus_parts.to_arrow_refs()
     return rd.from_arrow_refs(
         [_resolve.remote(a, b) for a, b in zip(n_refs, c_refs)])
+
+
+# --------------------------------------------------------- near-dup variant
+
+def corpus_band_table(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
+                      id_col: str = "doc_id", text_col: str = "text"):
+    """(band_key, id) rows for a corpus — the persistable signature
+    store an incremental run probes instead of re-hashing corpus text
+    (write_parquet it once, read_parquet it every increment)."""
+    from .lsh import explode_bands
+    from .signatures import signatures
+    sig = signatures(docs, cfg, id_col=id_col, text_col=text_col,
+                     keep_shingles=False, keep_minhash=False,
+                     with_simhash=False)
+    return explode_bands(sig, cfg, id_col=id_col)
+
+
+def incremental_near_dup_matches(new_ds, corpus_ds,
+                                 cfg: PipelineConfig = DEFAULT_CONFIG, *,
+                                 corpus_bands=None,
+                                 threshold: float | None = ...,
+                                 id_col: str = "doc_id",
+                                 text_col: str = "text", counters=None):
+    """→ Dataset(a=increment doc, b=corpus doc, intersection, union,
+    jaccard): every verified near-duplicate link (exact Jaccard ≥
+    threshold) between the increment and the existing corpus.
+
+    Corpus cost per run: one banding pass (or zero with a prebuilt
+    ``corpus_bands`` store) + shingle-set recompute for ONLY the corpus
+    docs that share a bucket with an increment doc."""
+    from ..pipelines.neardup import verify_candidates
+    from .lsh import incremental_candidate_pairs
+
+    cands = incremental_candidate_pairs(
+        new_ds, corpus_ds, cfg, corpus_bands=corpus_bands, id_col=id_col,
+        text_col=text_col, counters=counters).materialize()
+
+    def _cross_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.equal(t["cross"], 1)).drop_columns(["cross"])
+
+    cross = cands.map_batches(_cross_only, batch_format="pyarrow")
+    union_docs = new_ds.select_columns([id_col, text_col]).union(
+        corpus_ds.select_columns([id_col, text_col]))
+    return verify_candidates(union_docs, cross, cfg, threshold=threshold,
+                             id_col=id_col, text_col=text_col,
+                             counters=counters)
+
+
+def incremental_near_dup(new_ds, corpus_ds,
+                         cfg: PipelineConfig = DEFAULT_CONFIG, *,
+                         corpus_bands=None, threshold: float | None = ...,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         counters=None):
+    """Near-dup dedup of an increment against an existing corpus: an
+    increment doc survives iff (a) it is not a verified near-duplicate
+    of ANY corpus doc (the corpus always wins), and (b) among the
+    corpus-survivors, it is the min-id member of its within-increment
+    near-dup component.  Returns the surviving increment rows.
+
+    NOTE this is the standard production-incremental semantics, not a
+    re-run of batch dedup over the union: near-similarity is not
+    transitive, so an increment doc that chains to the corpus only
+    THROUGH a dropped sibling is kept here (batch ``near_dup_dedup``
+    over the union may drop it).  Physical plan: one band exchange
+    where corpus-only buckets die before pair emission
+    (stages/lsh.incremental_candidate_pairs), two increment-scale
+    verify exchanges, CC over the internal pairs, anti-joins for the
+    final cut — the corpus never moves as text except for the bucket
+    neighbours of increment docs."""
+    import pyarrow.compute as pc
+
+    from ..pipelines.neardup import verify_candidates
+    from .cc import connected_components
+    from .join import partitioned_join
+    from .lsh import incremental_candidate_pairs
+
+    cands = incremental_candidate_pairs(
+        new_ds, corpus_ds, cfg, corpus_bands=corpus_bands, id_col=id_col,
+        text_col=text_col, counters=counters).materialize()
+
+    def _split(flag):
+        def _f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["cross"], flag)) \
+                    .drop_columns(["cross"])
+        return _f
+
+    cross = cands.map_batches(_split(1), batch_format="pyarrow")
+    internal = cands.map_batches(_split(0), batch_format="pyarrow")
+
+    union_docs = new_ds.select_columns([id_col, text_col]).union(
+        corpus_ds.select_columns([id_col, text_col]))
+    matches = verify_candidates(union_docs, cross, cfg, threshold=threshold,
+                                id_col=id_col, text_col=text_col,
+                                counters=counters)
+    # cross pairs are oriented a=increment: column "a" IS the matched set
+    matched = matches.select_columns(["a"]).materialize()
+
+    internal_v = verify_candidates(new_ds, internal, cfg,
+                                   threshold=threshold, id_col=id_col,
+                                   text_col=text_col) \
+        .select_columns(["a", "b"]).materialize()
+    # cluster among corpus-survivors only: drop internal pairs touching
+    # a matched doc (matched is increment-scale; pair tables are small)
+    if matched.count() and internal_v.count():
+        internal_v = partitioned_join(internal_v, matched, "a", cfg,
+                                      how="anti")
+        internal_v = partitioned_join(internal_v, matched, "b", cfg,
+                                      how="anti", right_on="a") \
+            .materialize()
+
+    def _as_drop(col):
+        def _f(t: pa.Table) -> pa.Table:
+            return pa.table({"_drop": t[col].cast(pa.int64())})
+        return _f
+
+    drop_sets = []
+    if matched.count():
+        drop_sets.append(matched.map_batches(_as_drop("a"),
+                                             batch_format="pyarrow"))
+    if internal_v.count():
+        comp = connected_components(internal_v, cfg)
+
+        def _nonmin(t: pa.Table) -> pa.Table:
+            return pa.table({"_drop": t.filter(
+                pc.not_equal(t["node"], t["component"]))["node"]
+                .cast(pa.int64())})
+
+        drop_sets.append(comp.map_batches(_nonmin, batch_format="pyarrow"))
+    if not drop_sets:
+        return new_ds
+    drops = drop_sets[0] if len(drop_sets) == 1 \
+        else drop_sets[0].union(*drop_sets[1:])
+    return partitioned_join(new_ds, drops.materialize(), id_col, cfg,
+                            how="anti", right_on="_drop")

@@ -387,6 +387,168 @@ def candidate_pairs_from_docs(docs, cfg: PipelineConfig, *,
     return hash_partition_map(pairs, "part", _dedup, n_parts)
 
 
+def incremental_candidate_pairs(inc_docs, corpus_docs, cfg: PipelineConfig, *,
+                                corpus_bands=None, id_col: str = "doc_id",
+                                text_col: str = "text", counters=None):
+    """LSH candidates for an increment arriving NEXT TO an existing
+    corpus: every emitted pair touches at least one increment doc —
+    corpus-internal pairs (the work a previous dedup run already did)
+    are never generated.
+
+    Scale design: both sides are banded into (band_key, id, src) rows
+    and exchanged once by band key; inside each partition, buckets
+    containing NO increment member are dropped BEFORE pair emission
+    (at production scale almost every bucket is corpus-only, so the
+    emission cost is proportional to the increment's bucket footprint,
+    not the corpus's).  Within surviving buckets the standard capped /
+    salted emission runs, then corpus–corpus pairs are filtered by an
+    id→src lookup.
+
+    ``corpus_bands``: optional prebuilt band table (columns ``band_key``,
+    id_col — e.g. a persisted ``explode_bands(signatures(corpus))``)
+    so the daily run never re-hashes corpus text; without it the corpus
+    is banded in-stream like the increment.
+
+    Output columns: ``a`` int64, ``b`` int64, ``cross`` int8 — cross=1
+    pairs are oriented a=increment doc, b=corpus doc; cross=0 pairs are
+    both-increment with a<b.  Globally distinct."""
+    from ..functions.hashing import splitmix64
+    from ..stages.signatures import SignatureStage
+
+    n_parts = cfg.resolved_partitions()
+    cap = cfg.band_bucket_cap
+    stage_cache: dict = {}
+
+    def _with_src(val):
+        def _f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "src", pa.array(np.full(len(t), val, np.int8), pa.int8()))
+        return _f
+
+    inc_in = inc_docs.select_columns([id_col, text_col]).map_batches(
+        _with_src(1), batch_format="pyarrow")
+    if corpus_bands is not None:
+        corp_in = corpus_bands.select_columns(["band_key", id_col]) \
+            .map_batches(_with_src(0), batch_format="pyarrow")
+    else:
+        corp_in = corpus_docs.select_columns([id_col, text_col]) \
+            .map_batches(_with_src(0), batch_format="pyarrow")
+    both = inc_in.union(corp_in)
+
+    _EMPTY_BANDS = pa.table({
+        "band_key": pa.array([], pa.int64()),
+        id_col: pa.array([], pa.int64()),
+        "src": pa.array([], pa.int8()),
+        "part": pa.array([], pa.int64()),
+    })
+
+    def _map(t: pa.Table) -> pa.Table:
+        # chunks arrive in one of two shapes: prebuilt band rows
+        # (band_key, id, src) pass through with a partition tag; text
+        # rows (id, text, src) run the fused stream-OPH banding
+        if len(t) == 0 or id_col not in t.column_names:
+            return _EMPTY_BANDS
+        if "band_key" in t.column_names:
+            k = np.asarray(t["band_key"], dtype=np.int64)
+            part = (k.view(np.uint64) % np.uint64(n_parts)).astype(np.int64)
+            return pa.table({
+                "band_key": t["band_key"], id_col: t[id_col],
+                "src": t["src"], "part": pa.array(part, pa.int64()),
+            })
+        stage = stage_cache.get("s")
+        if stage is None:
+            stage = SignatureStage(cfg, id_col=id_col, text_col=text_col,
+                                   keep_shingles=False, keep_minhash=False,
+                                   with_simhash=False)
+            stage_cache["s"] = stage
+        sig = stage(t)
+        keep = pc.greater(sig["n_shingles"], 0)
+        src = np.asarray(t["src"], dtype=np.int8)[
+            np.asarray(keep, dtype=bool)]
+        sig = sig.filter(keep)
+        if len(sig) == 0:
+            return _EMPTY_BANDS
+        bands = sig["bands"].combine_chunks()
+        bw = len(bands[0])
+        flat = np.asarray(bands.flatten(), dtype=np.uint64).view(np.int64)
+        ids = np.repeat(np.asarray(sig[id_col], dtype=np.int64), bw)
+        part = (flat.view(np.uint64) % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({
+            "band_key": pa.array(flat, pa.int64()),
+            id_col: pa.array(ids, pa.int64()),
+            "src": pa.array(np.repeat(src, bw), pa.int8()),
+            "part": pa.array(part, pa.int64()),
+        })
+
+    _EMPTY_PAIRS = {"a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "cross": pa.array([], pa.int8())}
+
+    def _emit(group: pa.Table | None) -> pa.Table:
+        lo = hi = np.empty(0, np.int64)
+        cross = np.empty(0, np.int8)
+        if group is not None and len(group):
+            keys = np.asarray(group["band_key"], dtype=np.int64)
+            ids = np.asarray(group[id_col], dtype=np.int64)
+            srcs = np.asarray(group["src"], dtype=np.int8)
+            order = np.lexsort((ids, keys))
+            keys, ids, srcs = keys[order], ids[order], srcs[order]
+            starts = np.empty(len(keys), dtype=bool)
+            starts[0] = True
+            starts[1:] = keys[1:] != keys[:-1]
+            run_start = np.flatnonzero(starts)
+            run_len = np.diff(np.append(run_start, len(keys)))
+            # drop corpus-only buckets BEFORE emission — the whole point
+            has_inc = np.maximum.reduceat(srcs, run_start) > 0
+            sel = np.repeat(has_inc, run_len)
+            keys, ids, srcs = keys[sel], ids[sel], srcs[sel]
+            lo, hi, stats = _emit_run_pairs(keys, ids, cap)
+            if counters is not None and any(stats.values()):
+                import ray as _ray
+                _ray.get(counters.add.remote(stats))
+            if len(lo):
+                uid, uidx = np.unique(ids, return_index=True)
+                usrc = srcs[uidx]
+                slo = usrc[np.searchsorted(uid, lo)]
+                shi = usrc[np.searchsorted(uid, hi)]
+                keep = (slo.astype(np.int16) + shi) > 0
+                lo, hi, slo, shi = lo[keep], hi[keep], slo[keep], shi[keep]
+                cross = (slo != shi).astype(np.int8)
+                # orient cross pairs a=increment, b=corpus (downstream
+                # classification reads membership straight off the column)
+                swap = (cross == 1) & (slo == 0)
+                lo, hi = (np.where(swap, hi, lo).astype(np.int64),
+                          np.where(swap, lo, hi).astype(np.int64))
+                pk = np.stack([lo, hi], axis=1)
+                _, uniq = np.unique(pk, axis=0, return_index=True)
+                lo, hi, cross = lo[uniq], hi[uniq], cross[uniq]
+        part = (splitmix64(lo.view(np.uint64)
+                           * np.uint64(0x9E3779B97F4A7C15)
+                           ^ hi.view(np.uint64))
+                % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({"a": pa.array(lo, pa.int64()),
+                         "b": pa.array(hi, pa.int64()),
+                         "cross": pa.array(cross, pa.int8()),
+                         "part": pa.array(part, pa.int64())})
+
+    pairs = hash_partition_map(both, "part", _emit, n_parts, map_fn=_map,
+                               map_chunk_rows=cfg.batch_size)
+
+    def _dedup(group: pa.Table | None) -> pa.Table:
+        if group is None or len(group) == 0 or "a" not in group.column_names:
+            return pa.table(_EMPTY_PAIRS)
+        a = np.asarray(group["a"], dtype=np.int64)
+        b = np.asarray(group["b"], dtype=np.int64)
+        c = np.asarray(group["cross"], dtype=np.int8)
+        pk = np.stack([a, b], axis=1)
+        _, uniq = np.unique(pk, axis=0, return_index=True)
+        return pa.table({"a": pa.array(a[uniq], pa.int64()),
+                         "b": pa.array(b[uniq], pa.int64()),
+                         "cross": pa.array(c[uniq], pa.int8())})
+
+    return hash_partition_map(pairs, "part", _dedup, n_parts)
+
+
 def simhash_candidate_pairs(sig_ds, cfg: PipelineConfig, id_col: str = "doc_id"):
     """SimHash blocking: docs whose simhash agrees on any of 4 16-bit
     blocks become candidates (covers all pairs within Hamming distance 3

@@ -46,3 +46,75 @@ def test_all_duplicate_increment(ray_session):
     inc = _ds([(10, "x"), (11, "y")])
     out = incremental_exact_dedup(inc, corpus, CFG).to_pandas()
     assert len(out) == 0
+
+
+# ------------------------------------------------------- near-dup variant
+
+def _sent(seed, n=30):
+    words = [f"w{(seed * 31 + i) % 97}_{i}" for i in range(n)]
+    return " ".join(words)
+
+
+def _near(base, tail="zzz"):
+    """High-Jaccard variant: replace the last token."""
+    return " ".join(base.split()[:-1] + [tail])
+
+
+def _nd_fixture():
+    corpus = _ds([
+        (0, _sent(1)),
+        (1, _sent(2)),
+        (2, _sent(3)),
+    ])
+    inc = _ds([
+        (100, _near(_sent(1))),   # near-dup of corpus 0 -> dropped
+        (101, _sent(50)),         # fresh -> kept
+        (102, _sent(60)),         # inc-internal cluster min -> kept
+        (103, _near(_sent(60))),  # near-dup of 102 -> dropped
+        (104, _sent(70)),         # fresh -> kept
+    ])
+    return corpus, inc
+
+
+def test_incremental_near_dup_matches(ray_session):
+    from raydedup.stages.incremental import incremental_near_dup_matches
+    corpus, inc = _nd_fixture()
+    m = incremental_near_dup_matches(inc, corpus, CFG).to_pandas()
+    assert sorted(zip(m["a"], m["b"])) == [(100, 0)]
+    assert (m["jaccard"] >= 0.8).all()
+
+
+def test_incremental_near_dup_survivors(ray_session):
+    from raydedup.stages.incremental import incremental_near_dup
+    corpus, inc = _nd_fixture()
+    out = incremental_near_dup(inc, corpus, CFG).to_pandas()
+    assert sorted(out["doc_id"]) == [101, 102, 104]
+
+
+def test_prebuilt_band_store_agrees(ray_session):
+    from raydedup.stages.incremental import (corpus_band_table,
+                                             incremental_near_dup)
+    corpus, inc = _nd_fixture()
+    bands = corpus_band_table(corpus, CFG).materialize()
+    direct = incremental_near_dup(inc, corpus, CFG).to_pandas()
+    stored = incremental_near_dup(inc, corpus, CFG,
+                                  corpus_bands=bands).to_pandas()
+    assert sorted(direct["doc_id"]) == sorted(stored["doc_id"])
+
+
+def test_near_dup_corpus_wins_within_increment_chain(ray_session):
+    """X≈corpus, Y≈X only: X dropped (corpus), Y survives (standard
+    incremental semantics — no transitive chase through dropped sibs),
+    and both-corpus near-dup pairs are never even generated."""
+    from raydedup.stages.incremental import (incremental_near_dup,
+                                             incremental_near_dup_matches)
+    base = _sent(9, n=40)
+    corpus = _ds([(0, base), (1, _near(base, "c1"))])  # corpus-internal pair
+    x = _near(base, "x1")
+    inc = _ds([(100, x), (101, _near(x, "y1"))])
+    m = incremental_near_dup_matches(inc, corpus, CFG).to_pandas()
+    assert set(m["a"]) == {100, 101} or set(m["a"]) == {100}
+    out = incremental_near_dup(inc, corpus, CFG).to_pandas()
+    # whoever is NOT corpus-matched survives; corpus-matched are dropped
+    surv = set(out["doc_id"]) if len(out) else set()
+    assert surv == set(inc.to_pandas()["doc_id"]) - set(m["a"])
