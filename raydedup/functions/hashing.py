@@ -59,6 +59,7 @@ def hash_strings(values) -> np.ndarray:
 
 _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 _FNV_PRIME = np.uint64(0x100000001B3)
+_WORD_PRIME = np.uint64(0x9E3779B97F4A7C15)   # odd → (h^w)*P bijective
 
 
 def hash_utf8_array(arr) -> np.ndarray:
@@ -67,15 +68,13 @@ def hash_utf8_array(arr) -> np.ndarray:
     object-array path allocates one PyObject per token, which dominates
     tokenization cost and contends the allocator across workers).
 
-    Byte-exact FNV-1a over ALL bytes of every token, mixed with the
-    length, splitmix-finalized.  Tokens are processed sorted by length so
-    the per-byte-position work touches only still-active tokens: total
-    cost is O(total bytes + n log n), no O(maxlen * n) mask scans even
-    when one token is pathologically long (URLs, base64 blobs).
-    Collision probability between distinct tokens is the generic ~2^-64 —
-    no deterministic collision class (earlier versions truncated to a
-    48-byte prefix + tail, which collided for long tokens differing only
-    in the middle).
+    Wordwise multiply-xor chain over ALL bytes of every token, mixed
+    with the length, splitmix-finalized (``hash_over_slices``): ~8x
+    fewer vector passes than the earlier per-byte FNV-1a loop, which
+    was the measured dominant cost of the signature stage.  Collision
+    probability between distinct tokens is the generic ~2^-64 — no
+    deterministic collision class (the chain is bijective per word;
+    for <=8-byte tokens the whole map is a bijection of (bytes, len)).
     """
     import pyarrow as pa
 
@@ -95,45 +94,66 @@ def hash_utf8_array(arr) -> np.ndarray:
         else np.empty(0, np.uint8)
     starts = offs[:-1].astype(np.int64)
     lens = (offs[1:] - offs[:-1]).astype(np.int64)
-    return fnv1a_over_slices(data, starts, lens)
+    return hash_over_slices(data, starts, lens)
 
 
-def fnv1a_over_slices(data: np.ndarray, starts: np.ndarray,
-                      lens: np.ndarray) -> np.ndarray:
-    """Exact FNV-1a (+ length mix, splitmix-finalized) of ``len(starts)``
-    byte slices of ``data`` — the shared core of hash_utf8_array and the
-    byte-level tokenizer.
+# low 8r bits set, r in [0, 8] — the final-word mask by remaining bytes
+_TAIL_MASK = np.array([(1 << (8 * r)) - 1 for r in range(8)] + [2**64 - 1],
+                      dtype=np.uint64)
 
-    Ascending length sort: slices still active at byte position j are
-    exactly the tail [first_longer(j):], found by binary search — no
-    per-position O(n) boolean mask.  Radix argsort (O(n)) when the max
-    length fits 8/16 bits — the common case; numpy 'stable' falls back
-    to mergesort only for wider ints.
+
+def hash_over_slices(data: np.ndarray, starts: np.ndarray,
+                     lens: np.ndarray) -> np.ndarray:
+    """Deterministic uint64 hash of ``len(starts)`` byte slices of
+    ``data`` — the shared core of hash_utf8_array and the byte-level
+    tokenizer (so stages that compare token hashes against hashed
+    string tables, e.g. LangIdStage, stay consistent by construction).
+
+    Wordwise: each slice is consumed as little-endian 8-byte words
+    through a multiply-xor chain ``h = (h ^ w) * P`` (P odd — bijective
+    per step), length-mixed and splitmix-finalized.  The FINAL word is
+    the 8 bytes ENDING at the slice end (an overlapped read — every
+    byte is still covered, no per-position masking); slices under 8
+    bytes use one lookup-table-masked word.  ~8x fewer vector passes
+    than a per-byte loop, and the vast majority of tokens (<=8 bytes)
+    finish in the single unconditionally-vectorized final pass.
+    Unaligned u64 gathers come from a 1-byte-stride view of a
+    zero-padded copy of ``data`` (one memcpy).
     """
     n = len(starts)
     if n == 0:
         return np.empty(0, dtype=np.uint64)
-    lmax = int(lens.max()) if n else 0
-    if lmax <= 0xFF:
-        order = np.argsort(lens.astype(np.uint8), kind="stable")
-    elif lmax <= 0xFFFF:
-        order = np.argsort(lens.astype(np.uint16), kind="stable")
-    else:
-        order = np.argsort(lens, kind="stable")
-    slens = lens[order]
-    sstarts = starts[order]
+    # pad-copy only the addressed region: ``data`` is often the FULL
+    # text buffer of a parent block while starts/lens address one
+    # zero-copy chunk slice of it — copying the whole parent per chunk
+    # would be quadratic over the block
+    lo = int(starts.min())
+    hi = int((starts + lens).max())
+    if lo > 0 or hi < len(data):
+        data = data[lo:hi]
+        starts = starts - lo
+    padded = np.concatenate([data, np.zeros(8, np.uint8)])
+    u64 = np.ndarray(shape=(len(padded) - 7,), dtype=np.uint64,
+                     buffer=padded.data, strides=(1,))
     h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
-    pos = 0
-    for j in range(lmax):
-        # first index whose slice is longer than j bytes
-        if slens[pos] <= j:
-            pos = int(np.searchsorted(slens, j, side="right"))
-        b = data[sstarts[pos:] + j].astype(np.uint64)
-        h[pos:] = (h[pos:] ^ b) * _FNV_PRIME
-    h = splitmix64(h ^ slens.astype(np.uint64))
-    out = np.empty(n, dtype=np.uint64)
-    out[order] = h
-    return out
+    # final (or only) word of every slice
+    fin = np.where(lens >= 8, starts + lens - 8, starts)
+    wlast = u64[fin] & _TAIL_MASK[np.minimum(lens, 8)]
+    # non-final words, front to back, unmasked; `active` shrinks to the
+    # long tail, so pass j costs O(#slices longer than 8(j+1) bytes)
+    active = np.flatnonzero(lens > 8)
+    j = 0
+    while len(active):
+        w = u64[starts[active] + np.int64(8 * j)]
+        h[active] = (h[active] ^ w) * _WORD_PRIME
+        j += 1
+        active = active[lens[active] > 8 * (j + 1)]
+    h = (h ^ wlast) * _WORD_PRIME
+    return splitmix64(h ^ lens.astype(np.uint64))
+
+
+# kept as the historical name some notes refer to; same kernel
+fnv1a_over_slices = hash_over_slices
 
 
 def hash_int64(values: np.ndarray) -> np.ndarray:

@@ -25,7 +25,8 @@ from .hashing import combine_rolling, hash_utf8_array, window_hash_stream
 # checkpoint manifests so stale signature/candidate checkpoints from an
 # older kernel are recomputed, not reused (batch_size-style config
 # invalidation can't see code changes).
-SHINGLE_KERNEL_VERSION = 2  # v2 = Rabin-Karp window hash (was splitmix fold)
+SHINGLE_KERNEL_VERSION = 3  # v3 = wordwise token hash (v2 = Rabin-Karp
+# window hash over per-byte FNV token hashes)
 
 
 def tokenize_arrow(texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
@@ -37,12 +38,14 @@ def tokenize_arrow(texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
 
     Fully byte-level: token boundaries are found directly in the Arrow
     string buffer (one np.flatnonzero over the bytes) and hashed in
-    place (functions/hashing.fnv1a_over_slices) — no ``split_pattern``
+    place (functions/hashing.hash_over_slices, the wordwise kernel —
+    the same function hashing string tables, so hash-table probes
+    against token hashes stay consistent) — no ``split_pattern``
     token-array materialization, no per-token objects; identical output
     to splitting on a single space (empty tokens preserved, matching
     DuckDB ``string_split``).
     """
-    from .hashing import fnv1a_over_slices
+    from .hashing import hash_over_slices as fnv1a_over_slices
 
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
