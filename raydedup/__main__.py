@@ -128,11 +128,33 @@ def cmd_decontam(args):
     clean = decontaminate(corpus, None, cfg, pack=pack)
     if args.exact:
         clean = decontaminate_exact(clean, reference, cfg)
+    ngram = getattr(args, "ngram", None)
+    if ngram:
+        from .stages.decontam import decontaminate_ngram
+        clean = decontaminate_ngram(clean, reference, cfg, n=ngram)
     clean.write_parquet(f"{args.output}/corpus")
     # count from the written files — never re-execute the match pipeline
     n_match = rd.read_parquet(f"{args.output}/matches").count()
     print(json.dumps({"matches": n_match, "out": args.output},
                      sort_keys=True))
+
+
+def cmd_split(args):
+    _ray_session()
+    import ray.data as rd
+    from .stages.sampling import corpus_split
+
+    weights = {}
+    for part in args.weights.split(","):
+        name, w = part.split("=")
+        weights[name.strip()] = float(w)
+    corpus = rd.read_parquet(args.input)
+    counts = {}
+    for name in weights:
+        out = corpus_split(corpus, weights, seed=args.seed, only=name)
+        out.write_parquet(f"{args.output}/{name}")
+        counts[name] = rd.read_parquet(f"{args.output}/{name}").count()
+    print(json.dumps({"splits": counts, "out": args.output}, sort_keys=True))
 
 
 def cmd_compare(args):
@@ -194,7 +216,20 @@ def main(argv=None):
     s.add_argument("--threshold", type=float, default=None)
     s.add_argument("--exact", action="store_true",
                    help="also drop byte-identical matches")
+    s.add_argument("--ngram", type=int, default=None, metavar="N",
+                   help="also drop docs sharing any N-token-gram with "
+                        "the reference (GPT-3-style guard)")
     s.set_defaults(fn=cmd_decontam)
+
+    s = sub.add_parser("split", help="deterministic named corpus split "
+                                     "(train/val/test); one parquet dir "
+                                     "per split")
+    s.add_argument("input")
+    s.add_argument("output")
+    s.add_argument("--weights", default="train=0.9,val=0.05,test=0.05",
+                   help="name=weight[,name=weight...]")
+    s.add_argument("--seed", type=int, default=0)
+    s.set_defaults(fn=cmd_split)
 
     s = sub.add_parser("neardup", help="near-dup clustering over documents")
     s.add_argument("input")

@@ -970,6 +970,58 @@ WHERE doc_id % 10 <> 0
   AND text NOT IN (SELECT text FROM documents WHERE doc_id % 10 = 0)
 """
 
+# GPT-3-style n-gram leakage guard (Brown et al. 2020 §C): a corpus doc
+# is contaminated if ANY n-token window also occurs in the reference
+# split.  N=13 is the published eval-guard width; the synthetic corpus's
+# exact/near-dup structure crosses the %10 split, so hits exist.
+_NGRAM_N = 13
+
+_NGRAM_CTES = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(t[i:i+12], ' ') AS g
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 11)) AS i)
+  WHERE len(t) >= 13
+),
+refg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0)
+"""
+
+SQL_DECONTAM_NGRAM_KEPT = _NGRAM_CTES + """
+SELECT d.doc_id, d.text FROM documents d
+WHERE d.doc_id % 10 <> 0 AND NOT EXISTS (
+  SELECT 1 FROM grams g JOIN refg r ON r.g = g.g
+  WHERE g.doc_id = d.doc_id)
+"""
+
+SQL_NGRAM_CONTAMINATION = _NGRAM_CTES + """
+SELECT g.doc_id,
+       count(*)::BIGINT AS n_grams,
+       count(r.g)::BIGINT AS n_contaminated,
+       count(r.g)::DOUBLE / count(*) AS frac
+FROM grams g LEFT JOIN refg r ON r.g = g.g
+WHERE g.doc_id % 10 <> 0
+GROUP BY g.doc_id
+HAVING count(r.g) > 0
+"""
+
+
+def q_decontam_ngram_kept(sf_dir):
+    """Corpus docs with zero 13-token-gram overlap against the %10
+    reference split — broadcast gram table, one streaming corpus map
+    (stages/decontam.decontaminate_ngram)."""
+    from ..stages.decontam import decontaminate_ngram
+    return decontaminate_ngram(_docs_side(sf_dir, False),
+                               _docs_side(sf_dir, True), CFG, n=_NGRAM_N)
+
+
+def q_ngram_contamination(sf_dir):
+    """Per-doc contaminated-window audit (position-counted, duplicates
+    included) for every corpus doc with ≥1 overlapping 13-gram."""
+    from ..stages.decontam import ngram_contamination_stats
+    return ngram_contamination_stats(_docs_side(sf_dir, False),
+                                     _docs_side(sf_dir, True), CFG,
+                                     n=_NGRAM_N)
+
 
 # ------------------------------------------------------------- temporal ops
 
@@ -1256,6 +1308,76 @@ WHERE (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT)::DOUBLE
       < CASE source WHEN 'src0' THEN 0.25 WHEN 'src1' THEN 0.5
                     WHEN 'src2' THEN 0.0 ELSE 1.0 END
 """
+
+
+def q_quality_filter(sf_dir):
+    """Composite rule-based quality gate (C4/Gopher cuts) — keep docs
+    with ≥20 tokens, mean token length ≥4, alpha ratio ≥0.81 and
+    duplicate-word fraction ≤0.6 (stages/textstats.quality_filter)."""
+    from ..stages.textstats import quality_filter
+    return quality_filter(
+        _docs(sf_dir, ["doc_id", "text"]), min_tokens=20,
+        min_mean_token_len=4.0, min_alpha_ratio=0.81,
+        max_dup_word_frac_e6=600_000).select_columns(["doc_id"])
+
+
+SQL_QUALITY_FILTER = """
+WITH b AS (
+  SELECT doc_id,
+         length(text)::DOUBLE AS n_chars,
+         len(string_split(text, ' '))::BIGINT AS n_tok,
+         len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE AS n_alpha
+  FROM documents)
+SELECT doc_id FROM b
+WHERE n_tok >= 20
+  AND greatest(n_chars - (n_tok - 1), 0) / greatest(n_tok::DOUBLE, 1) >= 4.0
+  AND n_alpha / greatest(n_chars, 1) >= 0.81
+  AND (n_tok - n_distinct) * 1000000 // n_tok <= 600000
+"""
+
+
+def q_corpus_split(sf_dir):
+    """Deterministic train/val/test assignment (md5 method for oracle
+    parity; scale path uses vectorized splitmix) —
+    stages/sampling.corpus_split."""
+    from ..stages.sampling import corpus_split
+    return corpus_split(_docs(sf_dir, ["doc_id"]),
+                        {"train": 0.8, "val": 0.1, "test": 0.1},
+                        id_col="doc_id", method="md5")
+
+
+SQL_CORPUS_SPLIT = """
+SELECT doc_id,
+       CASE WHEN f < 0.8 THEN 'train'
+            WHEN f < 0.9000000000000001 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT)::DOUBLE
+               / 4294967296.0 AS f
+      FROM documents)
+"""
+
+
+def q_cluster_sizes(sf_dir):
+    """Near-dup cluster-size histogram: label rows exchanged once by
+    component, partial (size → count) histograms merged in a single
+    final reduce (stages/cc.cluster_size_histogram)."""
+    from ..stages.cc import cluster_size_histogram
+    from .neardup import near_dup_clusters
+    labels = near_dup_clusters(_docs(sf_dir, ["doc_id", "text"]), CFG)
+    return cluster_size_histogram(labels, CFG)
+
+
+SQL_CLUSTER_SIZES = SQL_NEAR_DUP_COMPONENTS.replace(
+    "SELECT n AS node, least(n, min(m)) AS component FROM reach GROUP BY n",
+    """, comp AS (
+  SELECT n AS node, least(n, min(m)) AS component FROM reach GROUP BY n
+),
+sizes AS (SELECT component, count(*)::BIGINT AS sz FROM comp
+          GROUP BY component)
+SELECT sz AS cluster_size, count(*)::BIGINT AS n_clusters
+FROM sizes GROUP BY sz""")
 
 
 def q_pack_sequences(sf_dir):
@@ -1819,6 +1941,8 @@ QUERIES = {
     "decontam_kept": q_decontam_kept,
     "decontam_matches": q_decontam_matches,
     "decontam_exact_kept": q_decontam_exact_kept,
+    "decontam_ngram_kept": q_decontam_ngram_kept,
+    "ngram_contamination": q_ngram_contamination,
     "repetition_stats": q_repetition_stats,
     "pii_scrub": q_pii_scrub,
     "events_asof": q_events_asof,
@@ -1831,6 +1955,9 @@ QUERIES = {
     "tiered_stats": q_tiered_stats,
     "tiered_trim_stats": q_tiered_trim_stats,
     "mix_sample": q_mix_sample,
+    "quality_filter": q_quality_filter,
+    "corpus_split": q_corpus_split,
+    "cluster_sizes": q_cluster_sizes,
     "pack_sequences": q_pack_sequences,
     "canonical_urls": q_canonical_urls,
     "url_dedup": q_url_dedup,
@@ -1883,6 +2010,8 @@ ORACLES = {
     "decontam_kept": SQL_DECONTAM_KEPT,
     "decontam_matches": SQL_DECONTAM_MATCHES,
     "decontam_exact_kept": SQL_DECONTAM_EXACT_KEPT,
+    "decontam_ngram_kept": SQL_DECONTAM_NGRAM_KEPT,
+    "ngram_contamination": SQL_NGRAM_CONTAMINATION,
     "repetition_stats": SQL_REPETITION_STATS,
     "pii_scrub": SQL_PII_SCRUB,
     "events_asof": SQL_EVENTS_ASOF,
@@ -1895,6 +2024,9 @@ ORACLES = {
     "tiered_stats": SQL_TIERED_STATS,
     "tiered_trim_stats": SQL_TIERED_TRIM_STATS,
     "mix_sample": SQL_MIX_SAMPLE,
+    "quality_filter": SQL_QUALITY_FILTER,
+    "corpus_split": SQL_CORPUS_SPLIT,
+    "cluster_sizes": SQL_CLUSTER_SIZES,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "canonical_urls": SQL_CANONICAL_URLS,
     "url_dedup": SQL_URL_DEDUP,

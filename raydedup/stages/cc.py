@@ -357,3 +357,65 @@ def _connected_components_distributed(pairs_ds, cfg: PipelineConfig,
             f"changing) — returned labels may split long-chain components; "
             f"raise cfg.cc_max_iters", RuntimeWarning)
     return rd.from_arrow_refs(list(label_blocks))
+
+
+def cluster_size_histogram(labels_ds, cfg: PipelineConfig, *,
+                           label_col: str = "component"):
+    """→ Dataset(cluster_size, n_clusters): how many clusters have each
+    member count — the dedup-report summary every corpus build prints
+    (how much of the corpus sits in 2-member vs 10k-member clusters).
+
+    Scale shape: label rows (already ≪ corpus) are exchanged ONCE by
+    hash(component) so each component's rows land in one partition;
+    per-partition sizes reduce to a partial (size → count) histogram —
+    the only rows that leave a partition are histogram entries, bounded
+    by the distinct cluster sizes present.  A final single-reduce sums
+    partials (tiny by construction)."""
+    from ..functions.hashing import splitmix64
+    from ..functions.shuffle import hash_partition_map
+
+    n_parts = cfg.resolved_partitions()
+
+    def _tag(t: pa.Table) -> pa.Table:
+        lab = np.asarray(t[label_col], dtype=np.int64)
+        part = (splitmix64(lab.view(np.uint64))
+                % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({label_col: t[label_col],
+                         "part": pa.array(part, pa.int64())})
+
+    empty = pa.table({"cluster_size": pa.array([], pa.int64()),
+                      "n_clusters": pa.array([], pa.int64())})
+
+    def _partial(tab: pa.Table | None) -> pa.Table:
+        if tab is None or len(tab) == 0:
+            return empty
+        lab = np.asarray(tab[label_col], dtype=np.int64)
+        _, sizes = np.unique(lab, return_counts=True)
+        sz, cnt = np.unique(sizes, return_counts=True)
+        return pa.table({"cluster_size": pa.array(sz, pa.int64()),
+                         "n_clusters": pa.array(cnt, pa.int64())})
+
+    partials = hash_partition_map(
+        labels_ds.map_batches(_tag, batch_format="pyarrow",
+                              zero_copy_batch=True),
+        "part", _partial, n_parts)
+
+    def _zero(t: pa.Table) -> pa.Table:
+        out = {c: t[c] for c in t.column_names}
+        out["part"] = pa.array(np.zeros(len(t), np.int64), pa.int64())
+        return pa.table(out)
+
+    def _final(tab: pa.Table | None) -> pa.Table:
+        if tab is None or len(tab) == 0:
+            return empty
+        sz = np.asarray(tab["cluster_size"], dtype=np.int64)
+        cnt = np.asarray(tab["n_clusters"], dtype=np.int64)
+        u, inv = np.unique(sz, return_inverse=True)
+        tot = np.bincount(inv, weights=cnt).astype(np.int64)
+        return pa.table({"cluster_size": pa.array(u, pa.int64()),
+                         "n_clusters": pa.array(tot, pa.int64())})
+
+    return hash_partition_map(
+        partials.map_batches(_zero, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        "part", _final, 1)

@@ -270,3 +270,128 @@ def decontaminate_exact(corpus_ds, reference_ds,
     return corpus_ds.map_batches(_filter, batch_format="pyarrow",
                                  batch_size=cfg.batch_size,
                                  zero_copy_batch=True)
+
+
+# ---------------------------------------------------------- n-gram guard
+
+def build_ngram_pack(reference_ds, n: int = 13, *, text_col: str = "text",
+                     batch_size: int = 4096) -> np.ndarray | None:
+    """Sorted unique uint64 window hashes of every n-token-gram in the
+    reference — the broadcastable side of the GPT-3-style n-gram
+    leakage guard (Brown et al. 2020 §C dropped training docs sharing a
+    13-gram with an eval doc).  Distributed sign (per-batch unique
+    inside map_batches), driver holds only the merged gram array:
+    bounded by the reference's distinct gram count, the small side by
+    definition.  Returns None for an empty / too-short reference."""
+    import ray
+
+    from ..functions.text import shingle_stream
+
+    def _grams(batch: pa.Table) -> pa.Table:
+        wh, _, _ = shingle_stream(batch[text_col], n)
+        return pa.table({"g": pa.array(np.unique(wh), pa.uint64())})
+
+    gr = reference_ds.select_columns([text_col]).map_batches(
+        _grams, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True)
+    tabs = [t for t in ray.get(gr.to_arrow_refs()) if len(t)]
+    if not tabs:
+        return None
+    return np.unique(np.asarray(pa.concat_tables(tabs)["g"],
+                                dtype=np.uint64))
+
+
+def _ngram_hits(batch: pa.Table, grams: np.ndarray, n: int, text_col: str
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """→ (per-doc total window count, per-doc contaminated window count)
+    for one Arrow batch — duplicate windows counted per position, so the
+    DuckDB per-position oracle agrees exactly."""
+    from ..functions.text import shingle_stream
+
+    wh, wd, n_docs = shingle_stream(batch[text_col], n)
+    total = np.bincount(wd, minlength=n_docs).astype(np.int64)
+    if len(wh) == 0 or len(grams) == 0:
+        return total, np.zeros(n_docs, dtype=np.int64)
+    pos = np.searchsorted(grams, wh)
+    pos_c = np.minimum(pos, len(grams) - 1)
+    hit = grams[pos_c] == wh
+    return total, np.bincount(wd[hit], minlength=n_docs).astype(np.int64)
+
+
+def decontaminate_ngram(corpus_ds, reference_ds,
+                        cfg: PipelineConfig = DEFAULT_CONFIG, *,
+                        n: int = 13, max_hits: int = 0,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        counters=None, pack: np.ndarray | None = None):
+    """N-gram decontamination: drop corpus docs sharing MORE THAN
+    ``max_hits`` n-token-grams (window positions) with the reference.
+    Zero shuffles — the reference gram table is broadcast once
+    (``ray.put``) and the corpus is touched in one streaming map, the
+    same broadcast-small-side shape as ``decontaminate``.  ``pack``: a
+    prebuilt ``build_ngram_pack`` result (reference_ds ignored then).
+
+    This is the standard eval-leakage guard stricter than whole-doc
+    similarity: a single overlapping 13-gram marks the doc, however
+    dissimilar the rest is."""
+    import ray
+
+    if pack is None:
+        pack = build_ngram_pack(reference_ds, n, text_col=text_col,
+                                batch_size=cfg.batch_size)
+    if pack is None:
+        return corpus_ds
+    pack_ref = ray.put(pack)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        grams = ray.get(pack_ref)
+        _, hits = _ngram_hits(batch, grams, n, text_col)
+        drop = hits > max_hits
+        if counters is not None and drop.any():
+            ray.get(counters.add.remote(
+                {"decontam_ngram_dropped": int(drop.sum())}))
+        return batch.filter(pa.array(~drop))
+
+    return corpus_ds.map_batches(_filter, batch_format="pyarrow",
+                                 batch_size=cfg.batch_size,
+                                 zero_copy_batch=True)
+
+
+def ngram_contamination_stats(corpus_ds, reference_ds,
+                              cfg: PipelineConfig = DEFAULT_CONFIG, *,
+                              n: int = 13, id_col: str = "doc_id",
+                              text_col: str = "text",
+                              pack: np.ndarray | None = None):
+    """→ Dataset(doc_id, n_grams, n_contaminated, frac) for every corpus
+    doc with ≥1 contaminated n-gram window — the audit companion to
+    ``decontaminate_ngram`` (how MUCH of each flagged doc overlaps the
+    reference, per window position)."""
+    import ray
+
+    if pack is None:
+        pack = build_ngram_pack(reference_ds, n, text_col=text_col,
+                                batch_size=cfg.batch_size)
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "n_grams": pa.array([], pa.int64()),
+                      "n_contaminated": pa.array([], pa.int64()),
+                      "frac": pa.array([], pa.float64())})
+    if pack is None:
+        import ray.data as rd
+        return rd.from_arrow(empty)
+    pack_ref = ray.put(pack)
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        grams = ray.get(pack_ref)
+        total, hits = _ngram_hits(batch, grams, n, text_col)
+        keep = hits > 0
+        if not keep.any():
+            return empty
+        ids = np.asarray(batch[id_col], dtype=np.int64)[keep]
+        t, h = total[keep], hits[keep]
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "n_grams": pa.array(t, pa.int64()),
+                         "n_contaminated": pa.array(h, pa.int64()),
+                         "frac": pa.array(h / t, pa.float64())})
+
+    return corpus_ds.map_batches(_stats, batch_format="pyarrow",
+                                 batch_size=cfg.batch_size,
+                                 zero_copy_batch=True)

@@ -116,3 +116,59 @@ def mix_sample(ds, weights: dict[str, float], *,
 
     return ds.map_batches(_filter, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def corpus_split(ds, splits: dict[str, float], *,
+                 id_col: str = "doc_id", method: str = "splitmix",
+                 seed: int = 0, out_col: str = "split",
+                 only: str | None = None):
+    """Deterministic named partitioning of a corpus into train/val/test
+    (or any weighted split set): every row gets exactly one label from
+    ``splits`` (weights normalized to 1; label chosen by which
+    cumulative-weight interval the row's hash fraction falls in).
+
+    Same contract as ``mix_sample``: the label is a pure function of
+    (id, seed) — re-runs, resumed shards and any partition layout
+    assign identically, and membership in one split never depends on
+    having seen the others.  Zero shuffle, one streaming map.
+
+    ``method``: ``"splitmix"`` (vectorized scale path) or ``"md5"``
+    (per-row hashlib, fixture scale — exists for DuckDB ``md5()``
+    oracle parity, mirroring mix_sample).
+
+    ``only``: return just that split's rows (label column omitted) —
+    the "materialize the training corpus" shape; default annotates all
+    rows with ``out_col``.
+    """
+    names = list(splits.keys())
+    w = np.asarray([splits[k] for k in names], dtype=np.float64)
+    if (w < 0).any() or w.sum() <= 0:
+        raise ValueError("split weights must be non-negative, sum > 0")
+    bounds = np.cumsum(w / w.sum())[:-1]          # upper bounds, open
+    if only is not None and only not in splits:
+        raise ValueError(f"unknown split {only!r}")
+    schema = ds.schema()
+    cols = list(schema.names)
+
+    def _frac(t: pa.Table) -> np.ndarray:
+        ids = np.asarray(t[id_col], dtype=np.int64)
+        if method == "md5":
+            import hashlib
+            return np.asarray(
+                [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                 for i in ids], dtype=np.float64) / float(1 << 32)
+        h = splitmix64(ids.view(np.uint64) ^ np.uint64(seed))
+        return h.astype(np.float64) / float(2**64)
+
+    def _assign(t: pa.Table) -> pa.Table:
+        lab = np.searchsorted(bounds, _frac(t), side="right")
+        if only is not None:
+            return t.filter(pa.array(lab == names.index(only))) \
+                    .select(cols)
+        out = {c: t[c] for c in cols}
+        out[out_col] = pa.array(np.asarray(names, dtype=object)[lab],
+                                pa.string())
+        return pa.table(out)
+
+    return ds.map_batches(_assign, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -221,3 +221,69 @@ def normalize_text(ds, text_col: str = "text",
         return batch.append_column(out_col, out)
 
     return ds.map_batches(_norm, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quality_filter(ds, *, text_col: str = "text",
+                   min_tokens: int | None = None,
+                   max_tokens: int | None = None,
+                   min_mean_token_len: float | None = None,
+                   max_mean_token_len: float | None = None,
+                   min_alpha_ratio: float | None = None,
+                   max_dup_word_frac_e6: int | None = None,
+                   counters=None):
+    """Composite C4/Gopher-style quality gate: keep docs passing every
+    provided bound (None = unbounded) over token count, mean token
+    length, alphabetic-character ratio and duplicate-word fraction —
+    the rule-based cut every crawl pipeline applies before dedup
+    (Raffel et al. 2020 §2.2; Rae et al. 2021 A1.1).
+
+    One streaming map, all stats computed inline with the SAME
+    arithmetic as quality_scores / repetition_stats (identical doubles,
+    so threshold comparisons agree exactly with the SQL oracle); no
+    intermediate stats table is materialized."""
+    from ..functions.text import tokenize_arrow
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch[text_col], "")
+        n_chars = pc.utf8_length(texts).cast(pa.float64()).to_numpy()
+        h, offs = tokenize_arrow(texts)
+        n_tok = (offs[1:] - offs[:-1]).astype(np.int64)
+        keep = np.ones(len(batch), dtype=bool)
+        if min_tokens is not None:
+            keep &= n_tok >= min_tokens
+        if max_tokens is not None:
+            keep &= n_tok <= max_tokens
+        if min_mean_token_len is not None or max_mean_token_len is not None:
+            nt = n_tok.astype(np.float64)
+            mean_len = np.maximum(n_chars - (nt - 1), 0) / np.maximum(nt, 1)
+            if min_mean_token_len is not None:
+                keep &= mean_len >= min_mean_token_len
+            if max_mean_token_len is not None:
+                keep &= mean_len <= max_mean_token_len
+        if min_alpha_ratio is not None:
+            alpha = pc.utf8_length(pc.replace_substring_regex(
+                texts, pattern=r"[^a-zA-Z]", replacement="")) \
+                .cast(pa.float64()).to_numpy()
+            keep &= alpha / np.maximum(n_chars, 1) >= min_alpha_ratio
+        if max_dup_word_frac_e6 is not None:
+            doc_of = np.repeat(np.arange(len(batch), dtype=np.int64), n_tok)
+            order = np.lexsort((h, doc_of))
+            ks, ds_ = h[order], doc_of[order]
+            new = np.empty(len(ks), dtype=bool)
+            if len(ks):
+                new[0] = True
+                new[1:] = (ks[1:] != ks[:-1]) | (ds_[1:] != ds_[:-1])
+            distinct = np.bincount(ds_[new], minlength=len(batch)) \
+                .astype(np.int64) if len(ks) else \
+                np.zeros(len(batch), np.int64)
+            dup_e6 = (n_tok - distinct) * np.int64(1_000_000) \
+                // np.maximum(n_tok, 1)
+            keep &= dup_e6 <= max_dup_word_frac_e6
+        if counters is not None and not keep.all():
+            import ray
+            ray.get(counters.add.remote(
+                {"quality_dropped": int((~keep).sum())}))
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(_filter, batch_format="pyarrow",
+                          zero_copy_batch=True)

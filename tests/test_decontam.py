@@ -127,3 +127,85 @@ class TestDecontamCLI:
         matches = rd.read_parquet(str(out / "matches")).to_pandas()
         assert sorted(kept["doc_id"]) == list(range(3, 13))
         assert len(matches) == 3
+
+
+class TestNgramGuard:
+    """13-gram leakage guard: exact window semantics vs a DuckDB
+    per-position oracle on planted overlaps."""
+
+    def _mk(self):
+        # ref doc 1000 = 30 tokens; corpus doc 0 embeds tokens 5..25 of
+        # it (a 21-token run → shares many 13-grams); doc 1 shares a
+        # 12-token run (BELOW the width → clean at n=13); doc 2 clean.
+        ref = ["r%d" % i for i in range(30)]
+        d0 = ["x%d" % i for i in range(5)] + ref[5:26] + ["y0", "y1"]
+        d1 = ["p%d" % i for i in range(10)] + ref[5:17] + ["q0", "q1"]
+        d2 = ["z%d" % i for i in range(25)]
+        return [" ".join(ref)], [" ".join(d) for d in (d0, d1, d2)]
+
+    def test_planted_overlap_vs_duckdb(self, ray_session):
+        import duckdb
+        from raydedup.stages.decontam import (
+            decontaminate_ngram, ngram_contamination_stats)
+        ref_texts, corpus_texts = self._mk()
+        ref = _ds([1000], ref_texts)
+        corpus = _ds([0, 1, 2], corpus_texts)
+        kept = decontaminate_ngram(corpus, ref, CFG, n=13).to_pandas()
+        assert sorted(kept["doc_id"]) == [1, 2]
+        stats = ngram_contamination_stats(corpus, ref, CFG, n=13) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        # DuckDB oracle: per-position 13-gram windows
+        con = duckdb.connect()
+        con.execute("CREATE TABLE c(doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO c VALUES (?, ?)",
+                        list(zip([0, 1, 2], corpus_texts)))
+        con.execute("CREATE TABLE r(text VARCHAR)")
+        con.executemany("INSERT INTO r VALUES (?)",
+                        [(t,) for t in ref_texts])
+        want = con.execute("""
+            WITH toks AS (SELECT doc_id, string_split(text,' ') t FROM c),
+            grams AS (
+              SELECT doc_id, array_to_string(t[i:i+12], ' ') g
+              FROM toks, LATERAL (SELECT unnest(range(1, len(t)-11)) i)
+              WHERE len(t) >= 13),
+            rt AS (SELECT string_split(text,' ') t FROM r),
+            rg AS (SELECT DISTINCT array_to_string(t[i:i+12], ' ') g
+                   FROM rt, LATERAL (SELECT unnest(range(1, len(t)-11)) i)
+                   WHERE len(t) >= 13)
+            SELECT g.doc_id, count(*)::BIGINT n_grams,
+                   count(rg.g)::BIGINT n_contaminated
+            FROM grams g LEFT JOIN rg ON rg.g = g.g
+            GROUP BY g.doc_id HAVING count(rg.g) > 0
+            ORDER BY g.doc_id""").df()
+        assert list(stats["doc_id"]) == list(want["doc_id"])
+        assert list(stats["n_grams"]) == list(want["n_grams"])
+        assert list(stats["n_contaminated"]) == list(want["n_contaminated"])
+        # 21-token shared run → 21-13+1 = 9 contaminated windows
+        assert stats.loc[0, "n_contaminated"] == 9
+
+    def test_max_hits_tolerance(self, ray_session):
+        from raydedup.stages.decontam import decontaminate_ngram
+        ref_texts, corpus_texts = self._mk()
+        ref = _ds([1000], ref_texts)
+        corpus = _ds([0, 1, 2], corpus_texts)
+        kept = decontaminate_ngram(corpus, ref, CFG, n=13,
+                                   max_hits=9).to_pandas()
+        assert sorted(kept["doc_id"]) == [0, 1, 2]   # 9 hits tolerated
+        kept = decontaminate_ngram(corpus, ref, CFG, n=13,
+                                   max_hits=8).to_pandas()
+        assert sorted(kept["doc_id"]) == [1, 2]
+
+    def test_prebuilt_pack_and_empty_ref(self, ray_session):
+        from raydedup.stages.decontam import (
+            build_ngram_pack, decontaminate_ngram)
+        ref_texts, corpus_texts = self._mk()
+        ref = _ds([1000], ref_texts)
+        corpus = _ds([0, 1, 2], corpus_texts)
+        pack = build_ngram_pack(ref, 13)
+        kept = decontaminate_ngram(corpus, None, CFG, n=13,
+                                   pack=pack).to_pandas()
+        assert sorted(kept["doc_id"]) == [1, 2]
+        # reference with only sub-width docs → no grams → keep all
+        short_ref = _ds([2000], ["only four tokens here"])
+        assert decontaminate_ngram(corpus, short_ref, CFG,
+                                   n=13).count() == 3

@@ -99,3 +99,92 @@ class TestMixSample:
                                 WHEN 'junk' THEN 0.0 ELSE 1.0 END
         """).df()["doc_id"])
         assert got == want
+
+
+class TestCorpusSplit:
+    def test_partition_exhaustive_and_deterministic(self, ray_session):
+        from raydedup.stages.sampling import corpus_split
+        ids = np.arange(2000, dtype=np.int64)
+        ds = _ds(pa.table({"doc_id": pa.array(ids)}))
+        w = {"train": 0.8, "val": 0.1, "test": 0.1}
+        out = corpus_split(ds, w).to_pandas().sort_values("doc_id")
+        # exhaustive + exclusive: every row exactly one label
+        assert len(out) == 2000
+        frac = out["split"].value_counts(normalize=True)
+        assert abs(frac["train"] - 0.8) < 0.05
+        # rerun identical; independent of partition layout
+        out2 = corpus_split(ds.repartition(7), w).to_pandas() \
+            .sort_values("doc_id")
+        assert list(out["split"]) == list(out2["split"])
+        # `only=` returns exactly the labelled subset
+        tr = corpus_split(ds, w, only="train").to_pandas()
+        want = set(out.loc[out["split"] == "train", "doc_id"])
+        assert set(tr["doc_id"]) == want
+        assert "split" not in tr.columns
+
+    def test_md5_matches_duckdb(self, ray_session):
+        from raydedup.stages.sampling import corpus_split
+        ids = np.arange(500, dtype=np.int64)
+        ds = _ds(pa.table({"doc_id": pa.array(ids)}))
+        out = corpus_split(ds, {"a": 0.5, "b": 0.5}, method="md5") \
+            .to_pandas().sort_values("doc_id")
+        con = duckdb.connect()
+        want = con.execute("""
+            SELECT i AS doc_id,
+                   CASE WHEN (('0x' || substr(md5(i::VARCHAR), 1, 8))::BIGINT)
+                             ::DOUBLE / 4294967296.0 < 0.5
+                        THEN 'a' ELSE 'b' END AS split
+            FROM unnest(range(0, 500)) t(i) ORDER BY 1""").df()
+        assert list(out["split"]) == list(want["split"])
+
+    def test_bad_weights_raise(self, ray_session):
+        import pytest
+        from raydedup.stages.sampling import corpus_split
+        ds = _ds(pa.table({"doc_id": pa.array([1], pa.int64())}))
+        with pytest.raises(ValueError):
+            corpus_split(ds, {"a": -1.0, "b": 2.0})
+        with pytest.raises(ValueError):
+            corpus_split(ds, {"a": 0.5}, only="nope")
+
+
+class TestClusterSizeHistogram:
+    def test_known_components(self, ray_session):
+        from raydedup.stages.cc import cluster_size_histogram
+        # components: {0,1,2}, {10,11}, {20,21}, {30..34} → sizes 3,2,2,5
+        comp = []
+        for grp in ([0, 1, 2], [10, 11], [20, 21], [30, 31, 32, 33, 34]):
+            comp += [(n, grp[0]) for n in grp]
+        tab = pa.table({
+            "node": pa.array([c[0] for c in comp], pa.int64()),
+            "component": pa.array([c[1] for c in comp], pa.int64())})
+        out = cluster_size_histogram(_ds(tab), CFG).to_pandas() \
+            .sort_values("cluster_size").reset_index(drop=True)
+        assert list(out["cluster_size"]) == [2, 3, 5]
+        assert list(out["n_clusters"]) == [2, 1, 1]
+
+    def test_empty(self, ray_session):
+        from raydedup.stages.cc import cluster_size_histogram
+        tab = pa.table({"node": pa.array([], pa.int64()),
+                        "component": pa.array([], pa.int64())})
+        assert cluster_size_histogram(_ds(tab), CFG).count() == 0
+
+
+class TestSplitCLI:
+    def test_cmd_split_writes_exhaustive_dirs(self, ray_session, tmp_path):
+        import argparse
+        import pyarrow.parquet as pq
+        from raydedup.__main__ import cmd_split
+
+        tab = pa.table({"doc_id": pa.array(np.arange(300, dtype=np.int64)),
+                        "source": pa.array(["s"] * 300, pa.string())})
+        pq.write_table(tab, tmp_path / "c.parquet")
+        out = tmp_path / "out"
+        cmd_split(argparse.Namespace(
+            input=str(tmp_path / "c.parquet"), output=str(out),
+            weights="train=0.8,val=0.2", seed=0))
+        import ray.data as rd
+        tr = rd.read_parquet(str(out / "train")).to_pandas()
+        va = rd.read_parquet(str(out / "val")).to_pandas()
+        ids = sorted(list(tr["doc_id"]) + list(va["doc_id"]))
+        assert ids == list(range(300))        # exhaustive + exclusive
+        assert 0 < len(va) < len(tr)

@@ -181,3 +181,54 @@ class TestCommonTokenStats:
         assert got["n_common"].to_dict() == {0: 3, 1: 2, 2: 3, 3: 0, 4: 0}
         # '' splits to [''] -> one token, matching DuckDB string_split
         assert got["n_tokens"].to_dict() == {0: 3, 1: 3, 2: 4, 3: 2, 4: 1}
+
+
+class TestQualityFilter:
+    def test_each_rule_cuts_its_doc(self, ray_session):
+        from raydedup.stages.textstats import quality_filter
+        texts = [
+            "alpha beta gamma delta epsilon zeta theta iota kappa lam",  # 0 ok
+            "too short",                                                 # 1 tokens
+            "aa " * 9 + "aa",                                 # 2 short tokens
+            "a1! b2? c3# d4$ e5% f6^ g7& h8* i9( j0) k1! l2?",  # 3 low alpha
+            "same same same same same same same same same dif",  # 4 dup words
+        ]
+        ds = _docs_ds(texts)
+        out = quality_filter(ds, min_tokens=5, min_mean_token_len=3.0,
+                             min_alpha_ratio=0.6,
+                             max_dup_word_frac_e6=500_000) \
+            .to_pandas()
+        assert sorted(out["doc_id"]) == [0]
+        # no bounds → everything passes
+        assert quality_filter(_docs_ds(texts)).count() == 5
+
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+        from raydedup.stages.textstats import quality_filter
+        rng = np.random.default_rng(11)
+        words = ["w%d" % i for i in range(40)] + ["x!", "yy", "zzz9"]
+        texts = [" ".join(rng.choice(words, rng.integers(3, 60)))
+                 for _ in range(300)]
+        out = quality_filter(
+            _docs_ds(texts), min_tokens=10, min_mean_token_len=2.5,
+            min_alpha_ratio=0.3, max_dup_word_frac_e6=400_000) \
+            .to_pandas()
+        con = duckdb.connect()
+        con.execute("CREATE TABLE d(doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO d VALUES (?, ?)",
+                        list(enumerate(texts)))
+        want = con.execute("""
+            WITH b AS (
+              SELECT doc_id, length(text)::DOUBLE n_chars,
+                     len(string_split(text,' '))::BIGINT n_tok,
+                     len(list_distinct(string_split(text,' ')))::BIGINT nd,
+                     length(regexp_replace(text,'[^a-zA-Z]','','g'))::DOUBLE na
+              FROM d)
+            SELECT doc_id FROM b
+            WHERE n_tok >= 10
+              AND greatest(n_chars-(n_tok-1),0)/greatest(n_tok::DOUBLE,1) >= 2.5
+              AND na/greatest(n_chars,1) >= 0.3
+              AND (n_tok-nd)*1000000//n_tok <= 400000
+            ORDER BY doc_id""").df()
+        assert list(np.sort(out["doc_id"])) == list(want["doc_id"])
+        assert 0 < len(want) < 300
