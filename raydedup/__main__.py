@@ -139,6 +139,47 @@ def cmd_decontam(args):
                      sort_keys=True))
 
 
+def cmd_build(args):
+    _ray_session()
+    import ray.data as rd
+    from .config import DEFAULT_CONFIG
+    from .pipelines.build import build_corpus
+
+    cfg = DEFAULT_CONFIG.with_(
+        **({"verify_threshold": args.threshold} if args.threshold else {}),
+    )
+    quality = {}
+    if args.min_tokens is not None:
+        quality["min_tokens"] = args.min_tokens
+    if args.min_alpha is not None:
+        quality["min_alpha_ratio"] = args.min_alpha
+    if args.max_dup_frac_e6 is not None:
+        quality["max_dup_word_frac_e6"] = args.max_dup_frac_e6
+    splits = None
+    if args.splits:
+        splits = {}
+        for part in args.splits.split(","):
+            name, w = part.split("=")
+            splits[name.strip()] = float(w)
+    docs = rd.read_parquet(args.input)
+    reference = rd.read_parquet(args.reference) if args.reference else None
+    res = build_corpus(docs, cfg, quality=quality or None,
+                       reference=reference, ngram_n=args.ngram,
+                       line_min_docs=args.line_min_docs, splits=splits)
+    if splits:
+        # ONE streaming pass: hive-partitioned by the split column
+        # (corpus/split=train/...), never one re-execution per split
+        res.corpus.write_parquet(f"{args.output}/corpus",
+                                 partition_cols=["split"])
+    else:
+        res.corpus.write_parquet(f"{args.output}/corpus")
+    res.disposition.write_parquet(f"{args.output}/disposition")
+    report = res.report()
+    with open(f"{args.output}/report.json", "w") as f:
+        json.dump(report, f, sort_keys=True)
+    print(json.dumps({"report": report, "out": args.output}, sort_keys=True))
+
+
 def cmd_split(args):
     _ray_session()
     import ray.data as rd
@@ -220,6 +261,26 @@ def main(argv=None):
                    help="also drop docs sharing any N-token-gram with "
                         "the reference (GPT-3-style guard)")
     s.set_defaults(fn=cmd_decontam)
+
+    s = sub.add_parser("build", help="full corpus build: quality gate -> "
+                                     "decontam -> tiered dedup -> splits; "
+                                     "writes split dirs + disposition/ + "
+                                     "report.json")
+    s.add_argument("input")
+    s.add_argument("output")
+    s.add_argument("--reference", default=None,
+                   help="eval/test parquet to decontaminate against")
+    s.add_argument("--ngram", type=int, default=None, metavar="N",
+                   help="also apply the N-token-gram leakage guard")
+    s.add_argument("--min-tokens", type=int, default=None)
+    s.add_argument("--min-alpha", type=float, default=None)
+    s.add_argument("--max-dup-frac-e6", type=int, default=None)
+    s.add_argument("--threshold", type=float, default=None)
+    s.add_argument("--line-min-docs", type=int, default=None)
+    s.add_argument("--splits", default=None,
+                   help="name=weight[,name=weight...]; omit to write a "
+                        "single corpus/")
+    s.set_defaults(fn=cmd_build)
 
     s = sub.add_parser("split", help="deterministic named corpus split "
                                      "(train/val/test); one parquet dir "

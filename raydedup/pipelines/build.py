@@ -1,0 +1,102 @@
+"""End-to-end training-corpus build: the composed user journey.
+
+    quality gate → decontamination (near-dup / exact / n-gram vs a
+    reference set) → tiered dedup (exact → near-dup → substring-aware
+    disposition) → deterministic named splits
+
+Every stage is one of the engine's existing streaming operators wired
+in production order — quality and decontamination are zero-shuffle
+streaming filters, so running them FIRST shrinks what the (shuffling)
+dedup tiers must move; the split tag is a pure per-row function applied
+last so membership never depends on pipeline internals.  This mirrors
+how the reference composes its stages (CSR build → ec_scan → pair
+verify, jaccard.cpp:790-900): each consumes only the previous stage's
+survivors.
+
+Per-stage drop counts flow through the shared RunCounters actor;
+``BuildResult.report()`` reads them once at the end (the reference's
+always-printed sanity-metric pattern, jaccard.cpp:811-819).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+
+
+class BuildResult(NamedTuple):
+    """corpus: surviving docs (original columns, + ``split`` column when
+    splits were requested); disposition: (doc_id, tier) from the dedup
+    tiers; counters: the run's RunCounters (``.get()`` → stage drop
+    counts)."""
+    corpus: "ray.data.Dataset"
+    disposition: "ray.data.Dataset"
+    counters: "RunCounters"
+
+    def report(self) -> dict:
+        import ray
+        return ray.get(self.counters.actor.get.remote())
+
+
+def build_corpus(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 quality: dict | None = None,
+                 reference=None, ngram_n: int | None = None,
+                 threshold: float | None = ...,
+                 line_min_docs: int | None = None,
+                 splits: dict[str, float] | None = None,
+                 split_seed: int = 0) -> BuildResult:
+    """Run the full corpus build.
+
+    ``quality``: kwargs for stages/textstats.quality_filter (e.g.
+    ``{"min_tokens": 20, "min_alpha_ratio": 0.8}``); None skips the
+    gate.  ``reference``: eval/test documents — when given, corpus docs
+    near-duplicating any reference doc are dropped (broadcast-pack
+    decontamination), plus a GPT-3-style ``ngram_n``-gram guard when
+    ``ngram_n`` is set.  ``threshold``/``line_min_docs`` pass through
+    to tiered_dedup.  ``splits``: named weights for a deterministic
+    per-id split column (stages/sampling.corpus_split).
+    """
+    from ..state import RunCounters
+    from .tiered import tiered_dedup
+
+    rc = RunCounters()
+    cur = docs
+
+    if quality:
+        from ..stages.textstats import quality_filter
+        cur = quality_filter(cur, text_col=text_col, counters=rc.actor,
+                             **quality)
+
+    if reference is not None:
+        from ..stages.decontam import decontaminate, decontaminate_ngram
+        cur = decontaminate(cur, reference, cfg, id_col=id_col,
+                            text_col=text_col, counters=rc.actor)
+        if ngram_n:
+            cur = decontaminate_ngram(cur, reference, cfg, n=ngram_n,
+                                      id_col=id_col, text_col=text_col,
+                                      counters=rc.actor)
+
+    if cur is not docs:
+        # pin the zero-shuffle prefix ONCE: tiered has several consumers
+        # of its input (exchange, survivor stream, final filter) and a
+        # lazy prefix would re-execute per consumer — recomputing the
+        # filters AND triple-counting their drop counters.  This is the
+        # same stage-checkpoint materialization tiered applies to its
+        # own tagged stream (spillable; at 10^12 docs it becomes the
+        # parquet checkpoint pipelines/checkpoint.py writes).
+        cur = cur.materialize()
+
+    tiered = tiered_dedup(cur, cfg, id_col=id_col, text_col=text_col,
+                          threshold=threshold, counters=rc.actor,
+                          line_min_docs=line_min_docs)
+    corpus = tiered.corpus
+
+    if splits:
+        from ..stages.sampling import corpus_split
+        corpus = corpus_split(corpus, splits, id_col=id_col,
+                              seed=split_seed)
+
+    return BuildResult(corpus=corpus, disposition=tiered.disposition,
+                       counters=rc)
