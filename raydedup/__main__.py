@@ -198,6 +198,53 @@ def cmd_split(args):
     print(json.dumps({"splits": counts, "out": args.output}, sort_keys=True))
 
 
+def cmd_bandstore(args):
+    _ray_session()
+    import ray.data as rd
+    from .config import DEFAULT_CONFIG
+    from .stages.incremental import corpus_band_table, corpus_hash_table
+
+    docs = rd.read_parquet(args.input)
+    corpus_band_table(docs, DEFAULT_CONFIG).write_parquet(
+        f"{args.output}/bands")
+    corpus_hash_table(docs, DEFAULT_CONFIG).write_parquet(
+        f"{args.output}/hashes")
+    n_bands = rd.read_parquet(f"{args.output}/bands").count()
+    n_hashes = rd.read_parquet(f"{args.output}/hashes").count()
+    print(json.dumps({"bands": n_bands, "hashes": n_hashes,
+                      "out": args.output}, sort_keys=True))
+
+
+def cmd_incremental(args):
+    _ray_session()
+    import ray.data as rd
+    from .config import DEFAULT_CONFIG
+    from .stages.incremental import (incremental_exact_dedup,
+                                     incremental_near_dup)
+
+    cfg = DEFAULT_CONFIG.with_(
+        **({"verify_threshold": args.threshold} if args.threshold else {}),
+    )
+    inc = rd.read_parquet(args.increment)
+    corpus = rd.read_parquet(args.corpus)
+    bands = hashes = None
+    if args.store:
+        bands = rd.read_parquet(f"{args.store}/bands")
+        hashes = rd.read_parquet(f"{args.store}/hashes")
+    # tier 1: exact vs corpus (prebuilt hash store skips corpus re-hash)
+    kept = incremental_exact_dedup(inc, corpus, cfg,
+                                   corpus_hashes=hashes).materialize()
+    if not args.exact_only:
+        # one band exchange serves both outputs
+        kept, matches = incremental_near_dup(kept, corpus, cfg,
+                                             corpus_bands=bands,
+                                             with_matches=True)
+        matches.write_parquet(f"{args.output}/matches")
+    kept.write_parquet(f"{args.output}/kept")
+    n_kept = rd.read_parquet(f"{args.output}/kept").count()
+    print(json.dumps({"kept": n_kept, "out": args.output}, sort_keys=True))
+
+
 def cmd_compare(args):
     _ray_session()
     import ray.data as rd
@@ -291,6 +338,26 @@ def main(argv=None):
                    help="name=weight[,name=weight...]")
     s.add_argument("--seed", type=int, default=0)
     s.set_defaults(fn=cmd_split)
+
+    s = sub.add_parser("bandstore", help="persist a corpus's LSH band + "
+                                         "content-hash stores for "
+                                         "incremental runs")
+    s.add_argument("input")
+    s.add_argument("output")
+    s.set_defaults(fn=cmd_bandstore)
+
+    s = sub.add_parser("incremental", help="dedup a new increment against "
+                                           "an existing corpus (exact then "
+                                           "near-dup); writes kept/ + "
+                                           "matches/")
+    s.add_argument("increment")
+    s.add_argument("corpus")
+    s.add_argument("output")
+    s.add_argument("--store", default=None,
+                   help="prebuilt bandstore dir (skips re-hashing corpus)")
+    s.add_argument("--threshold", type=float, default=None)
+    s.add_argument("--exact-only", action="store_true")
+    s.set_defaults(fn=cmd_incremental)
 
     s = sub.add_parser("neardup", help="near-dup clustering over documents")
     s.add_argument("input")

@@ -53,11 +53,24 @@ def _exchange(ds, n_parts: int, cfg: PipelineConfig):
                               map_chunk_rows=cfg.batch_size)
 
 
+def corpus_hash_table(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
+                      text_col: str = "text"):
+    """(text_hash, text_hash2) rows for a corpus — the persistable
+    exact-dedup store an incremental run probes instead of re-hashing
+    corpus text (write_parquet once, read_parquet every increment; the
+    exact-tier companion of ``corpus_band_table``)."""
+    return with_text_hash(docs.select_columns([text_col]), text_col) \
+        .select_columns(_HASH_COLS)
+
+
 def incremental_exact_dedup(new_ds, corpus_ds,
                             cfg: PipelineConfig = DEFAULT_CONFIG, *,
-                            id_col: str = "doc_id", text_col: str = "text"):
+                            id_col: str = "doc_id", text_col: str = "text",
+                            corpus_hashes=None):
     """→ the increment rows that survive against the existing corpus
-    (original columns, hash columns dropped)."""
+    (original columns, hash columns dropped).  ``corpus_hashes``: a
+    prebuilt ``corpus_hash_table`` store (corpus_ds ignored then —
+    corpus text is never re-read)."""
     import ray
     import ray.data as rd
 
@@ -75,10 +88,11 @@ def incremental_exact_dedup(new_ds, corpus_ds,
 
     # per-batch unique BEFORE the exchange: a duplicate-heavy corpus
     # ships one hash pair per distinct text per batch, not per row
-    corpus_hashes = with_text_hash(
-        corpus_ds.select_columns([text_col]), text_col) \
-        .map_batches(_uniq_hashes, batch_format="pyarrow",
-                     zero_copy_batch=True)
+    if corpus_hashes is None:
+        corpus_hashes = with_text_hash(
+            corpus_ds.select_columns([text_col]), text_col)
+    corpus_hashes = corpus_hashes.map_batches(
+        _uniq_hashes, batch_format="pyarrow", zero_copy_batch=True)
     new_hashed = with_text_hash(new_ds, text_col)
 
     new_parts = _exchange(new_hashed, n_parts, cfg)
@@ -194,7 +208,7 @@ def incremental_near_dup(new_ds, corpus_ds,
                          cfg: PipelineConfig = DEFAULT_CONFIG, *,
                          corpus_bands=None, threshold: float | None = ...,
                          id_col: str = "doc_id", text_col: str = "text",
-                         counters=None):
+                         counters=None, with_matches: bool = False):
     """Near-dup dedup of an increment against an existing corpus: an
     increment doc survives iff (a) it is not a verified near-duplicate
     of ANY corpus doc (the corpus always wins), and (b) among the
@@ -210,7 +224,12 @@ def incremental_near_dup(new_ds, corpus_ds,
     (stages/lsh.incremental_candidate_pairs), two increment-scale
     verify exchanges, CC over the internal pairs, anti-joins for the
     final cut — the corpus never moves as text except for the bucket
-    neighbours of increment docs."""
+    neighbours of increment docs.
+
+    ``with_matches=True``: also return the verified increment↔corpus
+    match table (the same rows ``incremental_near_dup_matches`` yields)
+    as ``(kept, matches)`` — one band exchange serves both outputs
+    instead of each caller paying it separately."""
     import pyarrow.compute as pc
 
     from ..pipelines.neardup import verify_candidates
@@ -271,8 +290,9 @@ def incremental_near_dup(new_ds, corpus_ds,
 
         drop_sets.append(comp.map_batches(_nonmin, batch_format="pyarrow"))
     if not drop_sets:
-        return new_ds
+        return (new_ds, matches) if with_matches else new_ds
     drops = drop_sets[0] if len(drop_sets) == 1 \
         else drop_sets[0].union(*drop_sets[1:])
-    return partitioned_join(new_ds, drops.materialize(), id_col, cfg,
+    kept = partitioned_join(new_ds, drops.materialize(), id_col, cfg,
                             how="anti", right_on="_drop")
+    return (kept, matches) if with_matches else kept

@@ -118,3 +118,51 @@ def test_near_dup_corpus_wins_within_increment_chain(ray_session):
     # whoever is NOT corpus-matched survives; corpus-matched are dropped
     surv = set(out["doc_id"]) if len(out) else set()
     assert surv == set(inc.to_pandas()["doc_id"]) - set(m["a"])
+
+
+def test_prebuilt_hash_store_agrees(ray_session):
+    from raydedup.stages.incremental import (corpus_hash_table,
+                                             incremental_exact_dedup)
+    corpus = _ds([(0, "old one"), (1, "old two"), (2, "old three")])
+    inc = _ds([(100, "old two"), (101, "brand new"), (102, "inc dup"),
+               (103, "inc dup")])
+    hashes = corpus_hash_table(corpus, CFG).materialize()
+    direct = incremental_exact_dedup(inc, corpus, CFG).to_pandas()
+    stored = incremental_exact_dedup(inc, None, CFG,
+                                     corpus_hashes=hashes).to_pandas()
+    assert sorted(direct["doc_id"]) == sorted(stored["doc_id"]) == [101, 102]
+
+
+def test_with_matches_one_exchange(ray_session):
+    from raydedup.stages.incremental import (incremental_near_dup,
+                                             incremental_near_dup_matches)
+    corpus, inc = _nd_fixture()
+    kept, matches = incremental_near_dup(inc, corpus, CFG,
+                                         with_matches=True)
+    kept, matches = kept.to_pandas(), matches.to_pandas()
+    assert sorted(kept["doc_id"]) == [101, 102, 104]
+    want = incremental_near_dup_matches(inc, corpus, CFG).to_pandas()
+    assert sorted(zip(matches["a"], matches["b"])) \
+        == sorted(zip(want["a"], want["b"]))
+
+
+def test_incremental_cli(ray_session, tmp_path):
+    import argparse
+    import pyarrow.parquet as pq
+    from raydedup.__main__ import cmd_bandstore, cmd_incremental
+
+    corpus, inc = _nd_fixture()
+    pq.write_table(pa.table(corpus.to_pandas()), tmp_path / "corpus.parquet")
+    pq.write_table(pa.table(inc.to_pandas()), tmp_path / "inc.parquet")
+    cmd_bandstore(argparse.Namespace(input=str(tmp_path / "corpus.parquet"),
+                                     output=str(tmp_path / "store")))
+    cmd_incremental(argparse.Namespace(
+        increment=str(tmp_path / "inc.parquet"),
+        corpus=str(tmp_path / "corpus.parquet"),
+        output=str(tmp_path / "out"), store=str(tmp_path / "store"),
+        threshold=None, exact_only=False))
+    import ray.data as rd
+    kept = rd.read_parquet(str(tmp_path / "out/kept")).to_pandas()
+    m = rd.read_parquet(str(tmp_path / "out/matches")).to_pandas()
+    assert sorted(kept["doc_id"]) == [101, 102, 104]
+    assert sorted(zip(m["a"], m["b"])) == [(100, 0)]
