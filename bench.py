@@ -275,6 +275,29 @@ def run_scaling() -> dict:
     t_lo, t_hi = med(runs_lo), med(runs_hi)
     docs = runs_lo[0]["synth_docs"]
     eff = (t_lo / t_hi) / (hi / lo)
+
+    # steal-screened companion metric: hypervisor CPU steal only ever
+    # ADDS wall time and (measured) hits the hi level harder — more
+    # vCPUs busy draws proportionally more steal on a contended host.
+    # Reps whose window exceeded the steal gate are excluded and the
+    # surviving medians re-ratioed; per-rep steal is in the artifact so
+    # the screen is auditable.  This does NOT replace the official
+    # unscreened median — it quantifies how much of a low number is
+    # attributable to documented external steal.
+    STEAL_GATE_PCT = 5.0
+
+    def _screened(runs):
+        ok = [r["queries"]["neardup_synth"] for r in runs
+              if (r.get("host_window") or {}).get("steal_pct", 0.0)
+              <= STEAL_GATE_PCT]
+        ts = sorted(ok)
+        return (ts[len(ts) // 2], len(ts)) if ts else (None, 0)
+
+    s_lo, n_slo = _screened(runs_lo)
+    s_hi, n_shi = _screened(runs_hi)
+    eff_screened = round((s_lo / s_hi) / (hi / lo), 3) \
+        if s_lo and s_hi else None
+
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -285,6 +308,15 @@ def run_scaling() -> dict:
                              for r in runs_lo),
         "sec_hi_all": sorted(round(r["queries"]["neardup_synth"], 2)
                              for r in runs_hi),
+        # RUN-ORDER times: index-aligned with host_windows_lo/hi so the
+        # steal↔time correlation is readable straight off the artifact
+        "sec_lo_runs": [round(r["queries"]["neardup_synth"], 2)
+                        for r in runs_lo],
+        "sec_hi_runs": [round(r["queries"]["neardup_synth"], 2)
+                        for r in runs_hi],
+        "value_steal_screened": eff_screened,
+        "steal_gate_pct": STEAL_GATE_PCT,
+        "screened_reps": {"lo": n_slo, "hi": n_shi},
         "docs_per_sec_lo": round(docs / t_lo, 1),
         "docs_per_sec_hi": round(docs / t_hi, 1),
         "synth_docs": docs,
