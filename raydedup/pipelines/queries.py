@@ -1574,6 +1574,58 @@ FROM ml m LEFT JOIN kept k ON k.doc_id = m.doc_id
 """
 
 
+def _paragraph_docs(sf_dir):
+    """documents → (doc_id, text) with deterministic PARAGRAPH structure
+    ('\\n\\n'-separated): a header para shared per source, the original
+    body, a footer para shared by doc_id%7 — the paragraph-granularity
+    twin of _multiline_docs (the sf text itself contains no newlines,
+    so paragraphs are well-formed)."""
+    import numpy as np
+
+    def _mk(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        foot = pa.array((ids % 7).astype(str), pa.string())
+        txt = pc.binary_join_element_wise(
+            pa.scalar("header "), t["source"], pa.scalar("\n\n"),
+            pc.fill_null(t["text"], ""), pa.scalar("\n\nfooter "), foot, "")
+        return pa.table({"doc_id": t["doc_id"], "text": txt})
+
+    return _docs(sf_dir, ["doc_id", "text", "source"]).map_batches(
+        _mk, batch_format="pyarrow")
+
+
+def q_paragraph_dedup(sf_dir):
+    """Paragraph-level boilerplate removal: the line-dedup pass at
+    '\\n\\n' granularity (stages/lines.py sep parameter) — strips
+    paragraphs appearing in ≥5 distinct docs, preserving order."""
+    from ..stages.lines import remove_boilerplate_lines
+    return remove_boilerplate_lines(
+        _paragraph_docs(sf_dir), CFG, min_docs=5, sep="\n\n") \
+        .select_columns(["doc_id", "text_clean"])
+
+
+SQL_PARAGRAPH_DEDUP = """
+WITH pd AS (SELECT doc_id,
+              'header ' || source || chr(10) || chr(10) || text ||
+              chr(10) || chr(10) || 'footer ' || (doc_id % 7)::VARCHAR
+              AS text
+            FROM documents),
+p AS (SELECT doc_id,
+             unnest(string_split(text, chr(10) || chr(10))) AS para,
+             unnest(range(1, len(string_split(text, chr(10) || chr(10)))
+                          + 1)) AS ord
+      FROM pd),
+boiler AS (SELECT para FROM p GROUP BY para
+           HAVING count(DISTINCT doc_id) >= 5),
+kept AS (SELECT doc_id,
+                string_agg(para, chr(10) || chr(10) ORDER BY ord) AS txt
+         FROM p WHERE para NOT IN (SELECT para FROM boiler)
+         GROUP BY doc_id)
+SELECT d.doc_id, coalesce(k.txt, '') AS text_clean
+FROM pd d LEFT JOIN kept k ON k.doc_id = d.doc_id
+"""
+
+
 def _hosted_docs(sf_dir):
     """documents → (doc_id, text, url) with deterministic hosts:
     doc_id%20 picks one of 20 synthetic domains."""
@@ -1964,6 +2016,7 @@ QUERIES = {
     "normalize_text": q_normalize_text,
     "dup_lines": q_dup_lines,
     "line_dedup": q_line_dedup,
+    "paragraph_dedup": q_paragraph_dedup,
     "semantic_dup_pairs": q_semantic_dup_pairs,
     "semantic_dedup": q_semantic_dedup,
     "domain_stats": q_domain_stats,
@@ -2033,6 +2086,7 @@ ORACLES = {
     "normalize_text": SQL_NORMALIZE_TEXT,
     "dup_lines": SQL_DUP_LINES,
     "line_dedup": SQL_LINE_DEDUP,
+    "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "domain_stats": SQL_DOMAIN_STATS,
     "domain_filter": SQL_DOMAIN_FILTER,
     "orders_customer": SQL_ORDERS_CUSTOMER,

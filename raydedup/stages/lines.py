@@ -49,11 +49,12 @@ _EMPTY_COUNTS = {"line": pa.array([], pa.string()),
                  "n_docs": pa.array([], pa.int64())}
 
 
-def _split_lines(t: pa.Table, text_col: str):
-    """→ (list_array of lines, flat line StringArray, per-line doc row
-    index).  '\\n' split, matching DuckDB ``string_split(text, chr(10))``
-    (empty text yields one empty line on both engines)."""
-    lines_list = pc.split_pattern(pc.fill_null(t[text_col], ""), "\n")
+def _split_lines(t: pa.Table, text_col: str, sep: str = "\n"):
+    """→ (list_array of units, flat unit StringArray, per-unit doc row
+    index).  Literal ``sep`` split (default '\\n'), matching DuckDB
+    ``string_split(text, chr(10))`` (empty text yields one empty unit
+    on both engines).  ``sep='\\n\\n'`` gives paragraph granularity."""
+    lines_list = pc.split_pattern(pc.fill_null(t[text_col], ""), sep)
     if isinstance(lines_list, pa.ChunkedArray):
         lines_list = lines_list.combine_chunks()
     flat = pc.list_flatten(lines_list)
@@ -65,14 +66,16 @@ def _split_lines(t: pa.Table, text_col: str):
 
 
 def line_doc_counts(ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
-                    text_col: str = "text", min_docs: int = 2):
+                    text_col: str = "text", min_docs: int = 2,
+                    sep: str = "\n"):
     """→ Dataset(line:string, n_docs:int64) for every distinct line
     occurring in ≥ ``min_docs`` distinct documents (the boilerplate
-    audit table; n_docs counts documents, not occurrences)."""
+    audit table; n_docs counts documents, not occurrences).  ``sep``
+    sets the unit: '\\n' lines (default), '\\n\\n' paragraphs."""
     n_parts = cfg.num_partitions
 
     def _partial(t: pa.Table) -> pa.Table:
-        _, flat, doc_idx = _split_lines(t, text_col)
+        _, flat, doc_idx = _split_lines(t, text_col, sep)
         pairs = pa.table({"line": flat,
                           "doc": pa.array(doc_idx, pa.int64())})
         agg = pairs.group_by("line").aggregate([("doc", "count_distinct")])
@@ -100,14 +103,17 @@ def line_doc_counts(ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
 def remove_boilerplate_lines(ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
                              text_col: str = "text", min_docs: int = 5,
                              out_col: str = "text_clean",
-                             broadcast_max: int = LINES_BROADCAST_MAX):
+                             broadcast_max: int = LINES_BROADCAST_MAX,
+                             sep: str = "\n"):
     """Strip every line occurring in ≥ ``min_docs`` distinct documents;
-    remaining lines keep their order, re-joined with '\\n' (a doc whose
-    every line is boilerplate becomes the empty string, not a dropped
-    row — the caller decides whether to filter empties)."""
+    remaining lines keep their order, re-joined with ``sep`` (a doc
+    whose every line is boilerplate becomes the empty string, not a
+    dropped row — the caller decides whether to filter empties).
+    ``sep='\\n\\n'`` runs the same pass at paragraph granularity."""
     import ray
 
-    boiler = line_doc_counts(ds, cfg, text_col=text_col, min_docs=min_docs)
+    boiler = line_doc_counts(ds, cfg, text_col=text_col, min_docs=min_docs,
+                             sep=sep)
     btabs = [t for t in ray.get(list(boiler.to_arrow_refs())) if len(t)]
     n_boiler = sum(len(t) for t in btabs)
     if n_boiler == 0:
@@ -117,14 +123,14 @@ def remove_boilerplate_lines(ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
                               zero_copy_batch=True)
     if n_boiler > broadcast_max:
         return _remove_lines_partitioned(ds, btabs, cfg, text_col=text_col,
-                                         out_col=out_col)
+                                         out_col=out_col, sep=sep)
 
     value_set = pa.concat_tables(btabs)["line"].combine_chunks()
     set_ref = ray.put(value_set)
 
     def _strip(t: pa.Table) -> pa.Table:
         vset = ray.get(set_ref)
-        lines_list, flat, _ = _split_lines(t, text_col)
+        lines_list, flat, _ = _split_lines(t, text_col, sep)
         drop = pc.is_in(flat, value_set=vset)
         keep = pc.fill_null(pc.invert(drop), True).to_numpy(
             zero_copy_only=False)
@@ -135,7 +141,7 @@ def remove_boilerplate_lines(ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
         kept = flat.filter(pa.array(keep))
         new_list = pa.ListArray.from_arrays(
             pa.array(new_offs, pa.int32()), kept)
-        joined = pc.binary_join(new_list, "\n")
+        joined = pc.binary_join(new_list, sep)
         return t.append_column(out_col, joined)
 
     return ds.map_batches(_strip, batch_format="pyarrow",
@@ -146,7 +152,8 @@ _RID = "_lines_rowid"
 
 
 def _remove_lines_partitioned(ds, btabs, cfg: PipelineConfig, *,
-                              text_col: str, out_col: str):
+                              text_col: str, out_col: str,
+                              sep: str = "\n"):
     """Scale path for an over-broadcast boilerplate set.
 
     1. Tag stable row ids; explode docs to (rid, ord, line) rows through
@@ -174,7 +181,7 @@ def _remove_lines_partitioned(ds, btabs, cfg: PipelineConfig, *,
     with_id = _with_row_ids(ds, _RID)
 
     def _explode(t: pa.Table) -> pa.Table:
-        lines_list, flat, doc_idx = _split_lines(t, text_col)
+        lines_list, flat, doc_idx = _split_lines(t, text_col, sep)
         rid = np.asarray(t[_RID], dtype=np.int64)[doc_idx]
         offs = np.asarray(lines_list.offsets, dtype=np.int64)
         offs = offs - offs[0]
@@ -226,7 +233,7 @@ def _remove_lines_partitioned(ds, btabs, cfg: PipelineConfig, *,
         lst = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), lines)
         return pa.table({
             _RID: pa.array(rid_s[starts], pa.int64()),
-            out_col: pc.binary_join(lst, "\n"),
+            out_col: pc.binary_join(lst, sep),
         })
 
     clean_parts = hash_partition_map(kept_lines, "_part", _reassemble,

@@ -83,3 +83,28 @@ def test_partitioned_path_larger_random(ray_session):
     assert a[["doc_id", "text_clean"]].equals(b[["doc_id", "text_clean"]])
     # sanity: something was actually removed
     assert (a["text_clean"] != tab["text"].to_pandas()).any()
+
+
+class TestParagraphGranularity:
+    def test_sep_paragraphs(self, ray_session):
+        import duckdb
+        from raydedup.stages.lines import remove_boilerplate_lines
+        import ray.data as rd
+        # same footer paragraph in all 6 docs; bodies unique; one doc
+        # has a body containing single newlines (NOT paragraph breaks)
+        texts = ["body %d\nstill body %d\n\nshared footer" % (i, i)
+                 for i in range(6)]
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(np.arange(6, dtype=np.int64)),
+            "text": pa.array(texts, pa.string())}))
+        out = remove_boilerplate_lines(ds, CFG, min_docs=5, sep="\n\n") \
+            .to_pandas().sort_values("doc_id")
+        # footer paragraph stripped; single-\n body intact
+        assert list(out["text_clean"]) == \
+            ["body %d\nstill body %d" % (i, i) for i in range(6)]
+        # line granularity strips the footer LINE and the empty line
+        # (both in all 6 docs) — same bodies, different mechanics
+        out_line = remove_boilerplate_lines(ds, CFG, min_docs=5) \
+            .to_pandas().sort_values("doc_id")
+        assert list(out_line["text_clean"]) == \
+            ["body %d\nstill body %d" % (i, i) for i in range(6)]
