@@ -202,8 +202,23 @@ def edge_jaccard(edges_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
     canonical row represents both.
     """
     clean = drop_self_loops(edges_ds)
-    # no pre-dedup shuffle: adjacency build dedups inside its one shuffle
-    both = clean.union(invert_direction(clean)) if symmetrize_input else clean
+    # no pre-dedup shuffle: adjacency build dedups inside its one shuffle.
+    # Both directions are emitted by ONE map over each batch — a
+    # union(invert(...)) would re-execute the upstream read+map per
+    # branch and double the block count for no benefit.
+    if symmetrize_input:
+        def _bidir(t: pa.Table) -> pa.Table:
+            src = t["src"].combine_chunks()
+            dst = t["dst"].combine_chunks()
+            return pa.table({
+                "src": pa.concat_arrays([src, dst]),
+                "dst": pa.concat_arrays([dst, src]),
+            })
+
+        both = clean.map_batches(_bidir, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    else:
+        both = clean
     adj = build_adjacency(both, cfg, id_col="id").materialize()
     # canonical (a<b) edge list derived FROM the adjacency rows — a pure
     # map, no extra shuffle: each vertex emits its neighbors greater
