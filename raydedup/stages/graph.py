@@ -48,16 +48,59 @@ def invert_direction(edges_ds):
 
 def symmetrize(edges_ds, cfg: PipelineConfig = DEFAULT_CONFIG):
     """Union original + mirrored edges, exact-dedup on (src, dst) —
-    main.cpp:108-111's set-union.  Weight of a duplicated edge = min."""
-    both = edges_ds.union(invert_direction(edges_ds))
-    if "weight" in edges_ds.schema().names:
-        agg = both.groupby(["src", "dst"]).min("weight")
-        return agg.map_batches(
-            lambda t: pa.table({"src": t["src"], "dst": t["dst"],
-                                "weight": t["min(weight)"]}),
-            batch_format="pyarrow",
-        )
-    return both.groupby(["src", "dst"]).count().select_columns(["src", "dst"])
+    main.cpp:108-111's set-union.  Weight of a duplicated edge = min.
+
+    Physical plan: ONE map emits both directions per batch (no
+    union-of-two-streams re-executing the upstream per branch) and ONE
+    manual hash exchange keyed on src dedups per partition with a
+    lexsort + run-length first (weights: ``minimum.reduceat`` at group
+    starts).  Replaces the Ray-native per-edge groupby, the measured
+    slow exchange (functions/shuffle.py module docstring); output rows
+    are additionally src-co-partitioned, which ``degrees`` exploits."""
+    from ..functions.shuffle import hash_partition_map
+
+    has_w = "weight" in edges_ds.schema().names
+    n_parts = cfg.resolved_partitions()
+
+    def _bidir_tag(t: pa.Table) -> pa.Table:
+        src = t["src"].combine_chunks().cast(pa.int64())
+        dst = t["dst"].combine_chunks().cast(pa.int64())
+        cols = {"src": pa.concat_arrays([src, dst]),
+                "dst": pa.concat_arrays([dst, src])}
+        if has_w:
+            w = t["weight"].combine_chunks()
+            cols["weight"] = pa.concat_arrays([w, w])
+        s = np.asarray(cols["src"], dtype=np.int64)
+        cols["part"] = pa.array((s % n_parts).astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    empty_cols = {"src": pa.array([], pa.int64()),
+                  "dst": pa.array([], pa.int64())}
+
+    def _dedup(tab: pa.Table | None) -> pa.Table:
+        if tab is None or len(tab) == 0 or tab.num_columns == 0:
+            out = dict(empty_cols)
+            if has_w:
+                out["weight"] = pa.array([], pa.float64())
+            return pa.table(out)
+        src = np.asarray(tab["src"], dtype=np.int64)
+        dst = np.asarray(tab["dst"], dtype=np.int64)
+        order = np.lexsort((dst, src))
+        so, do = src[order], dst[order]
+        first = np.ones(len(so), dtype=bool)
+        first[1:] = (so[1:] != so[:-1]) | (do[1:] != do[:-1])
+        out = {"src": pa.array(so[first], pa.int64()),
+               "dst": pa.array(do[first], pa.int64())}
+        if has_w:
+            w = tab["weight"].combine_chunks() \
+                .to_numpy(zero_copy_only=False)[order]
+            out["weight"] = pa.array(
+                np.minimum.reduceat(w, np.flatnonzero(first)))
+        return pa.table(out)
+
+    tagged = edges_ds.map_batches(_bidir_tag, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    return hash_partition_map(tagged, "part", _dedup, n_parts)
 
 
 def canonicalize(edges_ds):
@@ -69,14 +112,50 @@ def canonicalize(edges_ds):
     )
 
 
-def degrees(edges_ds):
+def degrees(edges_ds, cfg: PipelineConfig = DEFAULT_CONFIG):
     """Per-vertex out-degree over a (symmetrized) edge list — the
-    unweighted RowSum kernel (jaccard.cpp:236-261) as groupby-count.
-    → Dataset(vertex:int64, degree:int64)."""
-    return edges_ds.groupby("src").count().map_batches(
-        lambda t: pa.table({"vertex": t["src"], "degree": t["count()"]}),
-        batch_format="pyarrow",
-    )
+    unweighted RowSum kernel (jaccard.cpp:236-261).
+    → Dataset(vertex:int64, degree:int64).
+
+    Combiner exchange: each batch pre-aggregates to (vertex, partial
+    count) rows — shuffle volume is distinct vertices per batch, not
+    edges — then one hash exchange keyed on vertex sums partials with
+    ``add.reduceat``.  Replaces the Ray-native per-edge groupby."""
+    from ..functions.shuffle import hash_partition_map
+
+    n_parts = cfg.resolved_partitions()
+
+    def _partial(t: pa.Table) -> pa.Table:
+        src = np.asarray(t["src"].combine_chunks().cast(pa.int64()),
+                         dtype=np.int64)
+        u, c = np.unique(src, return_counts=True)
+        return pa.table({
+            "vertex": pa.array(u, pa.int64()),
+            "partial": pa.array(c.astype(np.int64), pa.int64()),
+            "part": pa.array((u % n_parts).astype(np.int64), pa.int64()),
+        })
+
+    empty = pa.table({"vertex": pa.array([], pa.int64()),
+                      "degree": pa.array([], pa.int64())})
+
+    def _sum(tab: pa.Table | None) -> pa.Table:
+        if tab is None or len(tab) == 0 or tab.num_columns == 0:
+            return empty
+        v = np.asarray(tab["vertex"], dtype=np.int64)
+        c = np.asarray(tab["partial"], dtype=np.int64)
+        order = np.argsort(v, kind="stable")
+        vs, cs = v[order], c[order]
+        first = np.ones(len(vs), dtype=bool)
+        first[1:] = vs[1:] != vs[:-1]
+        starts = np.flatnonzero(first)
+        return pa.table({
+            "vertex": pa.array(vs[first], pa.int64()),
+            "degree": pa.array(np.add.reduceat(cs, starts), pa.int64()),
+        })
+
+    parted = edges_ds.map_batches(_partial, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    return hash_partition_map(parted, "part", _sum, n_parts)
 
 
 def build_adjacency(edges_ds, cfg: PipelineConfig = DEFAULT_CONFIG,

@@ -153,3 +153,17 @@ class TestGraphOps:
         nbrs = np.frombuffer(row0["neighbors"], dtype=np.uint64)
         assert nbrs.tolist() == [1, 3, 5]
         assert row0["n_neighbors"] == 3
+
+    def test_symmetrize_weighted_min(self, ray_session):
+        import ray.data as rd
+        from raydedup.stages.graph import symmetrize
+        # duplicate (0,1) with different weights: min wins; mirror gets
+        # the same min
+        tab = pa.table({"src": pa.array([0, 1, 0], pa.int64()),
+                        "dst": pa.array([1, 0, 1], pa.int64()),
+                        "weight": pa.array([5.0, 2.0, 3.0], pa.float64())})
+        sym = symmetrize(rd.from_arrow(tab), CFG).to_pandas() \
+            .sort_values(["src", "dst"]).reset_index(drop=True)
+        assert list(map(tuple, sym[["src", "dst"]].values.tolist())) == \
+            [(0, 1), (1, 0)]
+        assert list(sym["weight"]) == [2.0, 2.0]
