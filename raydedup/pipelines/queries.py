@@ -1310,6 +1310,27 @@ WHERE (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT)::DOUBLE
 """
 
 
+def q_corpus_report(sf_dir):
+    """One-row whole-corpus summary (combiner partials, single reduce,
+    nothing corpus-sized moves) — stages/textstats.corpus_report."""
+    from ..stages.textstats import corpus_report
+    return corpus_report(_docs(sf_dir, ["doc_id", "text"]))
+
+
+SQL_CORPUS_REPORT = """
+WITH t AS (SELECT len(string_split(text, ' '))::BIGINT AS n_tok,
+                  length(text)::BIGINT AS n_ch
+           FROM documents)
+SELECT count(*)::BIGINT AS n_docs,
+       sum(n_tok)::BIGINT AS n_tokens,
+       sum(n_ch)::BIGINT AS n_chars,
+       min(n_tok)::BIGINT AS min_tokens,
+       max(n_tok)::BIGINT AS max_tokens,
+       sum(n_tok)::DOUBLE / count(*) AS mean_tokens
+FROM t
+"""
+
+
 def q_quality_filter(sf_dir):
     """Composite rule-based quality gate (C4/Gopher cuts) — keep docs
     with ≥20 tokens, mean token length ≥4, alpha ratio ≥0.81 and
@@ -2007,6 +2028,7 @@ QUERIES = {
     "tiered_stats": q_tiered_stats,
     "tiered_trim_stats": q_tiered_trim_stats,
     "mix_sample": q_mix_sample,
+    "corpus_report": q_corpus_report,
     "quality_filter": q_quality_filter,
     "corpus_split": q_corpus_split,
     "cluster_sizes": q_cluster_sizes,
@@ -2077,6 +2099,7 @@ ORACLES = {
     "tiered_stats": SQL_TIERED_STATS,
     "tiered_trim_stats": SQL_TIERED_TRIM_STATS,
     "mix_sample": SQL_MIX_SAMPLE,
+    "corpus_report": SQL_CORPUS_REPORT,
     "quality_filter": SQL_QUALITY_FILTER,
     "corpus_split": SQL_CORPUS_SPLIT,
     "cluster_sizes": SQL_CLUSTER_SIZES,

@@ -287,3 +287,66 @@ def quality_filter(ds, *, text_col: str = "text",
 
     return ds.map_batches(_filter, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def corpus_report(ds, *, text_col: str = "text"):
+    """→ one-row Dataset(n_docs, n_tokens, n_chars, min_tokens,
+    max_tokens, mean_tokens): the whole-corpus summary every build
+    prints.  Per-batch partials (one 6-value row per batch leaves the
+    map side) merged in a single tiny reduce — the corpus is touched
+    once, nothing corpus-sized moves or lands on the driver."""
+    from ..functions.shuffle import hash_partition_map
+
+    def _partial(t: pa.Table) -> pa.Table:
+        texts = pc.fill_null(t[text_col], "")
+        n_tok = pc.list_value_length(
+            pc.split_pattern(texts, pattern=" ")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        n_chars = pc.utf8_length(texts).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_docs": pa.array([len(t)], pa.int64()),
+            "n_tokens": pa.array([int(n_tok.sum())], pa.int64()),
+            "n_chars": pa.array([int(n_chars.sum())], pa.int64()),
+            "min_tokens": pa.array(
+                [int(n_tok.min()) if len(t) else 0], pa.int64()),
+            "max_tokens": pa.array(
+                [int(n_tok.max()) if len(t) else 0], pa.int64()),
+            "part": pa.array([0], pa.int64()),
+        })
+
+    empty = pa.table({
+        "n_docs": pa.array([0], pa.int64()),
+        "n_tokens": pa.array([0], pa.int64()),
+        "n_chars": pa.array([0], pa.int64()),
+        "min_tokens": pa.array([0], pa.int64()),
+        "max_tokens": pa.array([0], pa.int64()),
+        "mean_tokens": pa.array([0.0], pa.float64()),
+    })
+
+    def _merge(tab: pa.Table | None) -> pa.Table:
+        if tab is not None and len(tab) and tab.num_columns:
+            # empty-batch partials carry min=max=0 sentinels: drop them
+            # or they corrupt the global min
+            tab = tab.filter(pc.greater(tab["n_docs"], 0))
+        if tab is None or len(tab) == 0 or tab.num_columns == 0:
+            return empty
+        nd = int(np.asarray(tab["n_docs"], np.int64).sum())
+        nt = int(np.asarray(tab["n_tokens"], np.int64).sum())
+        nc = int(np.asarray(tab["n_chars"], np.int64).sum())
+        return pa.table({
+            "n_docs": pa.array([nd], pa.int64()),
+            "n_tokens": pa.array([nt], pa.int64()),
+            "n_chars": pa.array([nc], pa.int64()),
+            "min_tokens": pa.array(
+                [int(np.asarray(tab["min_tokens"], np.int64).min())],
+                pa.int64()),
+            "max_tokens": pa.array(
+                [int(np.asarray(tab["max_tokens"], np.int64).max())],
+                pa.int64()),
+            "mean_tokens": pa.array([nt / nd if nd else 0.0], pa.float64()),
+        })
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return hash_partition_map(partials, "part", _merge, 1)

@@ -232,3 +232,19 @@ class TestQualityFilter:
             ORDER BY doc_id""").df()
         assert list(np.sort(out["doc_id"])) == list(want["doc_id"])
         assert 0 < len(want) < 300
+
+
+class TestCorpusReport:
+    def test_summary_and_empty_batches(self, ray_session):
+        from raydedup.stages.textstats import corpus_report
+        texts = ["a b c", "d e", "f g h i"]
+        out = corpus_report(_docs_ds(texts)).to_pandas()
+        assert len(out) == 1
+        r = out.iloc[0]
+        assert (r["n_docs"], r["n_tokens"], r["min_tokens"],
+                r["max_tokens"]) == (3, 9, 2, 4)
+        assert r["n_chars"] == sum(len(t) for t in texts)
+        assert r["mean_tokens"] == 3.0
+        # empty corpus → zero row, not a crash
+        z = corpus_report(_docs_ds([])).to_pandas()
+        assert z.iloc[0]["n_docs"] == 0
