@@ -118,3 +118,26 @@ class TestBuildCLI:
         assert len(disp) == 6   # tiered input: 8 - quality 1 - decontam 1
         rep = json.load(open(out / "report.json"))
         assert rep["quality_dropped"] == 1
+
+
+class TestBuildOptionalStages:
+    def test_ngram_guard_and_line_tier(self, ray_session):
+        from raydedup.pipelines.build import build_corpus
+        # reference doc shares a 13-token run with corpus doc 0 (not a
+        # near-dup — only ~25% overlap); boilerplate line in all docs
+        run = ["r%d" % i for i in range(13)]
+        ref = _ds([500], [" ".join(run + ["extra%d" % i for i in range(40)])])
+        nav = "NAVBAR HOME ABOUT"
+        c0 = nav + "\n" + " ".join(["x%d" % i for i in range(40)] + run)
+        c1 = nav + "\n" + " ".join("y%d" % i for i in range(50))
+        c2 = nav + "\n" + " ".join("z%d" % i for i in range(50))
+        corpus = _ds([0, 1, 2], [c0, c1, c2])
+        # line tier counts docs AFTER decontam (doc 0 already gone)
+        res = build_corpus(corpus, CFG, reference=ref, ngram_n=13,
+                           line_min_docs=2)
+        out = res.corpus.to_pandas().sort_values("doc_id")
+        assert sorted(out["doc_id"]) == [1, 2]          # doc 0 leaked
+        # line tier stripped the nav line before dedup tiers
+        assert all(not t.startswith(nav) for t in out["text"])
+        rep = res.report()
+        assert rep.get("decontam_ngram_dropped") == 1
