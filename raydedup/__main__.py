@@ -245,6 +245,18 @@ def cmd_incremental(args):
     print(json.dumps({"kept": n_kept, "out": args.output}, sort_keys=True))
 
 
+def cmd_report(args):
+    _ray_session()
+    import ray.data as rd
+    from .stages.textstats import corpus_report
+
+    row = corpus_report(rd.read_parquet(args.input)).to_pandas() \
+        .iloc[0].to_dict()
+    row = {k: (float(v) if k == "mean_tokens" else int(v))
+           for k, v in row.items()}
+    print(json.dumps(row, sort_keys=True))
+
+
 def cmd_compare(args):
     _ray_session()
     import ray.data as rd
@@ -338,6 +350,12 @@ def main(argv=None):
                    help="name=weight[,name=weight...]")
     s.add_argument("--seed", type=int, default=0)
     s.set_defaults(fn=cmd_split)
+
+    s = sub.add_parser("report", help="one-row corpus summary "
+                                      "(docs/tokens/chars, token min/max/"
+                                      "mean) as JSON")
+    s.add_argument("input")
+    s.set_defaults(fn=cmd_report)
 
     s = sub.add_parser("bandstore", help="persist a corpus's LSH band + "
                                          "content-hash stores for "
