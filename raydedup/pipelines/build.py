@@ -46,7 +46,8 @@ def build_corpus(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
                  threshold: float | None = ...,
                  line_min_docs: int | None = None,
                  splits: dict[str, float] | None = None,
-                 split_seed: int = 0) -> BuildResult:
+                 split_seed: int = 0,
+                 decontam_pack=None, ngram_pack=None) -> BuildResult:
     """Run the full corpus build.
 
     ``quality``: kwargs for stages/textstats.quality_filter (e.g.
@@ -57,6 +58,10 @@ def build_corpus(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
     ``ngram_n`` is set.  ``threshold``/``line_min_docs`` pass through
     to tiered_dedup.  ``splits``: named weights for a deterministic
     per-id split column (stages/sampling.corpus_split).
+    ``decontam_pack``/``ngram_pack``: prebuilt ``build_reference_pack``
+    / ``build_ngram_pack`` results — a recurring build against a fixed
+    eval suite signs the reference once and reuses the packs every run
+    (``reference`` may then be None).
     """
     from ..state import RunCounters
     from .tiered import tiered_dedup
@@ -69,14 +74,16 @@ def build_corpus(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
         cur = quality_filter(cur, text_col=text_col, counters=rc.actor,
                              **quality)
 
-    if reference is not None:
+    if reference is not None or decontam_pack is not None:
         from ..stages.decontam import decontaminate, decontaminate_ngram
         cur = decontaminate(cur, reference, cfg, id_col=id_col,
-                            text_col=text_col, counters=rc.actor)
-        if ngram_n:
-            cur = decontaminate_ngram(cur, reference, cfg, n=ngram_n,
+                            text_col=text_col, counters=rc.actor,
+                            pack=decontam_pack)
+        if ngram_n or ngram_pack is not None:
+            cur = decontaminate_ngram(cur, reference, cfg,
+                                      n=ngram_n or 13,
                                       id_col=id_col, text_col=text_col,
-                                      counters=rc.actor)
+                                      counters=rc.actor, pack=ngram_pack)
 
     if cur is not docs:
         # pin the zero-shuffle prefix ONCE: tiered has several consumers

@@ -141,3 +141,19 @@ class TestBuildOptionalStages:
         assert all(not t.startswith(nav) for t in out["text"])
         rep = res.report()
         assert rep.get("decontam_ngram_dropped") == 1
+
+    def test_prebuilt_packs(self, ray_session):
+        from raydedup.pipelines.build import build_corpus
+        from raydedup.stages.decontam import (build_ngram_pack,
+                                              build_reference_pack)
+        ref_texts, corpus_texts = _fixture()
+        ref = _ds(range(100, 100 + len(ref_texts)), ref_texts)
+        corpus = _ds(range(len(corpus_texts)), corpus_texts)
+        dpack = build_reference_pack(ref, CFG)
+        npack = build_ngram_pack(ref, 13)
+        got = build_corpus(corpus, CFG, reference=None, ngram_n=13,
+                           decontam_pack=dpack, ngram_pack=npack) \
+            .corpus.to_pandas()
+        want = build_corpus(corpus, CFG, reference=ref, ngram_n=13) \
+            .corpus.to_pandas()
+        assert sorted(got["doc_id"]) == sorted(want["doc_id"])
