@@ -35,8 +35,8 @@ class BuildResult(NamedTuple):
     counters: "RunCounters"
 
     def report(self) -> dict:
-        import ray
-        return ray.get(self.counters.actor.get.remote())
+        # via RunCounters.get() so in-flight fire-and-forget adds settle
+        return self.counters.get()
 
 
 def build_corpus(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,

@@ -1078,7 +1078,7 @@ def q_events_window(sf_dir):
 SQL_EVENTS_WINDOW = """
 SELECT event_id, user_id, ts,
        count(*) OVER w AS n_window,
-       sum(round(value * 100)::BIGINT) OVER w AS sum_cents_window
+       (sum(round(value * 100)::BIGINT) OVER w)::BIGINT AS sum_cents_window
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 60 MINUTE PRECEDING AND CURRENT ROW)
@@ -1971,6 +1971,35 @@ def q_semantic_dedup(sf_dir):
         .select_columns(["vec_id"])
 
 
+def q_semantic_pairs_scored(sf_dir):
+    """The SemDeDup physical plan (cluster exchange + capped tiled
+    self-matmul + threshold emission) under a deterministic
+    SQL-expressible quantizer — cluster = argmax embedding dimension —
+    so every emitted cosine is oracle-checked (the precision leg of the
+    semantic surface; k-means recall stays a pytest gate)."""
+    import ray.data as rd
+
+    from ..stages.semdedup import semantic_pairs_scored
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return semantic_pairs_scored(emb, 0.25, CFG)
+
+
+SQL_SEMANTIC_PAIRS_SCORED = """
+WITH b AS (
+  SELECT vec_id, embedding,
+         list_position(embedding, list_max(embedding)) - 1 AS bucket
+  FROM embeddings)
+SELECT x.vec_id AS a, y.vec_id AS b,
+       round(list_cosine_similarity(x.embedding::DOUBLE[],
+                                    y.embedding::DOUBLE[]) * 1e6)::BIGINT
+           AS cosine_e6
+FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+WHERE list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[])
+      >= 0.25
+"""
+
+
 def q_lang_id(sf_dir):
     """Stopword-vote language ID (rows-only: heuristic table not in SQL)."""
     return ts.lang_id(_docs(sf_dir, ["doc_id", "text"])) \
@@ -2041,6 +2070,7 @@ QUERIES = {
     "paragraph_dedup": q_paragraph_dedup,
     "semantic_dup_pairs": q_semantic_dup_pairs,
     "semantic_dedup": q_semantic_dedup,
+    "semantic_pairs_scored": q_semantic_pairs_scored,
     "domain_stats": q_domain_stats,
     "domain_filter": q_domain_filter,
     "orders_customer": q_orders_customer,
@@ -2082,6 +2112,7 @@ ORACLES = {
     "edge_jaccard_weighted": SQL_EDGE_JACCARD_WEIGHTED,
     "char_ngram_adjacent": SQL_CHAR_NGRAM_ADJACENT,
     "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
+    "semantic_pairs_scored": SQL_SEMANTIC_PAIRS_SCORED,
     "decontam_kept": SQL_DECONTAM_KEPT,
     "decontam_matches": SQL_DECONTAM_MATCHES,
     "decontam_exact_kept": SQL_DECONTAM_EXACT_KEPT,

@@ -172,8 +172,8 @@ def decontaminate(corpus_ds, reference_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
         p = ray.get(pack_ref)
         drop, _ = _match_batch(batch, p, cfg, id_col, text_col, thr)
         if counters is not None and drop.any():
-            ray.get(counters.add.remote(
-                {"decontam_dropped": int(drop.sum())}))
+            counters.add.remote(            # settle on read, not here
+                {"decontam_dropped": int(drop.sum())})
         return batch.filter(pa.array(~drop))
 
     return corpus_ds.map_batches(_filter, batch_format="pyarrow",
@@ -263,8 +263,8 @@ def decontaminate_exact(corpus_ds, reference_ds,
                     break
                 p += 1
         if counters is not None and drop.any():
-            ray.get(counters.add.remote(
-                {"decontam_exact_dropped": int(drop.sum())}))
+            counters.add.remote(            # settle on read, not here
+                {"decontam_exact_dropped": int(drop.sum())})
         return batch.filter(pa.array(~drop))
 
     return corpus_ds.map_batches(_filter, batch_format="pyarrow",
@@ -347,8 +347,8 @@ def decontaminate_ngram(corpus_ds, reference_ds,
         _, hits = _ngram_hits(batch, grams, n, text_col)
         drop = hits > max_hits
         if counters is not None and drop.any():
-            ray.get(counters.add.remote(
-                {"decontam_ngram_dropped": int(drop.sum())}))
+            counters.add.remote(            # settle on read, not here
+                {"decontam_ngram_dropped": int(drop.sum())})
         return batch.filter(pa.array(~drop))
 
     return corpus_ds.map_batches(_filter, batch_format="pyarrow",

@@ -194,12 +194,11 @@ def exact_dup_pairs(ds, cfg: PipelineConfig, id_col: str = "doc_id",
         rl = np.diff(np.append(rs, len(h1)))
         over = rl > max_group_size
         if over.any() and counters is not None:
-            # synchronous for the same reason as lsh._emit: the driver
-            # reads right after consuming the dataset
-            import ray as _ray
-            _ray.get(counters.add.remote(
+            # fire-and-forget: the in-flight-add race with a driver
+            # read is absorbed by RunCounters.get()'s settle loop
+            counters.add.remote(
                 {"exact_overcap_groups": int(over.sum()),
-                 "exact_overcap_rows": int(rl[over].sum())}))
+                 "exact_overcap_rows": int(rl[over].sum())})
         small = ~over
         sel = np.repeat(small, rl)
         lo, hi = _all_pairs_of_runs(run_id[sel], ids[sel])

@@ -220,12 +220,9 @@ def candidate_pairs(band_ds, cfg: PipelineConfig, id_col: str = "doc_id",
             ids = np.asarray(group[id_col], dtype=np.int64)
             lo, hi, stats = _emit_run_pairs(keys, ids, cap)
             if counters is not None and any(stats.values()):
-                # synchronous: a fire-and-forget add from a task races
-                # with the driver reading the counters after the dataset
-                # is consumed (observed flaky); adds are rare (salted
-                # buckets only), so one actor RTT is fine
-                import ray as _ray
-                _ray.get(counters.add.remote(stats))
+                # fire-and-forget: the in-flight-add race with a driver
+                # read is absorbed by RunCounters.get()'s settle loop
+                counters.add.remote(stats)
         # local pre-dedup: identical pairs from different buckets of the
         # same partition collapse here before the shuffle
         if len(lo):
@@ -344,12 +341,7 @@ def candidate_pairs_from_docs(docs, cfg: PipelineConfig, *,
             ids = np.asarray(group[id_col], dtype=np.int64)
             lo, hi, stats = _emit_run_pairs(keys, ids, cap)
             if counters is not None and any(stats.values()):
-                # synchronous: a fire-and-forget add from a task races
-                # with the driver reading the counters after the dataset
-                # is consumed (observed flaky); adds are rare (salted
-                # buckets only), so one actor RTT is fine
-                import ray as _ray
-                _ray.get(counters.add.remote(stats))
+                counters.add.remote(stats)   # settle on read, not here
         if len(lo):
             pk = np.stack([lo, hi], axis=1)
             pk = np.unique(pk, axis=0)
@@ -504,8 +496,7 @@ def incremental_candidate_pairs(inc_docs, corpus_docs, cfg: PipelineConfig, *,
             keys, ids, srcs = keys[sel], ids[sel], srcs[sel]
             lo, hi, stats = _emit_run_pairs(keys, ids, cap)
             if counters is not None and any(stats.values()):
-                import ray as _ray
-                _ray.get(counters.add.remote(stats))
+                counters.add.remote(stats)   # settle on read, not here
             if len(lo):
                 uid, uidx = np.unique(ids, return_index=True)
                 usrc = srcs[uidx]

@@ -52,12 +52,16 @@ def assign_clusters(ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
                     id_col: str = "vec_id", emb_col: str = "embedding"):
     """Append a ``cluster`` int64 column (nearest spherical-k-means
     centroid).  → (assigned_ds, centroids ndarray).  The quantizer
-    trains on a deterministic hash-sample of ~``train_sample`` rows."""
+    trains on a deterministic hash-sample of ~``train_sample`` rows;
+    the sample is scaled to ≥10·k so the quantizer stays trained when
+    ``n_clusters`` defaults to √N at corpus scale (a fixed 20k sample
+    with k > 20k centroids would degenerate to one-point cells)."""
     import ray
 
     n = ds.count()
     if n_clusters is None:
         n_clusters = max(2, int(np.sqrt(max(n, 4))))
+    train_sample = max(train_sample, 10 * n_clusters)
     frac = min(1.0, train_sample / max(n, 1))
     cut = np.uint64(min(int(frac * (2**64 - 1)), 2**64 - 1))
     salt = np.uint64((cfg.seed * 0x9E3779B97F4A7C15) & (2**64 - 1))
@@ -98,7 +102,48 @@ def _cluster_segments(t: pa.Table, id_col: str, emb_col: str):
     mat = _normalize(_embedding_matrix(tt, emb_col))
     starts = np.flatnonzero(np.concatenate([[True], cl_s[1:] != cl_s[:-1]]))
     bounds = np.concatenate([starts, [len(cl_s)]])
-    return tt, ids, mat, bounds
+    return tt, ids, mat, bounds, cl_s
+
+
+def _capped_segments(ids: np.ndarray, cl_s: np.ndarray, bounds: np.ndarray,
+                     cap: int):
+    """Cluster bounds → index segments, salt-splitting over-cap clusters.
+
+    Mirrors the LSH over-cap bucket defence (lsh.py `_emit_run_pairs`):
+    a cluster with m > cap members is NOT self-matmulled whole (O(m²)
+    sims in one reduce task — a boilerplate mega-cell at corpus scale is
+    10¹⁴ evaluations); instead its members are ordered by a
+    deterministic per-cluster hash of their ids and chunked into
+    overlapping cap-sized sub-cells (consecutive chunks share one
+    member), each self-matmulled independently: O(m·cap), linear in m,
+    with dense-cluster connectivity preserved through the overlap chain.
+    Deterministic for a given cluster membership regardless of
+    partitioning or arrival order.
+
+    → (list of int index arrays, stats dict).
+    """
+    segs: list[np.ndarray] = []
+    stats = {"semdedup_capped_clusters": 0, "semdedup_capped_rows": 0}
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        m = int(e - s)
+        if m < 2:
+            continue
+        if m <= cap:
+            segs.append(np.arange(s, e))
+            continue
+        stats["semdedup_capped_clusters"] += 1
+        stats["semdedup_capped_rows"] += m
+        idx = np.arange(s, e)
+        salt = splitmix64(
+            np.asarray([cl_s[s]], dtype=np.int64).view(np.uint64))[0]
+        order = np.argsort(splitmix64(ids[idx].view(np.uint64) ^ salt),
+                           kind="stable")
+        idx = idx[order]
+        step = cap - 1                       # 1-member overlap chain
+        n_chunks = max(1, -(-(m - 1) // step))
+        for c in range(n_chunks):
+            segs.append(idx[c * step: c * step + cap])
+    return segs, stats
 
 
 def _pairs_in_cluster(ids: np.ndarray, mat: np.ndarray, threshold: float):
@@ -128,34 +173,38 @@ def _pairs_in_cluster(ids: np.ndarray, mat: np.ndarray, threshold: float):
             np.concatenate(outs_c))
 
 
-def semantic_dup_pairs(ds, threshold: float = 0.95,
-                       cfg: PipelineConfig = DEFAULT_CONFIG, *,
-                       n_clusters: int | None = None,
-                       train_sample: int = 20000,
-                       id_col: str = "vec_id", emb_col: str = "embedding"):
-    """→ Dataset(a, b, cosine_e6): within-cluster pairs with cosine ≥
-    threshold (approximate global pairs: cross-cluster duplicates are
-    unseen — recall gated in tests)."""
-    assigned, _ = assign_clusters(ds, cfg, n_clusters=n_clusters,
-                                  train_sample=train_sample,
-                                  id_col=id_col, emb_col=emb_col)
-    n_parts = cfg.num_partitions
-
+def _part_by_cluster(n_parts: int):
     def _part(t: pa.Table) -> pa.Table:
         cl = np.asarray(t["cluster"], dtype=np.int64)
         return t.append_column(
-            "_part", pa.array((cl % n_parts).astype(np.int64), pa.int64()))
+            "_part", pa.array((splitmix64(cl.view(np.uint64))
+                               % np.uint64(n_parts)).astype(np.int64),
+                              pa.int64()))
+    return _part
+
+
+def _pairs_over_clusters(assigned, threshold: float, cfg: PipelineConfig, *,
+                         cluster_cap: int, counters,
+                         id_col: str, emb_col: str):
+    """Shared reduce plan: ONE exchange keyed by cluster, then per-cluster
+    capped tiled self-matmul → Dataset(a, b, cosine_e6).  Over-cap
+    clusters are salt-split (see `_capped_segments`); overlapping chunks
+    can re-emit a pair, so each partition dedups its (a, b) locally
+    before returning (clusters never span partitions, so local dedup is
+    global dedup)."""
+    n_parts = cfg.num_partitions
 
     def _emit_pairs(t: pa.Table | None) -> pa.Table:
         if t is None or len(t) == 0:
             z = pa.array([], pa.int64())
             return pa.table({"a": z, "b": z, "cosine_e6": z})
-        _, ids, mat, bounds = _cluster_segments(t, id_col, emb_col)
+        _, ids, mat, bounds, cl_s = _cluster_segments(t, id_col, emb_col)
+        segs, stats = _capped_segments(ids, cl_s, bounds, cluster_cap)
+        if counters is not None and any(stats.values()):
+            counters.add.remote(stats)      # settle on read, not here
         a_all, b_all, c_all = [], [], []
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            if e - s < 2:
-                continue
-            a, b, cos = _pairs_in_cluster(ids[s:e], mat[s:e], threshold)
+        for idx in segs:
+            a, b, cos = _pairs_in_cluster(ids[idx], mat[idx], threshold)
             if len(a):
                 a_all.append(a)
                 b_all.append(b)
@@ -163,52 +212,113 @@ def semantic_dup_pairs(ds, threshold: float = 0.95,
         if not a_all:
             z = pa.array([], pa.int64())
             return pa.table({"a": z, "b": z, "cosine_e6": z})
+        a = np.concatenate(a_all)
+        b = np.concatenate(b_all)
         cos = np.concatenate(c_all)
+        pk, first = np.unique(np.stack([a, b], axis=1), axis=0,
+                              return_index=True)
         return pa.table({
-            "a": pa.array(np.concatenate(a_all), pa.int64()),
-            "b": pa.array(np.concatenate(b_all), pa.int64()),
-            "cosine_e6": pa.array(np.round(cos * 1e6).astype(np.int64),
-                                  pa.int64()),
+            "a": pa.array(pk[:, 0].copy(), pa.int64()),
+            "b": pa.array(pk[:, 1].copy(), pa.int64()),
+            "cosine_e6": pa.array(
+                np.round(cos[first] * 1e6).astype(np.int64), pa.int64()),
         })
 
     return hash_partition_map(assigned, "_part", _emit_pairs, n_parts,
-                              map_fn=_part, map_chunk_rows=cfg.batch_size)
+                              map_fn=_part_by_cluster(n_parts),
+                              map_chunk_rows=cfg.batch_size)
+
+
+def semantic_dup_pairs(ds, threshold: float = 0.95,
+                       cfg: PipelineConfig = DEFAULT_CONFIG, *,
+                       n_clusters: int | None = None,
+                       train_sample: int = 20000, cluster_cap: int = 4096,
+                       counters=None,
+                       id_col: str = "vec_id", emb_col: str = "embedding"):
+    """→ Dataset(a, b, cosine_e6): within-cluster pairs with cosine ≥
+    threshold (approximate global pairs: cross-cluster duplicates are
+    unseen — recall gated in tests)."""
+    assigned, _ = assign_clusters(ds, cfg, n_clusters=n_clusters,
+                                  train_sample=train_sample,
+                                  id_col=id_col, emb_col=emb_col)
+    return _pairs_over_clusters(assigned, threshold, cfg,
+                                cluster_cap=cluster_cap, counters=counters,
+                                id_col=id_col, emb_col=emb_col)
+
+
+def assign_argmax_buckets(ds, *, emb_col: str = "embedding"):
+    """Deterministic SQL-expressible quantizer: ``cluster`` = 0-based
+    index of the first maximal embedding component (DuckDB:
+    ``list_position(emb, list_max(emb)) - 1``).  Exists so the semantic
+    pair machinery has a fully oracled surface (`semantic_pairs_scored`)
+    — k-means itself is not SQL-expressible, but the exchange + capped
+    tiled self-matmul + threshold emission are identical."""
+    def _assign(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.append_column("cluster", pa.array([], pa.int64()))
+        m = _embedding_matrix(t, emb_col)
+        return t.append_column(
+            "cluster", pa.array(np.argmax(m, axis=1).astype(np.int64),
+                                pa.int64()))
+    return ds.map_batches(_assign, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def semantic_pairs_scored(ds, threshold: float = 0.4,
+                          cfg: PipelineConfig = DEFAULT_CONFIG, *,
+                          cluster_cap: int = 4096, counters=None,
+                          id_col: str = "vec_id",
+                          emb_col: str = "embedding"):
+    """Within-argmax-bucket exact-cosine pairs ≥ threshold — the
+    SemDeDup physical plan with a deterministic quantizer, so every
+    emitted value is oracle-checkable in SQL (the precision leg of the
+    semantic surface; recall of the learned quantizer stays a pytest
+    gate in tests/test_semdedup.py)."""
+    assigned = assign_argmax_buckets(ds, emb_col=emb_col)
+    return _pairs_over_clusters(assigned, threshold, cfg,
+                                cluster_cap=cluster_cap, counters=counters,
+                                id_col=id_col, emb_col=emb_col)
 
 
 def semantic_dedup(ds, threshold: float = 0.95,
                    cfg: PipelineConfig = DEFAULT_CONFIG, *,
                    n_clusters: int | None = None, train_sample: int = 20000,
+                   cluster_cap: int = 4096, counters=None,
                    id_col: str = "vec_id", emb_col: str = "embedding"):
     """Corpus-out semantic dedup: keep exactly one row (min id) per
     within-cluster ≥-threshold component; all other rows pass through
     unchanged.  The survivors are decided INSIDE the cluster exchange —
-    the corpus moves once and no drop set ever reaches the driver."""
+    the corpus moves once and no drop set ever reaches the driver.
+    Over-cap clusters use the salted sub-cell chain (`_capped_segments`);
+    ids are globally unique, so one CC over the partition's whole pair
+    set merges sub-cell pairs back into per-cluster components (pairs
+    never cross clusters, so no spurious merges are possible)."""
     assigned, _ = assign_clusters(ds, cfg, n_clusters=n_clusters,
                                   train_sample=train_sample,
                                   id_col=id_col, emb_col=emb_col)
     n_parts = cfg.num_partitions
 
-    def _part(t: pa.Table) -> pa.Table:
-        cl = np.asarray(t["cluster"], dtype=np.int64)
-        return t.append_column(
-            "_part", pa.array((cl % n_parts).astype(np.int64), pa.int64()))
-
     def _keep(t: pa.Table | None) -> pa.Table:
         if t is None or len(t) == 0:
             return pa.table({})
-        tt, ids, mat, bounds = _cluster_segments(t, id_col, emb_col)
-        drop_mask = np.zeros(len(ids), dtype=bool)
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            if e - s < 2:
-                continue
-            a, b, _cos = _pairs_in_cluster(ids[s:e], mat[s:e], threshold)
-            if not len(a):
-                continue
-            nodes, comp = label_components_arrays(a, b)
-            drops = nodes[nodes != comp]          # everyone but min id
-            seg_ids = ids[s:e]
-            drop_mask[s:e] = np.isin(seg_ids, drops)
+        tt, ids, mat, bounds, cl_s = _cluster_segments(t, id_col, emb_col)
+        segs, stats = _capped_segments(ids, cl_s, bounds, cluster_cap)
+        if counters is not None and any(stats.values()):
+            counters.add.remote(stats)      # settle on read, not here
+        a_all, b_all = [], []
+        for idx in segs:
+            a, b, _cos = _pairs_in_cluster(ids[idx], mat[idx], threshold)
+            if len(a):
+                a_all.append(a)
+                b_all.append(b)
+        if not a_all:
+            return tt.drop_columns(["cluster"])
+        nodes, comp = label_components_arrays(
+            np.concatenate(a_all), np.concatenate(b_all))
+        drops = nodes[nodes != comp]          # everyone but min id
+        drop_mask = np.isin(ids, drops)
         return tt.drop_columns(["cluster"]).filter(pa.array(~drop_mask))
 
     return hash_partition_map(assigned, "_part", _keep, n_parts,
-                              map_fn=_part, map_chunk_rows=cfg.batch_size)
+                              map_fn=_part_by_cluster(n_parts),
+                              map_chunk_rows=cfg.batch_size)

@@ -280,9 +280,8 @@ def quality_filter(ds, *, text_col: str = "text",
                 // np.maximum(n_tok, 1)
             keep &= dup_e6 <= max_dup_word_frac_e6
         if counters is not None and not keep.all():
-            import ray
-            ray.get(counters.add.remote(
-                {"quality_dropped": int((~keep).sum())}))
+            counters.add.remote(            # settle on read, not here
+                {"quality_dropped": int((~keep).sum())})
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(_filter, batch_format="pyarrow",

@@ -58,9 +58,24 @@ class RunCounters:
             self.timings[stage] = self.timings.get(stage, 0.0) + (
                 time.perf_counter() - t0)
 
-    def get(self) -> dict:
-        """Counter values + ``time_<stage>_s`` timings, merged."""
+    def get(self, settle_s: float = 2.0) -> dict:
+        """Counter values + ``time_<stage>_s`` timings, merged.
+
+        Adds from map/reduce tasks are fire-and-forget (no per-batch
+        actor round-trip in hot paths), so an add submitted by a worker
+        whose task just completed may still be in flight when the driver
+        reads.  The read side absorbs that race: poll until two
+        consecutive reads agree (typically one extra RTT; bounded by
+        ``settle_s``).  One settle per run on the driver is far cheaper
+        than one blocking RTT per batch across every worker."""
         out = ray.get(self._actor.get.remote())
+        deadline = time.perf_counter() + settle_s
+        while time.perf_counter() < deadline:
+            time.sleep(0.05)
+            nxt = ray.get(self._actor.get.remote())
+            if nxt == out:
+                break
+            out = nxt
         out.update({f"time_{k}_s": round(v, 3)
                     for k, v in self.timings.items()})
         return out

@@ -104,6 +104,87 @@ def test_pairs_subset_of_brute(ray_session):
     assert have <= _brute_pairs(mat, THRESH)
 
 
+def _mega_cluster(n_ball=200, n_noise=60, seed=7):
+    """A dense 'boilerplate ball' (>50% of rows, all pairwise cosine
+    > 0.99) plus isolated noise — the skewed embedding space that makes
+    an uncapped per-cluster self-matmul O(m²) in one task."""
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal(DIM)
+    base /= np.linalg.norm(base)
+    vecs = []
+    for _ in range(n_ball):
+        v = base + 0.01 * rng.standard_normal(DIM)
+        vecs.append(v / np.linalg.norm(v))
+    noise = rng.standard_normal((n_noise, DIM))
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    vecs.extend(noise)
+    mat = np.asarray(vecs)
+    ids = np.arange(len(mat), dtype=np.int64)
+    tab = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float32())),
+    })
+    return tab, mat, n_ball
+
+
+def test_mega_cluster_capped_pairs_and_counter(ray_session):
+    """Over-cap cluster: pair emission stays O(m·cap) (salted overlap
+    chain), every pair is still real, and the cap counter surfaces."""
+    from raydedup.state.counters import RunCounters
+    tab, mat, n_ball = _mega_cluster()
+    rc = RunCounters()
+    cap = 16
+    got = semantic_dup_pairs(_ds(tab), THRESH, CFG, n_clusters=4,
+                             train_sample=10**6, cluster_cap=cap,
+                             counters=rc.actor).to_pandas()
+    # precision unchanged: emitted ⊆ brute force
+    have = set(zip(got["a"].tolist(), got["b"].tolist()))
+    assert have <= _brute_pairs(mat, THRESH)
+    # bounded emission: ≤ n_chunks · C(cap,2), nowhere near C(m,2)
+    step = cap - 1
+    n_chunks = -(-(n_ball - 1) // step)
+    assert len(got) <= n_chunks * cap * (cap - 1) // 2
+    assert len(got) < n_ball * (n_ball - 1) // 2 / 4
+    cnt = rc.get()
+    assert cnt.get("semdedup_capped_clusters", 0) >= 1
+    assert cnt.get("semdedup_capped_rows", 0) >= n_ball
+
+
+def test_mega_cluster_dedup_single_survivor(ray_session):
+    """The dense ball is one component through the overlap chain: dedup
+    keeps exactly its min id; noise singletons all survive."""
+    tab, mat, n_ball = _mega_cluster()
+    kept = semantic_dedup(_ds(tab), THRESH, CFG, n_clusters=4,
+                          train_sample=10**6, cluster_cap=16).to_pandas()
+    kept_ids = set(kept["vec_id"].tolist())
+    ball = set(range(n_ball))
+    assert kept_ids & ball == {0}
+    assert set(range(n_ball, len(mat))) <= kept_ids
+
+
+def test_pairs_scored_matches_argmax_brute(ray_session):
+    """semantic_pairs_scored == brute force restricted to argmax-dim
+    buckets (the oracle the driver checks in SQL)."""
+    from raydedup.stages.semdedup import semantic_pairs_scored
+    tab, mat, _ = _planted(seed=5)
+    thr = 0.4
+    got = semantic_pairs_scored(_ds(tab), thr, CFG).to_pandas()
+    m32 = np.asarray(
+        [np.asarray(r, dtype=np.float32) for r in tab["embedding"].to_pylist()])
+    m = m32.astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    bucket = np.argmax(m32, axis=1)
+    sims = m @ m.T
+    a, b = np.nonzero(np.triu(sims >= thr, k=1))
+    same = bucket[a] == bucket[b]
+    want = {(int(x), int(y)): int(round(sims[x, y] * 1e6))
+            for x, y in zip(a[same], b[same])}
+    have = {(int(r.a), int(r.b)): int(r.cosine_e6)
+            for r in got.itertuples(index=False)}
+    assert have == want
+
+
 def test_assign_clusters_shapes(ray_session):
     tab, _, _ = _planted()
     assigned, cents = assign_clusters(_ds(tab), CFG, n_clusters=8,
