@@ -76,8 +76,9 @@ def cmd_neardup(args):
     from .pipelines.neardup import near_dup_clusters
 
     cfg = DEFAULT_CONFIG.with_(
-        **({"k_shingle": args.k} if args.k else {}),
-        **({"verify_threshold": args.threshold} if args.threshold else {}),
+        **({"k_shingle": args.k} if args.k is not None else {}),
+        **({"verify_threshold": args.threshold}
+           if args.threshold is not None else {}),
     )
     docs = rd.read_parquet(args.input)
     if args.ckpt:
@@ -97,7 +98,8 @@ def cmd_tiered(args):
     from .pipelines.tiered import tiered_dedup
 
     cfg = DEFAULT_CONFIG.with_(
-        **({"verify_threshold": args.threshold} if args.threshold else {}),
+        **({"verify_threshold": args.threshold}
+           if args.threshold is not None else {}),
     )
     docs = rd.read_parquet(args.input)
     res = tiered_dedup(docs, cfg, line_min_docs=args.line_min_docs)
@@ -116,7 +118,8 @@ def cmd_decontam(args):
                                   decontamination_matches)
 
     cfg = DEFAULT_CONFIG.with_(
-        **({"verify_threshold": args.threshold} if args.threshold else {}),
+        **({"verify_threshold": args.threshold}
+           if args.threshold is not None else {}),
     )
     corpus = rd.read_parquet(args.input)
     reference = rd.read_parquet(args.reference)
@@ -146,7 +149,8 @@ def cmd_build(args):
     from .pipelines.build import build_corpus
 
     cfg = DEFAULT_CONFIG.with_(
-        **({"verify_threshold": args.threshold} if args.threshold else {}),
+        **({"verify_threshold": args.threshold}
+           if args.threshold is not None else {}),
     )
     quality = {}
     if args.min_tokens is not None:
@@ -190,11 +194,13 @@ def cmd_split(args):
         name, w = part.split("=")
         weights[name.strip()] = float(w)
     corpus = rd.read_parquet(args.input)
-    counts = {}
-    for name in weights:
-        out = corpus_split(corpus, weights, seed=args.seed, only=name)
-        out.write_parquet(f"{args.output}/{name}")
-        counts[name] = rd.read_parquet(f"{args.output}/{name}").count()
+    # ONE streaming pass: annotate every row with its split and write
+    # hive-partitioned (out/split=train/...), the same plan cmd_build
+    # uses — never one full input re-read + re-hash per split name
+    tagged = corpus_split(corpus, weights, seed=args.seed)
+    tagged.write_parquet(args.output, partition_cols=["split"])
+    counts = {name: rd.read_parquet(f"{args.output}/split={name}").count()
+              for name in weights}
     print(json.dumps({"splits": counts, "out": args.output}, sort_keys=True))
 
 
@@ -223,7 +229,8 @@ def cmd_incremental(args):
                                      incremental_near_dup)
 
     cfg = DEFAULT_CONFIG.with_(
-        **({"verify_threshold": args.threshold} if args.threshold else {}),
+        **({"verify_threshold": args.threshold}
+           if args.threshold is not None else {}),
     )
     inc = rd.read_parquet(args.increment)
     corpus = rd.read_parquet(args.corpus)

@@ -74,16 +74,23 @@ def build_corpus(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
         cur = quality_filter(cur, text_col=text_col, counters=rc.actor,
                              **quality)
 
+    if ngram_n is not None and reference is None and ngram_pack is None:
+        raise ValueError("ngram_n was set but there is no reference to "
+                         "build the gram pack from and no prebuilt "
+                         "ngram_pack — pass one of them")
     if reference is not None or decontam_pack is not None:
-        from ..stages.decontam import decontaminate, decontaminate_ngram
+        from ..stages.decontam import decontaminate
         cur = decontaminate(cur, reference, cfg, id_col=id_col,
                             text_col=text_col, counters=rc.actor,
                             pack=decontam_pack)
-        if ngram_n or ngram_pack is not None:
-            cur = decontaminate_ngram(cur, reference, cfg,
-                                      n=ngram_n or 13,
-                                      id_col=id_col, text_col=text_col,
-                                      counters=rc.actor, pack=ngram_pack)
+    if (reference is not None or ngram_pack is not None) and (
+            ngram_n is not None or ngram_pack is not None):
+        # n-mismatch between ngram_n and a prebuilt pack raises
+        # inside decontaminate_ngram (the pack carries its n)
+        from ..stages.decontam import decontaminate_ngram
+        cur = decontaminate_ngram(cur, reference, cfg, n=ngram_n,
+                                  id_col=id_col, text_col=text_col,
+                                  counters=rc.actor, pack=ngram_pack)
 
     if cur is not docs:
         # pin the zero-shuffle prefix ONCE: tiered has several consumers

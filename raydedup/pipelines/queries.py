@@ -338,8 +338,11 @@ JOIN vol va ON va.v = c.a JOIN vol vb ON vb.v = c.b
 
 
 def q_degrees(sf_dir):
+    # symmetrize's reduce emits one src-co-partitioned block per hash
+    # partition, so degrees completes as a pure per-block map — one
+    # exchange total for the whole query, not two
     sym = gr.symmetrize(gr.drop_self_loops(_lineitem_edges(sf_dir)), CFG)
-    return gr.degrees(sym)
+    return gr.degrees(sym, src_partitioned=True)
 
 
 SQL_DEGREES = """

@@ -24,6 +24,8 @@ sorted intersection recast as the batched kernels in functions/setops.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import numpy as np
 import pyarrow as pa
 
@@ -91,11 +93,27 @@ def _build_reference_pack(reference_ds, cfg: PipelineConfig,
     }
 
 
+# per-worker-process seed cache (signatures.py's stage-cache pattern):
+# permutation seeds are built once per worker, not once per batch, while
+# the map stage stays a stateless elastic task pool.
+_SEED_CACHE: dict = {}
+
+
+def _cached_seeds(num_perms: int, seed: int) -> np.ndarray:
+    from ..functions.hashing import perm_seeds
+
+    key = (num_perms, seed)
+    s = _SEED_CACHE.get(key)
+    if s is None:
+        s = perm_seeds(num_perms, seed)
+        _SEED_CACHE[key] = s
+    return s
+
+
 def _match_batch(batch: pa.Table, pack: dict, cfg: PipelineConfig,
                  id_col: str, text_col: str, thr: float):
     """→ (drop_mask over batch rows, matches table(corpus_id, ref_id,
     jaccard)).  Steps 1-5 of the module docstring for one Arrow batch."""
-    from ..functions.hashing import perm_seeds
     from ..functions.setops import pairwise_jaccard
 
     n = len(batch)
@@ -104,7 +122,7 @@ def _match_batch(batch: pa.Table, pack: dict, cfg: PipelineConfig,
                       "jaccard": pa.array([], pa.float64())})
     if n == 0:
         return np.zeros(0, dtype=bool), empty
-    seeds = perm_seeds(cfg.num_perms, cfg.seed)
+    seeds = _cached_seeds(cfg.num_perms, cfg.seed)
     wh, wd, n_docs = shingle_stream(batch[text_col], cfg.k_shingle)
     sig = minhash_oph_stream(wh, wd, n_docs, cfg.num_perms, seeds[0])
     bk = band_keys(sig, cfg.bands, cfg.rows_per_band)      # (n, B)
@@ -274,8 +292,18 @@ def decontaminate_exact(corpus_ds, reference_ds,
 
 # ---------------------------------------------------------- n-gram guard
 
+class NgramPack(NamedTuple):
+    """Broadcastable n-gram guard pack: the sorted unique window hashes
+    AND the n they were built with — the window width and the hash
+    space are coupled (a pack probed at a different n silently yields
+    zero matches), so the pack carries its n and the consumers verify
+    it."""
+    grams: np.ndarray
+    n: int
+
+
 def build_ngram_pack(reference_ds, n: int = 13, *, text_col: str = "text",
-                     batch_size: int = 4096) -> np.ndarray | None:
+                     batch_size: int = 4096) -> "NgramPack | None":
     """Sorted unique uint64 window hashes of every n-token-gram in the
     reference — the broadcastable side of the GPT-3-style n-gram
     leakage guard (Brown et al. 2020 §C dropped training docs sharing a
@@ -297,8 +325,22 @@ def build_ngram_pack(reference_ds, n: int = 13, *, text_col: str = "text",
     tabs = [t for t in ray.get(gr.to_arrow_refs()) if len(t)]
     if not tabs:
         return None
-    return np.unique(np.asarray(pa.concat_tables(tabs)["g"],
-                                dtype=np.uint64))
+    return NgramPack(np.unique(np.asarray(pa.concat_tables(tabs)["g"],
+                                          dtype=np.uint64)), int(n))
+
+
+def _resolve_ngram_pack(pack, n: int | None) -> tuple[np.ndarray, int]:
+    """Unwrap an NgramPack (or bare ndarray, back-compat) + requested n
+    → (grams, effective n); a pack built at a different n than the one
+    requested fails loudly instead of silently matching nothing."""
+    if isinstance(pack, NgramPack):
+        if n is not None and n != pack.n:
+            raise ValueError(
+                f"ngram pack was built with n={pack.n} but n={n} was "
+                f"requested — window hashes would never match; rebuild "
+                f"the pack or drop the explicit n")
+        return pack.grams, pack.n
+    return pack, (13 if n is None else n)
 
 
 def _ngram_hits(batch: pa.Table, grams: np.ndarray, n: int, text_col: str
@@ -320,15 +362,17 @@ def _ngram_hits(batch: pa.Table, grams: np.ndarray, n: int, text_col: str
 
 def decontaminate_ngram(corpus_ds, reference_ds,
                         cfg: PipelineConfig = DEFAULT_CONFIG, *,
-                        n: int = 13, max_hits: int = 0,
+                        n: int | None = None, max_hits: int = 0,
                         id_col: str = "doc_id", text_col: str = "text",
-                        counters=None, pack: np.ndarray | None = None):
+                        counters=None, pack=None):
     """N-gram decontamination: drop corpus docs sharing MORE THAN
     ``max_hits`` n-token-grams (window positions) with the reference.
     Zero shuffles — the reference gram table is broadcast once
     (``ray.put``) and the corpus is touched in one streaming map, the
     same broadcast-small-side shape as ``decontaminate``.  ``pack``: a
-    prebuilt ``build_ngram_pack`` result (reference_ds ignored then).
+    prebuilt ``build_ngram_pack`` result (reference_ds ignored then);
+    ``n`` defaults to the pack's n, else 13, and an explicit n that
+    disagrees with the pack raises.
 
     This is the standard eval-leakage guard stricter than whole-doc
     similarity: a single overlapping 13-gram marks the doc, however
@@ -336,11 +380,16 @@ def decontaminate_ngram(corpus_ds, reference_ds,
     import ray
 
     if pack is None:
-        pack = build_ngram_pack(reference_ds, n, text_col=text_col,
+        if reference_ds is None:
+            raise ValueError("decontaminate_ngram needs a reference_ds "
+                             "or a prebuilt pack")
+        pack = build_ngram_pack(reference_ds, 13 if n is None else n,
+                                text_col=text_col,
                                 batch_size=cfg.batch_size)
     if pack is None:
         return corpus_ds
-    pack_ref = ray.put(pack)
+    grams, n = _resolve_ngram_pack(pack, n)
+    pack_ref = ray.put(grams)
 
     def _filter(batch: pa.Table) -> pa.Table:
         grams = ray.get(pack_ref)
@@ -358,9 +407,8 @@ def decontaminate_ngram(corpus_ds, reference_ds,
 
 def ngram_contamination_stats(corpus_ds, reference_ds,
                               cfg: PipelineConfig = DEFAULT_CONFIG, *,
-                              n: int = 13, id_col: str = "doc_id",
-                              text_col: str = "text",
-                              pack: np.ndarray | None = None):
+                              n: int | None = None, id_col: str = "doc_id",
+                              text_col: str = "text", pack=None):
     """→ Dataset(doc_id, n_grams, n_contaminated, frac) for every corpus
     doc with ≥1 contaminated n-gram window — the audit companion to
     ``decontaminate_ngram`` (how MUCH of each flagged doc overlaps the
@@ -368,7 +416,11 @@ def ngram_contamination_stats(corpus_ds, reference_ds,
     import ray
 
     if pack is None:
-        pack = build_ngram_pack(reference_ds, n, text_col=text_col,
+        if reference_ds is None:
+            raise ValueError("ngram_contamination_stats needs a "
+                             "reference_ds or a prebuilt pack")
+        pack = build_ngram_pack(reference_ds, 13 if n is None else n,
+                                text_col=text_col,
                                 batch_size=cfg.batch_size)
     empty = pa.table({id_col: pa.array([], pa.int64()),
                       "n_grams": pa.array([], pa.int64()),
@@ -377,7 +429,8 @@ def ngram_contamination_stats(corpus_ds, reference_ds,
     if pack is None:
         import ray.data as rd
         return rd.from_arrow(empty)
-    pack_ref = ray.put(pack)
+    grams_arr, n = _resolve_ngram_pack(pack, n)
+    pack_ref = ray.put(grams_arr)
 
     def _stats(batch: pa.Table) -> pa.Table:
         grams = ray.get(pack_ref)

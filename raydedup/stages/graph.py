@@ -21,9 +21,18 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..functions.hashing import splitmix64
 from ..functions.setops import pairwise_weighted_jaccard
 from ..functions.text import binary_to_sets, sets_to_binary
 from .verify import attach_sets, score_pairs
+
+
+def _vertex_part(v: np.ndarray, n_parts: int) -> np.ndarray:
+    """Partition key for vertex ids: splitmix64 before the modulo, like
+    every other exchange in the repo — raw ``id % n_parts`` skews badly
+    on strided or residue-clustered id spaces."""
+    return (splitmix64(v.view(np.uint64))
+            % np.uint64(n_parts)).astype(np.int64)
 
 
 def drop_self_loops(edges_ds):
@@ -59,7 +68,13 @@ def symmetrize(edges_ds, cfg: PipelineConfig = DEFAULT_CONFIG):
     are additionally src-co-partitioned, which ``degrees`` exploits."""
     from ..functions.shuffle import hash_partition_map
 
-    has_w = "weight" in edges_ds.schema().names
+    schema = edges_ds.schema()
+    has_w = "weight" in schema.names
+    # empty partitions must emit the INPUT weight dtype, not a
+    # hardcoded float64 — an integer-weighted edge list would otherwise
+    # yield mixed block schemas across the output Dataset
+    w_type = (schema.types[schema.names.index("weight")]
+              if has_w else None)
     n_parts = cfg.resolved_partitions()
 
     def _bidir_tag(t: pa.Table) -> pa.Table:
@@ -71,7 +86,7 @@ def symmetrize(edges_ds, cfg: PipelineConfig = DEFAULT_CONFIG):
             w = t["weight"].combine_chunks()
             cols["weight"] = pa.concat_arrays([w, w])
         s = np.asarray(cols["src"], dtype=np.int64)
-        cols["part"] = pa.array((s % n_parts).astype(np.int64), pa.int64())
+        cols["part"] = pa.array(_vertex_part(s, n_parts), pa.int64())
         return pa.table(cols)
 
     empty_cols = {"src": pa.array([], pa.int64()),
@@ -81,7 +96,7 @@ def symmetrize(edges_ds, cfg: PipelineConfig = DEFAULT_CONFIG):
         if tab is None or len(tab) == 0 or tab.num_columns == 0:
             out = dict(empty_cols)
             if has_w:
-                out["weight"] = pa.array([], pa.float64())
+                out["weight"] = pa.array([], w_type)
             return pa.table(out)
         src = np.asarray(tab["src"], dtype=np.int64)
         dst = np.asarray(tab["dst"], dtype=np.int64)
@@ -112,7 +127,8 @@ def canonicalize(edges_ds):
     )
 
 
-def degrees(edges_ds, cfg: PipelineConfig = DEFAULT_CONFIG):
+def degrees(edges_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
+            src_partitioned: bool = False):
     """Per-vertex out-degree over a (symmetrized) edge list — the
     unweighted RowSum kernel (jaccard.cpp:236-261).
     → Dataset(vertex:int64, degree:int64).
@@ -120,8 +136,29 @@ def degrees(edges_ds, cfg: PipelineConfig = DEFAULT_CONFIG):
     Combiner exchange: each batch pre-aggregates to (vertex, partial
     count) rows — shuffle volume is distinct vertices per batch, not
     edges — then one hash exchange keyed on vertex sums partials with
-    ``add.reduceat``.  Replaces the Ray-native per-edge groupby."""
+    ``add.reduceat``.  Replaces the Ray-native per-edge groupby.
+
+    ``src_partitioned=True``: the input is already src-co-partitioned —
+    every vertex's rows live in exactly one block (e.g. ``symmetrize``
+    output, whose reduce emits one block per hash partition).  Degrees
+    are then complete per block and the whole op is a pure streaming
+    map: ZERO additional exchange."""
     from ..functions.shuffle import hash_partition_map
+
+    if src_partitioned:
+        def _local(t: pa.Table) -> pa.Table:
+            src = np.asarray(t["src"].combine_chunks().cast(pa.int64()),
+                             dtype=np.int64)
+            u, c = np.unique(src, return_counts=True)
+            return pa.table({
+                "vertex": pa.array(u, pa.int64()),
+                "degree": pa.array(c.astype(np.int64), pa.int64()),
+            })
+
+        # batch_size=None: one call per (partition-complete) block —
+        # slicing a block would split a vertex's rows across calls
+        return edges_ds.map_batches(_local, batch_format="pyarrow",
+                                    batch_size=None, zero_copy_batch=True)
 
     n_parts = cfg.resolved_partitions()
 
@@ -132,7 +169,7 @@ def degrees(edges_ds, cfg: PipelineConfig = DEFAULT_CONFIG):
         return pa.table({
             "vertex": pa.array(u, pa.int64()),
             "partial": pa.array(c.astype(np.int64), pa.int64()),
-            "part": pa.array((u % n_parts).astype(np.int64), pa.int64()),
+            "part": pa.array(_vertex_part(u, n_parts), pa.int64()),
         })
 
     empty = pa.table({"vertex": pa.array([], pa.int64()),
@@ -174,7 +211,7 @@ def build_adjacency(edges_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
 
     def _part(t: pa.Table) -> pa.Table:
         src = np.asarray(t["src"], dtype=np.int64)
-        part = (src % n_parts).astype(np.int64)
+        part = _vertex_part(src, n_parts)
         return pa.table({
             "src": pa.array(src, pa.int64()),
             "dst": pa.array(np.asarray(t["dst"], dtype=np.int64), pa.int64()),

@@ -63,12 +63,22 @@ def asof_join(left_ds, right_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
 
     One exchange: both sides are tagged (side right=0 / left=1) and
     hash-partitioned by key; per partition, rows are lexsorted by
-    (key, ts, side) — right before left at equal ts, which implements
-    the inclusive bound — and the match is a segmented forward-fill of
-    "index of last right row seen": with S = n+1 and per-row key rank r,
-    ``acc = maximum.accumulate(r*S + (i+1 if right else 0))`` stays
-    within rank r's band (earlier ranks max out at r*S - 1), so
-    ``acc - r*S`` is 1 + the matched right index, 0 = no match.
+    (key, ts, side, value) — right before left at equal ts, which
+    implements the inclusive bound — and the match is a segmented
+    forward-fill of "index of last right row seen": with S = n+1 and
+    per-row key rank r, ``acc = maximum.accumulate(r*S + (i+1 if right
+    else 0))`` stays within rank r's band (earlier ranks max out at
+    r*S - 1), so ``acc - r*S`` is 1 + the matched right index, 0 = no
+    match.
+
+    Tie rule (part of the operator contract, not left to arrival
+    order): when SEVERAL right rows share the matched (key, ts), the
+    one with the MAXIMUM value wins — value is the lexsort's final
+    component, so the max-value row sits last in the tie run and the
+    forward-fill (which keeps the highest index) selects it
+    deterministically.  SQL ASOF JOIN leaves this tie
+    implementation-defined; oracles pre-aggregate ``max(value)`` per
+    (key, ts) to pin the same rule.
     """
     n_parts = cfg.resolved_partitions()
 
@@ -109,7 +119,7 @@ def asof_join(left_ds, right_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
         side = np.asarray(tab["side"], dtype=np.int8)
         vals = np.asarray(tab["v"].combine_chunks().fill_null(0),
                           dtype=np.int64)
-        order = np.lexsort((side, ts, keys))
+        order = np.lexsort((vals, side, ts, keys))
         keys, ts, side, vals = keys[order], ts[order], side[order], vals[order]
         rid = np.asarray(tab["rid"].combine_chunks().fill_null(-1),
                          dtype=np.int64)[order]

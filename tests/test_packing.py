@@ -57,3 +57,35 @@ class TestPackSequences:
         """).df()
         assert list(out["bin"]) == list(want["bin"])
         assert list(out["n_tokens"]) == list(want["n_tokens"])
+
+    def test_sparse_skewed_ids_quantile_partitioner(self, ray_session):
+        """Sparse/skewed id space (a dense low clump + a huge-offset
+        strided tail): the quantile partitioner must yield the SAME
+        bins as the arithmetic one (output is partition-invariant) and
+        as a local oracle, while arithmetic ranges would have dumped
+        every low id into one partition."""
+        from raydedup.stages.packing import pack_sequences
+        rng = np.random.default_rng(13)
+        low = list(range(100))                         # dense clump at 0
+        high = [10**12 + 7919 * i for i in range(100)]  # far strided tail
+        ids = low + high
+        lens = rng.integers(1, 30, size=len(ids))
+        rows = [(int(i), " ".join("w" * 1 for _ in range(int(l))))
+                for i, l in zip(ids, lens)]
+        outq = pack_sequences(_ds(rows), CFG, budget=53,
+                              partitioner="quantile").to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        outa = pack_sequences(_ds(rows), CFG, budget=53,
+                              partitioner="arith").to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        # local oracle: exclusive cumsum in ascending id order
+        order = np.argsort(np.asarray(ids, dtype=np.int64))
+        ntok = np.asarray(lens, dtype=np.int64)[order]
+        excl = np.concatenate(([0], np.cumsum(ntok)[:-1]))
+        want = (excl // 53).tolist()
+        assert list(outq["bin"]) == want
+        assert list(outa["bin"]) == want
+        # auto picks quantile here (span >> rows) and agrees too
+        outo = pack_sequences(_ds(rows), CFG, budget=53).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert list(outo["bin"]) == want

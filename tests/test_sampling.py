@@ -183,8 +183,10 @@ class TestSplitCLI:
             input=str(tmp_path / "c.parquet"), output=str(out),
             weights="train=0.8,val=0.2", seed=0))
         import ray.data as rd
-        tr = rd.read_parquet(str(out / "train")).to_pandas()
-        va = rd.read_parquet(str(out / "val")).to_pandas()
+        # one-pass hive-partitioned layout (out/split=train/...), the
+        # same shape cmd_build writes
+        tr = rd.read_parquet(str(out / "split=train")).to_pandas()
+        va = rd.read_parquet(str(out / "split=val")).to_pandas()
         ids = sorted(list(tr["doc_id"]) + list(va["doc_id"]))
         assert ids == list(range(300))        # exhaustive + exclusive
         assert 0 < len(va) < len(tr)

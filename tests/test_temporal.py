@@ -48,6 +48,26 @@ class TestAsofJoin:
             [pd.NA, 100, 300, pd.NA, 500, pd.NA]
         assert out["user_id"].tolist() == [1, 1, 1, 2, 2, 3]
 
+    def test_tie_rule_max_value_wins(self, ray_session):
+        """Several right rows at the SAME (key, ts): the operator's
+        documented tie rule picks the max value, deterministically,
+        regardless of arrival order."""
+        from raydedup.stages.temporal import asof_join
+        left = _ds(pa.table({
+            "event_id": pa.array([1, 2], pa.int64()),
+            "user_id": pa.array([1, 1], pa.int64()),
+            "ts": _ts(10, 20),
+        }))
+        # ties arrive max-first AND max-last to rule out order luck
+        right = _ds(pa.table({
+            "user_id": pa.array([1, 1, 1, 1, 1, 1], pa.int64()),
+            "ts": _ts(10, 10, 10, 20, 20, 20),
+            "v": pa.array([900, 100, 500, 300, 700, 200], pa.int64()),
+        }))
+        out = asof_join(left, right, CFG, value_col="v", out_col="v") \
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        assert out["v"].tolist() == [900, 700]
+
     def test_matches_duckdb_asof(self, ray_session):
         from raydedup.stages.temporal import asof_join
         rng = np.random.default_rng(7)
