@@ -71,16 +71,55 @@ def tokenize_arrow(texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return fnv1a_over_slices(data, starts, lens), offsets
 
 
+# transient per-row token-hash cache column: list<uint64> of each doc's
+# token hashes, attached by a stage that already paid tokenize_arrow so
+# downstream zero-shuffle stages skip re-tokenizing the same text
+# (tokenize is ~45% of signature-shaped compute).  The column only
+# lives INSIDE fused map chains — attach it in the first stage of a
+# streaming prefix and drop it before any materialize/exchange so it
+# never inflates the object store.
+TOKEN_CACHE_COL = "__tok_hashes"
+
+
+def tokens_to_column(tok_hashes: np.ndarray,
+                     offsets: np.ndarray) -> pa.LargeListArray:
+    """(CSR token hashes, offsets) → a large_list<uint64> cache column."""
+    return pa.LargeListArray.from_arrays(
+        pa.array(offsets, pa.int64()),
+        pa.array(tok_hashes, pa.uint64()))
+
+
+def column_to_tokens(col) -> tuple[np.ndarray, np.ndarray]:
+    """Cache column → (token_hashes, offsets), zero-copy off the Arrow
+    buffers (handles sliced/filtered arrays via the offset window)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offs = np.asarray(col.offsets, dtype=np.int64)
+    vals = np.asarray(col.values, dtype=np.uint64)
+    return vals[offs[0]:offs[-1]], offs - offs[0]
+
+
+def batch_tokens(batch: pa.Table, text_col: str
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-batch tokenization with cache reuse: read the token-hash
+    cache column when a previous stage attached it, else tokenize."""
+    if TOKEN_CACHE_COL in batch.column_names:
+        return column_to_tokens(batch[TOKEN_CACHE_COL])
+    return tokenize_arrow(batch[text_col])
+
+
 def shingle_batch(
-    texts: pa.Array, k: int
+    texts: pa.Array, k: int, tok: tuple | None = None
 ) -> tuple[np.ndarray, np.ndarray]:
     """k-gram shingle sets for a batch of texts.
 
     Returns ``(values, offsets)``: ``values`` is the concatenated sorted
     unique shingle hashes of every doc, ``offsets`` (len D+1) delimits
     each doc's run.  Docs with fewer than k tokens get an empty set.
+    ``tok``: precomputed ``(token_hashes, offsets)`` (skips tokenize).
     """
-    tok_hashes, tok_offsets = tokenize_arrow(texts)
+    tok_hashes, tok_offsets = tok if tok is not None \
+        else tokenize_arrow(texts)
     n_docs = len(tok_offsets) - 1
     n_tok = tok_offsets[1:] - tok_offsets[:-1]
     m = int(tok_offsets[-1])
@@ -114,7 +153,7 @@ def shingle_batch(
     return sh, offsets
 
 
-def shingle_stream(texts: pa.Array, k: int
+def shingle_stream(texts: pa.Array, k: int, tok: tuple | None = None
                    ) -> tuple[np.ndarray, np.ndarray, int]:
     """Raw k-gram window-hash STREAM for a batch of texts — duplicates
     retained, unsorted.
@@ -126,8 +165,10 @@ def shingle_stream(texts: pa.Array, k: int
     sets — the measured memory-bandwidth hot spot of the signature stage
     — is skipped entirely.  Use ``shingle_batch`` only when the actual
     sets are needed (exact-Jaccard verification, SimHash).
+    ``tok``: precomputed ``(token_hashes, offsets)`` (skips tokenize).
     """
-    tok_hashes, tok_offsets = tokenize_arrow(texts)
+    tok_hashes, tok_offsets = tok if tok is not None \
+        else tokenize_arrow(texts)
     n_docs = len(tok_offsets) - 1
     n_tok = tok_offsets[1:] - tok_offsets[:-1]
     m = int(tok_offsets[-1])

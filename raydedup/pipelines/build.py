@@ -63,34 +63,51 @@ def build_corpus(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
     eval suite signs the reference once and reuses the packs every run
     (``reference`` may then be None).
     """
+    from ..functions.text import TOKEN_CACHE_COL
     from ..state import RunCounters
     from .tiered import tiered_dedup
 
     rc = RunCounters()
     cur = docs
 
-    if quality:
-        from ..stages.textstats import quality_filter
-        cur = quality_filter(cur, text_col=text_col, counters=rc.actor,
-                             **quality)
-
     if ngram_n is not None and reference is None and ngram_pack is None:
         raise ValueError("ngram_n was set but there is no reference to "
                          "build the gram pack from and no prebuilt "
                          "ngram_pack — pass one of them")
-    if reference is not None or decontam_pack is not None:
+    run_decontam = reference is not None or decontam_pack is not None
+    run_ngram = (reference is not None or ngram_pack is not None) and (
+        ngram_n is not None or ngram_pack is not None)
+    # tokenize-once prefix: the FIRST tokenizing stage attaches the
+    # token-hash cache column whenever another tokenizing stage follows
+    # in the zero-shuffle chain; the column is dropped before the
+    # materialize boundary so it never reaches the object store
+    n_tok_stages = int(bool(quality)) + int(run_decontam) + int(run_ngram)
+    carry = n_tok_stages >= 2
+
+    if quality:
+        from ..stages.textstats import quality_filter
+        cur = quality_filter(cur, text_col=text_col, counters=rc.actor,
+                             carry_tokens=carry, **quality)
+
+    if run_decontam:
         from ..stages.decontam import decontaminate
         cur = decontaminate(cur, reference, cfg, id_col=id_col,
                             text_col=text_col, counters=rc.actor,
-                            pack=decontam_pack)
-    if (reference is not None or ngram_pack is not None) and (
-            ngram_n is not None or ngram_pack is not None):
+                            pack=decontam_pack,
+                            carry_tokens=carry and run_ngram)
+    if run_ngram:
         # n-mismatch between ngram_n and a prebuilt pack raises
         # inside decontaminate_ngram (the pack carries its n)
         from ..stages.decontam import decontaminate_ngram
         cur = decontaminate_ngram(cur, reference, cfg, n=ngram_n,
                                   id_col=id_col, text_col=text_col,
                                   counters=rc.actor, pack=ngram_pack)
+
+    if carry:
+        cur = cur.map_batches(
+            lambda t: (t.drop_columns([TOKEN_CACHE_COL])
+                       if TOKEN_CACHE_COL in t.column_names else t),
+            batch_format="pyarrow", zero_copy_batch=True)
 
     if cur is not docs:
         # pin the zero-shuffle prefix ONCE: tiered has several consumers

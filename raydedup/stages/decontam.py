@@ -31,7 +31,9 @@ import pyarrow as pa
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
 from ..functions.sketches import band_keys, minhash_oph_stream
-from ..functions.text import binary_to_sets, shingle_batch, shingle_stream
+from ..functions.text import (TOKEN_CACHE_COL, batch_tokens, binary_to_sets,
+                              shingle_batch, shingle_stream,
+                              tokens_to_column)
 
 
 def _gather_rows(values: np.ndarray, offsets: np.ndarray,
@@ -123,7 +125,10 @@ def _match_batch(batch: pa.Table, pack: dict, cfg: PipelineConfig,
     if n == 0:
         return np.zeros(0, dtype=bool), empty
     seeds = _cached_seeds(cfg.num_perms, cfg.seed)
-    wh, wd, n_docs = shingle_stream(batch[text_col], cfg.k_shingle)
+    # tokenize-once: reuse an upstream stage's token-hash cache column
+    # when present (quality_filter carry_tokens), else tokenize here
+    tok = batch_tokens(batch, text_col)
+    wh, wd, n_docs = shingle_stream(batch[text_col], cfg.k_shingle, tok=tok)
     sig = minhash_oph_stream(wh, wd, n_docs, cfg.num_perms, seeds[0])
     bk = band_keys(sig, cfg.bands, cfg.rows_per_band)      # (n, B)
     nonempty = np.bincount(wd, minlength=n_docs) > 0
@@ -153,7 +158,8 @@ def _match_batch(batch: pa.Table, pack: dict, cfg: PipelineConfig,
     # exact verification: sets for the hit corpus docs only
     hit_docs = np.unique(cor_idx)
     sub = batch.take(pa.array(hit_docs, pa.int64()))
-    cv, co = shingle_batch(sub[text_col], cfg.k_shingle)
+    cv, co = shingle_batch(sub[text_col], cfg.k_shingle,
+                           tok=batch_tokens(sub, text_col))
     local_of = np.searchsorted(hit_docs, cor_idx)
     av, ao = _gather_rows(cv, co, local_of)
     bv, bo = _gather_rows(pack["ref_vals"], pack["ref_offs"], ref_idx)
@@ -172,11 +178,14 @@ def _match_batch(batch: pa.Table, pack: dict, cfg: PipelineConfig,
 
 def decontaminate(corpus_ds, reference_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
                   *, id_col: str = "doc_id", text_col: str = "text",
-                  threshold: float | None = None, counters=None, pack=None):
+                  threshold: float | None = None, counters=None, pack=None,
+                  carry_tokens: bool = False):
     """Corpus rows whose text does NOT near-duplicate (J ≥ threshold,
     default cfg.verify_threshold) any reference doc — original columns
     preserved, streaming, zero shuffles.  ``pack``: a prebuilt
-    ``build_reference_pack`` result (reference_ds ignored then)."""
+    ``build_reference_pack`` result (reference_ds ignored then).
+    ``carry_tokens``: attach the token-hash cache column to the output
+    for the next zero-shuffle stage (see quality_filter)."""
     import ray
 
     thr = cfg.verify_threshold if threshold is None else threshold
@@ -188,6 +197,10 @@ def decontaminate(corpus_ds, reference_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
 
     def _filter(batch: pa.Table) -> pa.Table:
         p = ray.get(pack_ref)
+        if carry_tokens and TOKEN_CACHE_COL not in batch.column_names:
+            batch = batch.append_column(
+                TOKEN_CACHE_COL,
+                tokens_to_column(*batch_tokens(batch, text_col)))
         drop, _ = _match_batch(batch, p, cfg, id_col, text_col, thr)
         if counters is not None and drop.any():
             counters.add.remote(            # settle on read, not here
@@ -348,9 +361,8 @@ def _ngram_hits(batch: pa.Table, grams: np.ndarray, n: int, text_col: str
     """→ (per-doc total window count, per-doc contaminated window count)
     for one Arrow batch — duplicate windows counted per position, so the
     DuckDB per-position oracle agrees exactly."""
-    from ..functions.text import shingle_stream
-
-    wh, wd, n_docs = shingle_stream(batch[text_col], n)
+    wh, wd, n_docs = shingle_stream(batch[text_col], n,
+                                    tok=batch_tokens(batch, text_col))
     total = np.bincount(wd, minlength=n_docs).astype(np.int64)
     if len(wh) == 0 or len(grams) == 0:
         return total, np.zeros(n_docs, dtype=np.int64)

@@ -230,7 +230,7 @@ def quality_filter(ds, *, text_col: str = "text",
                    max_mean_token_len: float | None = None,
                    min_alpha_ratio: float | None = None,
                    max_dup_word_frac_e6: int | None = None,
-                   counters=None):
+                   counters=None, carry_tokens: bool = False):
     """Composite C4/Gopher-style quality gate: keep docs passing every
     provided bound (None = unbounded) over token count, mean token
     length, alphabetic-character ratio and duplicate-word fraction —
@@ -240,13 +240,21 @@ def quality_filter(ds, *, text_col: str = "text",
     One streaming map, all stats computed inline with the SAME
     arithmetic as quality_scores / repetition_stats (identical doubles,
     so threshold comparisons agree exactly with the SQL oracle); no
-    intermediate stats table is materialized."""
-    from ..functions.text import tokenize_arrow
+    intermediate stats table is materialized.
+
+    ``carry_tokens``: attach the per-doc token-hash cache column
+    (functions/text.TOKEN_CACHE_COL) to the output so downstream
+    zero-shuffle stages (decontamination, n-gram guard) reuse this
+    stage's tokenization instead of re-tokenizing — the tokenize-once
+    prefix.  The caller must drop the column before any
+    materialize/exchange."""
+    from ..functions.text import (TOKEN_CACHE_COL, batch_tokens,
+                                  tokens_to_column)
 
     def _filter(batch: pa.Table) -> pa.Table:
         texts = pc.fill_null(batch[text_col], "")
         n_chars = pc.utf8_length(texts).cast(pa.float64()).to_numpy()
-        h, offs = tokenize_arrow(texts)
+        h, offs = batch_tokens(batch, text_col)
         n_tok = (offs[1:] - offs[:-1]).astype(np.int64)
         keep = np.ones(len(batch), dtype=bool)
         if min_tokens is not None:
@@ -282,6 +290,9 @@ def quality_filter(ds, *, text_col: str = "text",
         if counters is not None and not keep.all():
             counters.add.remote(            # settle on read, not here
                 {"quality_dropped": int((~keep).sum())})
+        if carry_tokens and TOKEN_CACHE_COL not in batch.column_names:
+            batch = batch.append_column(TOKEN_CACHE_COL,
+                                        tokens_to_column(h, offs))
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(_filter, batch_format="pyarrow",

@@ -157,3 +157,69 @@ class TestBuildOptionalStages:
         want = build_corpus(corpus, CFG, reference=ref, ngram_n=13) \
             .corpus.to_pandas()
         assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+
+
+class TestTokenizeOncePrefix:
+    def test_cache_column_roundtrip_and_slices(self, ray_session):
+        from raydedup.functions.text import (column_to_tokens,
+                                             tokenize_arrow,
+                                             tokens_to_column)
+        texts = pa.array(["a b c", "", "d e", "f"], pa.string())
+        h, offs = tokenize_arrow(texts)
+        col = tokens_to_column(h, offs)
+        h2, offs2 = column_to_tokens(col)
+        assert np.array_equal(h, h2) and np.array_equal(offs, offs2)
+        # filtered/sliced arrays reconstruct the kept rows' tokens
+        keep = pa.array([True, False, True, True])
+        fcol = col.filter(keep)
+        fh, foffs = column_to_tokens(fcol)
+        want_h = np.concatenate([h[offs[0]:offs[1]], h[offs[2]:offs[3]],
+                                 h[offs[3]:offs[4]]])
+        assert np.array_equal(fh, want_h)
+        assert foffs.tolist() == [0, 3, 5, 6]
+        scol = col.slice(2, 2)
+        sh, soffs = column_to_tokens(scol)
+        assert np.array_equal(sh, h[offs[2]:offs[4]])
+        assert soffs.tolist() == [0, 2, 3]
+
+    def test_carry_chain_bit_identical(self, ray_session):
+        """quality -> decontam -> ngram with the token cache carried ==
+        the same chain tokenizing per stage, and the transient column
+        never leaks into the final corpus."""
+        from raydedup.functions.text import TOKEN_CACHE_COL
+        from raydedup.stages.decontam import (decontaminate,
+                                              decontaminate_ngram)
+        from raydedup.stages.textstats import quality_filter
+        ref_texts, corpus_texts = _fixture()
+        ref = _ds(range(100, 100 + len(ref_texts)), ref_texts)
+
+        def chain(carry):
+            corpus = _ds(range(len(corpus_texts)), corpus_texts)
+            cur = quality_filter(corpus, min_tokens=10,
+                                 carry_tokens=carry)
+            cur = decontaminate(cur, ref, CFG, carry_tokens=carry)
+            cur = decontaminate_ngram(cur, ref, CFG, n=13)
+            if carry:
+                cur = cur.map_batches(
+                    lambda t: (t.drop_columns([TOKEN_CACHE_COL])
+                               if TOKEN_CACHE_COL in t.column_names
+                               else t), batch_format="pyarrow")
+            return cur.to_pandas().sort_values("doc_id") \
+                .reset_index(drop=True)
+
+        a, b = chain(False), chain(True)
+        assert list(a.columns) == list(b.columns)
+        assert a.equals(b)
+        assert TOKEN_CACHE_COL not in b.columns
+
+    def test_build_corpus_output_has_no_cache_column(self, ray_session):
+        from raydedup.functions.text import TOKEN_CACHE_COL
+        from raydedup.pipelines.build import build_corpus
+        ref_texts, corpus_texts = _fixture()
+        ref = _ds(range(100, 100 + len(ref_texts)), ref_texts)
+        corpus = _ds(range(len(corpus_texts)), corpus_texts)
+        res = build_corpus(corpus, CFG, quality={"min_tokens": 10},
+                           reference=ref, ngram_n=13)
+        out = res.corpus.to_pandas()
+        assert TOKEN_CACHE_COL not in out.columns
+        assert set(out["doc_id"]) <= {1, 2, 3, 4, 6, 7}
