@@ -199,11 +199,19 @@ def run_bench() -> dict:
     # single-run noise on this shared host reaches ±60% (BASELINE.md),
     # and round 2's official artifact was incomparable to round 1's for
     # exactly that reason.  Raw per-rep times are emitted alongside.
+    #
+    # STEAL-GATED capture: two consecutive rounds cut their official
+    # artifact inside a dirty hypervisor window (r2: 7.5% steal).  The
+    # suite now re-runs itself up to GRAFT_BENCH_ATTEMPTS times until
+    # the bracketing steal probe reads under GRAFT_BENCH_STEAL_GATE %,
+    # then reports the cleanest attempt — every attempt's host window
+    # stays in the artifact so the gate is auditable.
     reps = int(os.environ.get("GRAFT_BENCH_REPS", "3"))
-    raw: dict[str, list[float]] = {name: [] for name, _ in suite}
+    steal_gate = float(os.environ.get("GRAFT_BENCH_STEAL_GATE", "5.0"))
+    max_attempts = int(os.environ.get("GRAFT_BENCH_ATTEMPTS", "3"))
     n_pairs = 0
 
-    def _suite_reps():
+    def _suite_reps(raw):
         nonlocal n_pairs
         for _ in range(reps):
             for name, fn in suite:
@@ -213,7 +221,17 @@ def run_bench() -> dict:
                 if name == "neardup_synth":
                     n_pairs = int(out)
 
-    _, window = _host_window(_suite_reps)
+    attempts: list[tuple[dict, dict]] = []
+    for _ in range(max_attempts):
+        raw: dict[str, list[float]] = {name: [] for name, _ in suite}
+        _, window = _host_window(lambda: _suite_reps(raw))
+        attempts.append((raw, window))
+        if window["steal_pct"] < steal_gate:
+            break
+
+    used = min(range(len(attempts)),
+               key=lambda i: attempts[i][1]["steal_pct"])
+    raw, window = attempts[used]
     for name, ts in raw.items():
         timings[name] = sorted(ts)[len(ts) // 2]
 
@@ -232,6 +250,10 @@ def run_bench() -> dict:
         "synth_dup_pairs": int(n_pairs),
         "docs_per_sec_neardup": round(SYNTH_DOCS / timings["neardup_synth"], 1),
         "host_window": window,
+        "steal_gate_pct": steal_gate,
+        "attempts": len(attempts),
+        "attempt_used": used,
+        "attempt_windows": [w for _, w in attempts],
     }
     ray.shutdown()
     return result
@@ -262,11 +284,32 @@ def run_scaling() -> dict:
     # shared host reaches ±60% (noisy neighbors, page-cache state); the
     # lo/hi/lo/hi ordering exposes both levels to the same noise window
     # and the median rejects one bad (or one lucky) run per side.
+    #
+    # SESSION retry: a session where ANY rep ran under >5% hypervisor
+    # steal systematically deflates measured efficiency (steal hits the
+    # hi side harder — BASELINE.md's 13-session record).  Up to
+    # GRAFT_SCALING_ATTEMPTS sessions run until one is all-reps-clean;
+    # the cleanest session is reported, every session's windows are
+    # kept in the artifact.
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
-    runs_lo, runs_hi = [], []
-    for _ in range(reps):
-        runs_lo.append(once(lo))
-        runs_hi.append(once(hi))
+    max_sessions = int(os.environ.get("GRAFT_SCALING_ATTEMPTS", "2"))
+    gate = float(os.environ.get("GRAFT_BENCH_STEAL_GATE", "5.0"))
+
+    def _steals(runs):
+        return [float((r.get("host_window") or {}).get("steal_pct", 0.0))
+                for r in runs]
+
+    sessions = []
+    for _ in range(max_sessions):
+        s_runs_lo, s_runs_hi = [], []
+        for _ in range(reps):
+            s_runs_lo.append(once(lo))
+            s_runs_hi.append(once(hi))
+        worst = max(_steals(s_runs_lo) + _steals(s_runs_hi))
+        sessions.append((worst, s_runs_lo, s_runs_hi))
+        if worst <= gate:
+            break
+    worst_steal, runs_lo, runs_hi = min(sessions, key=lambda s: s[0])
 
     def med(runs):
         ts = sorted(r["queries"]["neardup_synth"] for r in runs)
