@@ -209,3 +209,26 @@ class TestNgramGuard:
         short_ref = _ds([2000], ["only four tokens here"])
         assert decontaminate_ngram(corpus, short_ref, CFG,
                                    n=13).count() == 3
+
+    def test_pack_n_mismatch_and_missing_ref_raise(self, ray_session):
+        import pytest
+        from raydedup.stages.decontam import (
+            build_ngram_pack, decontaminate_ngram)
+        ref_texts, corpus_texts = self._mk()
+        ref = _ds([1000], ref_texts)
+        corpus = _ds([0, 1, 2], corpus_texts)
+        pack = build_ngram_pack(ref, 13)
+        assert pack.n == 13
+        # a pack built at n=13 probed at n=7 would silently match
+        # nothing — it must fail loudly instead
+        with pytest.raises(ValueError, match="n=13"):
+            decontaminate_ngram(corpus, None, CFG, n=7, pack=pack)
+        # pack's n wins when no explicit n is passed
+        kept = decontaminate_ngram(corpus, None, CFG, pack=pack)
+        assert sorted(kept.to_pandas()["doc_id"]) == [1, 2]
+        # the guard without any reference side is a loud error
+        with pytest.raises(ValueError, match="reference"):
+            decontaminate_ngram(corpus, None, CFG, n=13)
+        from raydedup.pipelines.build import build_corpus
+        with pytest.raises(ValueError, match="ngram_n"):
+            build_corpus(corpus, CFG, ngram_n=13)
