@@ -294,10 +294,20 @@ def run_scaling() -> dict:
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
     max_sessions = int(os.environ.get("GRAFT_SCALING_ATTEMPTS", "2"))
     gate = float(os.environ.get("GRAFT_BENCH_STEAL_GATE", "5.0"))
+    # a session is "settled" when its clean reps also agree with each
+    # other: round-4 session A was all-reps-clean (<5% steal) yet its
+    # hi side spread 27.2-37.9 s — co-tenant DRAM traffic doesn't show
+    # as steal.  Spread above this ratio triggers another session.
+    max_spread = float(os.environ.get("GRAFT_SCALING_MAX_SPREAD", "1.25"))
 
     def _steals(runs):
         return [float((r.get("host_window") or {}).get("steal_pct", 0.0))
                 for r in runs]
+
+    def _clean_spread(runs):
+        ts = [r["queries"]["neardup_synth"] for r in runs
+              if (r.get("host_window") or {}).get("steal_pct", 0.0) <= gate]
+        return (max(ts) / min(ts)) if ts else float("inf")
 
     sessions = []
     for _ in range(max_sessions):
@@ -306,10 +316,16 @@ def run_scaling() -> dict:
             s_runs_lo.append(once(lo))
             s_runs_hi.append(once(hi))
         worst = max(_steals(s_runs_lo) + _steals(s_runs_hi))
-        sessions.append((worst, s_runs_lo, s_runs_hi))
-        if worst <= gate:
+        spread = max(_clean_spread(s_runs_lo), _clean_spread(s_runs_hi))
+        sessions.append((worst, spread, s_runs_lo, s_runs_hi))
+        if worst <= gate and spread <= max_spread:
             break
-    worst_steal, runs_lo, runs_hi = min(sessions, key=lambda s: s[0])
+    # VALUE-BLIND selection (efficiency is never consulted): prefer
+    # all-clean sessions, then the lowest clean-rep spread, then the
+    # lowest worst-steal — every session's evidence stays in the
+    # artifact below.
+    worst_steal, spread_used, runs_lo, runs_hi = min(
+        sessions, key=lambda s: (s[0] > gate, round(s[1], 3), s[0]))
 
     def med(runs):
         ts = sorted(r["queries"]["neardup_synth"] for r in runs)
@@ -360,6 +376,21 @@ def run_scaling() -> dict:
         "value_steal_screened": eff_screened,
         "steal_gate_pct": STEAL_GATE_PCT,
         "screened_reps": {"lo": n_slo, "hi": n_shi},
+        "sessions_tried": len(sessions),
+        "session_worst_steal_pct": round(worst_steal, 2),
+        "session_clean_spread": (round(spread_used, 3)
+                                 if spread_used != float("inf") else None),
+        "max_spread_gate": max_spread,
+        # per-session audit trail: (worst steal %, clean-rep spread,
+        # per-side run times) for every session incl. unused ones
+        "sessions": [{
+            "worst_steal_pct": round(w, 2),
+            "clean_spread": round(sp, 3) if sp != float("inf") else None,
+            "sec_lo_runs": [round(r["queries"]["neardup_synth"], 2)
+                            for r in rl],
+            "sec_hi_runs": [round(r["queries"]["neardup_synth"], 2)
+                            for r in rh],
+        } for w, sp, rl, rh in sessions],
         "docs_per_sec_lo": round(docs / t_lo, 1),
         "docs_per_sec_hi": round(docs / t_hi, 1),
         "synth_docs": docs,
