@@ -75,42 +75,87 @@ class BruteForceTopK:
                          "cosine": pa.array(cos.astype(np.float64), pa.float64())})
 
 
+# per-worker-process cache of the deserialized+normalized query state
+# (signatures.py's stage-cache pattern): stateless elastic map tasks
+# with __init__-grade reuse, no actor-pool spawn latency
+_BF_STATE_CACHE: dict = {}
+
+
 def ann_topk_bruteforce(ds, query_ids, k: int = 10,
                         cfg: PipelineConfig = DEFAULT_CONFIG,
                         id_col: str = "vec_id", emb_col: str = "embedding"):
     """Exact cosine top-k of every corpus vector for each query id
     (queries drawn from the same dataset).  → Dataset(query_id, vec_id,
-    cosine) with k rows per query, excluding the query itself."""
+    cosine) with k rows per query, excluding the query itself.
+
+    Physical plan: query matrix broadcast once (``ray.put``); ONE
+    stateless streaming map emits per-batch top-k partials already
+    tagged with their query's partition (self-matches filtered
+    in-kernel); one small ``hash_partition_map`` exchange reduces the
+    k-rows-per-batch partials to the global per-query top-k with a
+    whole-array lexsort — shuffle volume is k rows per (batch, query),
+    never the corpus, and no actor pool or Ray-native groupby sits on
+    the ~2 s fixed-cost path the previous plan paid."""
     import ray
     import pyarrow.compute as pc
+
+    from ..functions.hashing import splitmix64
+    from ..functions.shuffle import hash_partition_map
+
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "vec_id": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
 
     q_tab = (ds.map_batches(
         lambda t: t.filter(pc.is_in(t[id_col], pa.array(list(query_ids)))),
         batch_format="pyarrow",
     ).to_arrow_refs())
     q = pa.concat_tables([ray.get(r) for r in q_tab])
+    if len(q) == 0:
+        import ray.data as rd
+        return rd.from_arrow(empty)
     q_ref = ray.put({"ids": np.asarray(q[id_col], dtype=np.int64),
                      "mat": _embedding_matrix(q, emb_col)})
+    n_parts = min(cfg.resolved_partitions(), 8)
+    cache_key = (q_ref.hex(), k, id_col, emb_col)
 
-    partials = ds.map_batches(
-        BruteForceTopK, batch_format="pyarrow", zero_copy_batch=True,
-        fn_constructor_args=(q_ref, k, id_col, emb_col),
-        concurrency=(1, 8), batch_size=4096,
-    )
-    # drop -inf self rows (tiny batches can still emit them), then global
-    # top-k per query over the partials
-    partials = partials.map_batches(
-        lambda t: t.filter(pc.and_(
-            pc.not_equal(t["query_id"], t["vec_id"]),
-            pc.is_finite(t["cosine"]))),
-        batch_format="pyarrow",
-    )
+    def _partial(batch: pa.Table) -> pa.Table:
+        stage = _BF_STATE_CACHE.get(cache_key)
+        if stage is None:
+            stage = BruteForceTopK(q_ref, k, id_col, emb_col)
+            _BF_STATE_CACHE[cache_key] = stage
+        out = stage(batch)
+        # drop -inf self rows here (tiny batches can still emit them)
+        out = out.filter(pc.and_(
+            pc.not_equal(out["query_id"], out["vec_id"]),
+            pc.is_finite(out["cosine"])))
+        qid = np.asarray(out["query_id"], dtype=np.int64)
+        part = (splitmix64(qid.view(np.uint64))
+                % np.uint64(n_parts)).astype(np.int64)
+        return out.append_column("part", pa.array(part, pa.int64()))
 
-    def _topk(group: pd.DataFrame) -> pa.Table:
-        top = group.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
-        return pa.Table.from_pandas(top, preserve_index=False)
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=4096)
 
-    return partials.groupby("query_id").map_groups(_topk, batch_format="pandas")
+    def _global_topk(tab: pa.Table | None) -> pa.Table:
+        if tab is None or len(tab) == 0 or tab.num_columns == 0:
+            return empty
+        qs = np.asarray(tab["query_id"], dtype=np.int64)
+        vs = np.asarray(tab["vec_id"], dtype=np.int64)
+        cs = np.asarray(tab["cosine"], dtype=np.float64)
+        # per query: cosine desc, vec_id asc (the tie rule of the
+        # previous pandas sort_values finisher, preserved bit-for-bit)
+        order = np.lexsort((vs, -cs, qs))
+        qs, vs, cs = qs[order], vs[order], cs[order]
+        new = np.concatenate(([True], qs[1:] != qs[:-1]))
+        starts = np.flatnonzero(new)
+        rank = np.arange(len(qs)) - starts[np.cumsum(new) - 1]
+        keep = rank < k
+        return pa.table({"query_id": pa.array(qs[keep], pa.int64()),
+                         "vec_id": pa.array(vs[keep], pa.int64()),
+                         "cosine": pa.array(cs[keep], pa.float64())})
+
+    return hash_partition_map(partials, "part", _global_topk, n_parts)
 
 
 class HyperplaneLSH:
