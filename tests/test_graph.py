@@ -123,6 +123,41 @@ class TestGraphOps:
         want = {0: 2, 1: 2, 2: 3, 3: 1}
         assert dict(zip(deg["vertex"], deg["degree"])) == want
 
+    def test_degrees_src_partitioned_fused_path(self, ray_session):
+        """Over symmetrize output (src-co-partitioned by contract) the
+        zero-exchange fused path must equal the combiner exchange."""
+        import ray.data as rd
+        from raydedup.stages.graph import degrees, drop_self_loops, symmetrize
+        rng = np.random.default_rng(3)
+        n = 500
+        tab = pa.table({
+            "src": pa.array(rng.integers(0, 40, n), pa.int64()),
+            "dst": pa.array(rng.integers(0, 40, n), pa.int64()),
+        })
+        sym = symmetrize(drop_self_loops(rd.from_arrow(tab)), CFG) \
+            .materialize()
+        fused = degrees(sym, src_partitioned=True).to_pandas() \
+            .sort_values("vertex").reset_index(drop=True)
+        exch = degrees(sym).to_pandas() \
+            .sort_values("vertex").reset_index(drop=True)
+        assert fused.equals(exch)
+        assert len(fused) > 0
+
+    def test_symmetrize_integer_weight_schema(self, ray_session):
+        """Integer-weighted edges: every output block (incl. empty
+        partitions) carries the INPUT weight dtype."""
+        import ray
+        import ray.data as rd
+        from raydedup.stages.graph import symmetrize
+        tab = pa.table({"src": pa.array([0, 1], pa.int64()),
+                        "dst": pa.array([1, 2], pa.int64()),
+                        "weight": pa.array([3, 4], pa.int64())})
+        sym = symmetrize(rd.from_arrow(tab), CFG).materialize()
+        types = {str(t.schema.field("weight").type)
+                 for t in ray.get(sym.to_arrow_refs())
+                 if "weight" in t.column_names}
+        assert types == {"int64"}
+
     def test_symmetrize_dedups(self, ray_session):
         import ray.data as rd
         from raydedup.stages.graph import symmetrize
