@@ -208,7 +208,7 @@ def run_bench() -> dict:
     # stays in the artifact so the gate is auditable.
     reps = int(os.environ.get("GRAFT_BENCH_REPS", "3"))
     steal_gate = float(os.environ.get("GRAFT_BENCH_STEAL_GATE", "5.0"))
-    max_attempts = int(os.environ.get("GRAFT_BENCH_ATTEMPTS", "3"))
+    max_attempts = max(1, int(os.environ.get("GRAFT_BENCH_ATTEMPTS", "3")))
     n_pairs = 0
 
     def _suite_reps(raw):
@@ -292,7 +292,7 @@ def run_scaling() -> dict:
     # the cleanest session is reported, every session's windows are
     # kept in the artifact.
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
-    max_sessions = int(os.environ.get("GRAFT_SCALING_ATTEMPTS", "2"))
+    max_sessions = max(1, int(os.environ.get("GRAFT_SCALING_ATTEMPTS", "2")))
     gate = float(os.environ.get("GRAFT_BENCH_STEAL_GATE", "5.0"))
     # a session is "settled" when its clean reps also agree with each
     # other: round-4 session A was all-reps-clean (<5% steal) yet its

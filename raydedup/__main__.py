@@ -199,7 +199,10 @@ def cmd_split(args):
     # uses — never one full input re-read + re-hash per split name
     tagged = corpus_split(corpus, weights, seed=args.seed)
     tagged.write_parquet(args.output, partition_cols=["split"])
-    counts = {name: rd.read_parquet(f"{args.output}/split={name}").count()
+    import os as _os
+    # a split that received zero rows writes no hive directory — count 0
+    counts = {name: (rd.read_parquet(f"{args.output}/split={name}").count()
+                     if _os.path.isdir(f"{args.output}/split={name}") else 0)
               for name in weights}
     print(json.dumps({"splits": counts, "out": args.output}, sort_keys=True))
 

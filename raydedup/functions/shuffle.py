@@ -24,6 +24,18 @@ import numpy as np
 import pyarrow as pa
 
 
+def part_of(keys: np.ndarray, n_parts: int) -> np.ndarray:
+    """THE partition key for int64 ids/hashes across every exchange in
+    the repo: splitmix64 before the modulo (raw ``id % n_parts`` skews
+    badly on strided or residue-clustered key spaces).  One definition
+    so a future change (salting, signedness) cannot silently diverge
+    between stages."""
+    from .hashing import splitmix64
+
+    return (splitmix64(keys.view(np.uint64))
+            % np.uint64(n_parts)).astype(np.int64)
+
+
 def hash_partition_map(ds, part_col: str, fn, n_parts: int, map_fn=None,
                        map_chunk_rows: int | None = None,
                        split_tasks: int | None = None):

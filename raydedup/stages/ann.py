@@ -99,8 +99,7 @@ def ann_topk_bruteforce(ds, query_ids, k: int = 10,
     import ray
     import pyarrow.compute as pc
 
-    from ..functions.hashing import splitmix64
-    from ..functions.shuffle import hash_partition_map
+    from ..functions.shuffle import hash_partition_map, part_of
 
     empty = pa.table({"query_id": pa.array([], pa.int64()),
                       "vec_id": pa.array([], pa.int64()),
@@ -122,6 +121,10 @@ def ann_topk_bruteforce(ds, query_ids, k: int = 10,
     def _partial(batch: pa.Table) -> pa.Table:
         stage = _BF_STATE_CACHE.get(cache_key)
         if stage is None:
+            # cache_key embeds the per-call q_ref: keep only the LATEST
+            # entry so repeated calls don't accumulate query matrices in
+            # long-lived worker processes
+            _BF_STATE_CACHE.clear()
             stage = BruteForceTopK(q_ref, k, id_col, emb_col)
             _BF_STATE_CACHE[cache_key] = stage
         out = stage(batch)
@@ -130,9 +133,8 @@ def ann_topk_bruteforce(ds, query_ids, k: int = 10,
             pc.not_equal(out["query_id"], out["vec_id"]),
             pc.is_finite(out["cosine"])))
         qid = np.asarray(out["query_id"], dtype=np.int64)
-        part = (splitmix64(qid.view(np.uint64))
-                % np.uint64(n_parts)).astype(np.int64)
-        return out.append_column("part", pa.array(part, pa.int64()))
+        return out.append_column(
+            "part", pa.array(part_of(qid, n_parts), pa.int64()))
 
     partials = ds.map_batches(_partial, batch_format="pyarrow",
                               zero_copy_batch=True, batch_size=4096)

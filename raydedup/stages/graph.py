@@ -28,11 +28,11 @@ from .verify import attach_sets, score_pairs
 
 
 def _vertex_part(v: np.ndarray, n_parts: int) -> np.ndarray:
-    """Partition key for vertex ids: splitmix64 before the modulo, like
-    every other exchange in the repo — raw ``id % n_parts`` skews badly
-    on strided or residue-clustered id spaces."""
-    return (splitmix64(v.view(np.uint64))
-            % np.uint64(n_parts)).astype(np.int64)
+    """Partition key for vertex ids — the repo-wide splitmix64 key
+    (functions/shuffle.part_of)."""
+    from ..functions.shuffle import part_of
+
+    return part_of(v, n_parts)
 
 
 def drop_self_loops(edges_ds):
@@ -142,7 +142,15 @@ def degrees(edges_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
     every vertex's rows live in exactly one block (e.g. ``symmetrize``
     output, whose reduce emits one block per hash partition).  Degrees
     are then complete per block and the whole op is a pure streaming
-    map: ZERO additional exchange."""
+    map: ZERO additional exchange.
+
+    CALLER CONTRACT, not validated (a check would cost the very
+    exchange this path removes): if the invariant is broken — e.g. by
+    a ``repartition`` or a parquet round-trip between symmetrize and
+    degrees — a vertex whose rows span blocks is emitted MULTIPLE
+    times with partial counts.  Duplicate ``vertex`` values in the
+    output are the signature of that misuse; the default
+    (``src_partitioned=False``) path is always safe."""
     from ..functions.shuffle import hash_partition_map
 
     if src_partitioned:

@@ -106,7 +106,7 @@ def _cluster_segments(t: pa.Table, id_col: str, emb_col: str):
 
 
 def _capped_segments(ids: np.ndarray, cl_s: np.ndarray, bounds: np.ndarray,
-                     cap: int):
+                     cap: int | None):
     """Cluster bounds → index segments, salt-splitting over-cap clusters.
 
     Mirrors the LSH over-cap bucket defence (lsh.py `_emit_run_pairs`):
@@ -120,15 +120,20 @@ def _capped_segments(ids: np.ndarray, cl_s: np.ndarray, bounds: np.ndarray,
     Deterministic for a given cluster membership regardless of
     partitioning or arrival order.
 
-    → (list of int index arrays, stats dict).
+    → (list of int index arrays, stats dict).  ``cap=None`` disables
+    capping entirely (every cluster self-matmuls whole — only for
+    surfaces whose oracle has no cap, e.g. `semantic_pairs_scored`).
     """
+    if cap is not None and cap < 2:
+        raise ValueError(f"cluster_cap must be >= 2 (or None for "
+                         f"uncapped), got {cap}")
     segs: list[np.ndarray] = []
     stats = {"semdedup_capped_clusters": 0, "semdedup_capped_rows": 0}
     for s, e in zip(bounds[:-1], bounds[1:]):
         m = int(e - s)
         if m < 2:
             continue
-        if m <= cap:
+        if cap is None or m <= cap:
             segs.append(np.arange(s, e))
             continue
         stats["semdedup_capped_clusters"] += 1
@@ -174,17 +179,17 @@ def _pairs_in_cluster(ids: np.ndarray, mat: np.ndarray, threshold: float):
 
 
 def _part_by_cluster(n_parts: int):
+    from ..functions.shuffle import part_of
+
     def _part(t: pa.Table) -> pa.Table:
         cl = np.asarray(t["cluster"], dtype=np.int64)
         return t.append_column(
-            "_part", pa.array((splitmix64(cl.view(np.uint64))
-                               % np.uint64(n_parts)).astype(np.int64),
-                              pa.int64()))
+            "_part", pa.array(part_of(cl, n_parts), pa.int64()))
     return _part
 
 
 def _pairs_over_clusters(assigned, threshold: float, cfg: PipelineConfig, *,
-                         cluster_cap: int, counters,
+                         cluster_cap: int | None, counters,
                          id_col: str, emb_col: str):
     """Shared reduce plan: ONE exchange keyed by cluster, then per-cluster
     capped tiled self-matmul → Dataset(a, b, cosine_e6).  Over-cap
@@ -266,14 +271,21 @@ def assign_argmax_buckets(ds, *, emb_col: str = "embedding"):
 
 def semantic_pairs_scored(ds, threshold: float = 0.4,
                           cfg: PipelineConfig = DEFAULT_CONFIG, *,
-                          cluster_cap: int = 4096, counters=None,
+                          cluster_cap: int | None = None, counters=None,
                           id_col: str = "vec_id",
                           emb_col: str = "embedding"):
     """Within-argmax-bucket exact-cosine pairs ≥ threshold — the
     SemDeDup physical plan with a deterministic quantizer, so every
     emitted value is oracle-checkable in SQL (the precision leg of the
     semantic surface; recall of the learned quantizer stays a pytest
-    gate in tests/test_semdedup.py)."""
+    gate in tests/test_semdedup.py).
+
+    ``cluster_cap`` defaults to None (UNCAPPED, unlike the k-means
+    surfaces): the SQL oracle emits every within-bucket pair, so a cap
+    would drop cross-chunk pairs and break the exact-match contract
+    once a bucket exceeds the cap.  Argmax buckets are ~N/dim rows —
+    pass a cap explicitly if that per-task O(m²) is too big and the
+    surface is not being oracle-checked."""
     assigned = assign_argmax_buckets(ds, emb_col=emb_col)
     return _pairs_over_clusters(assigned, threshold, cfg,
                                 cluster_cap=cluster_cap, counters=counters,
