@@ -723,6 +723,45 @@ def q_media_bytes(sf_dir):
     return out.select_columns(["doc_id", "media_bytes"])
 
 
+def q_media_resize(sf_dir):
+    """Aspect-preserving resize geometry (multimodal metadata plumbing,
+    stages/multimodal.resize_stage): width/height derived
+    deterministically from doc_id so the SQL oracle sees identical
+    inputs; output geometry + scale are pure float64 ops that match
+    DuckDB's double arithmetic exactly."""
+    from ..stages.multimodal import resize_stage
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def _geom(t: pa.Table) -> pa.Table:
+        import numpy as np
+        d = np.asarray(t["doc_id"], dtype=np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "media": pa.array([b""] * len(t), pa.binary()),
+            "width": pa.array((d * 37) % 4000 + 16, pa.int64()),
+            "height": pa.array((d * 59) % 4000 + 16, pa.int64()),
+        })
+
+    out = resize_stage(docs.map_batches(_geom, batch_format="pyarrow"),
+                       1024, 1024)
+    return out.select_columns(["doc_id", "out_width", "out_height",
+                               "scale_e6"])
+
+
+SQL_MEDIA_RESIZE = """
+WITH m AS (SELECT doc_id, (doc_id * 37) % 4000 + 16 AS w,
+                  (doc_id * 59) % 4000 + 16 AS h FROM documents),
+s AS (SELECT doc_id, w, h,
+             least(1.0, least(1024.0 / greatest(w, 1),
+                              1024.0 / greatest(h, 1))) AS sc FROM m)
+SELECT doc_id,
+       greatest(floor(w * sc), 1)::BIGINT AS out_width,
+       greatest(floor(h * sc), 1)::BIGINT AS out_height,
+       round(sc * 1e6)::BIGINT AS scale_e6
+FROM s
+"""
+
+
 SQL_MEDIA_BYTES = """
 SELECT doc_id,
        strlen('<html><body><p>' || text || '</p></body></html>') AS media_bytes
@@ -2039,6 +2078,7 @@ QUERIES = {
     "substring_spans": q_substring_spans,
     "substring_dedup_stats": q_substring_dedup_stats,
     "media_bytes": q_media_bytes,
+    "media_resize": q_media_resize,
     "edge_jaccard_nonzero": q_edge_jaccard_nonzero,
     "edge_jaccard_weighted": q_edge_jaccard_weighted,
     "char_ngram_adjacent": q_char_ngram_adjacent,
@@ -2111,6 +2151,7 @@ ORACLES = {
     "substring_spans": SQL_SUBSTRING_SPANS,
     "substring_dedup_stats": SQL_SUBSTRING_DEDUP_STATS,
     "media_bytes": SQL_MEDIA_BYTES,
+    "media_resize": SQL_MEDIA_RESIZE,
     "edge_jaccard_nonzero": SQL_EDGE_JACCARD_NONZERO,
     "edge_jaccard_weighted": SQL_EDGE_JACCARD_WEIGHTED,
     "char_ngram_adjacent": SQL_CHAR_NGRAM_ADJACENT,

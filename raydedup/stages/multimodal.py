@@ -96,6 +96,37 @@ def frame_sample_stage(ds, every_n: int = 10, media_col: str = "media"):
     return ds.map_batches(_sample, batch_format="pyarrow", batch_size=64)
 
 
+def resize_stage(ds, max_width: int, max_height: int,
+                 media_col: str = "media",
+                 width_col: str = "width", height_col: str = "height"):
+    """Image-resize plumbing: compute each row's output geometry for an
+    aspect-preserving fit into (max_width, max_height) — ``out_width``,
+    ``out_height``, ``scale_e6`` columns appended, payload passed
+    through untouched (the pixel work itself is the stubbed codec,
+    MediaDecodeStage).  Pure vectorized metadata math, zero shuffle;
+    rows already within bounds keep their dimensions (scale 1.0).
+    Demonstrates the metadata-in/metadata-out layout a real resize
+    actor pool would use around the codec call."""
+    if max_width <= 0 or max_height <= 0:
+        raise ValueError("max_width/max_height must be positive")
+
+    def _resize(batch: pa.Table) -> pa.Table:
+        w = np.asarray(batch[width_col], dtype=np.float64)
+        h = np.asarray(batch[height_col], dtype=np.float64)
+        scale = np.minimum(1.0, np.minimum(max_width / np.maximum(w, 1),
+                                           max_height / np.maximum(h, 1)))
+        out_w = np.maximum(np.floor(w * scale), 1).astype(np.int64)
+        out_h = np.maximum(np.floor(h * scale), 1).astype(np.int64)
+        return (batch
+                .append_column("out_width", pa.array(out_w, pa.int64()))
+                .append_column("out_height", pa.array(out_h, pa.int64()))
+                .append_column("scale_e6", pa.array(
+                    np.round(scale * 1e6).astype(np.int64), pa.int64())))
+
+    return ds.map_batches(_resize, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=64)
+
+
 def _concat_ranges(lens: np.ndarray) -> np.ndarray:
     total = int(lens.sum())
     if total == 0:

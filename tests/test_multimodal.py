@@ -48,3 +48,29 @@ class TestMultimodal:
         assert set(out.columns) == {"media_id", "media_type", "frame_no"}
         assert (out.groupby("media_id").size() >= 1).all()
         assert (out["frame_no"] % 2 == 0).all()
+
+    def test_resize_geometry(self, ray_session):
+        import ray.data as rd
+        from raydedup.stages.multimodal import resize_stage
+        tab = pa.table({
+            "media_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "media": pa.array([b"x", b"y", b"z", b"w"], pa.binary()),
+            "width": pa.array([4000, 100, 1024, 3000], pa.int64()),
+            "height": pa.array([2000, 50, 2048, 6000], pa.int64()),
+        })
+        out = resize_stage(rd.from_arrow(tab), 1024, 1024).to_pandas() \
+            .sort_values("media_id").reset_index(drop=True)
+        # 4000x2000 -> fit 1024 wide: scale .256 -> 1024x512
+        # 100x50 within bounds -> unchanged, scale 1.0
+        # 1024x2048 -> fit 1024 tall: 512x1024
+        # 3000x6000 -> fit 1024 tall: scale 1024/6000 -> 512x1024
+        assert out["out_width"].tolist() == [1024, 100, 512, 512]
+        assert out["out_height"].tolist() == [512, 50, 1024, 1024]
+        assert out["scale_e6"].tolist()[1] == 1_000_000
+        assert "media" in out.columns  # payload passes through
+
+    def test_resize_rejects_bad_bounds(self, ray_session):
+        import ray.data as rd
+        from raydedup.stages.multimodal import resize_stage
+        with pytest.raises(ValueError):
+            resize_stage(_media_ds(), 0, 100)
