@@ -295,6 +295,65 @@ JOIN deg da ON da.v = c.a JOIN deg db ON db.v = c.b
 """
 
 
+def q_edge_similarity(sf_dir):
+    """Overlap / Sørensen–Dice / Salton-cosine coefficients per edge —
+    the standard companions to the reference's Jaccard kernel, one
+    intersection pass + a broadcast degree attach."""
+    return gr.edge_similarity(_lineitem_edges(sf_dir), CFG)
+
+
+SQL_EDGE_SIMILARITY = """
+WITH e0 AS (SELECT DISTINCT l_partkey AS s, l_suppkey AS d FROM lineitem
+            WHERE l_partkey <> l_suppkey),
+sym AS (SELECT s, d FROM e0 UNION SELECT d, s FROM e0),
+deg AS (SELECT s AS v, count(*) AS dg FROM sym GROUP BY s),
+can AS (SELECT s AS a, d AS b FROM sym WHERE s < d),
+inter AS (
+  SELECT e.a, e.b, count(*) AS c
+  FROM can e JOIN sym n1 ON n1.s = e.a JOIN sym n2 ON n2.s = e.b AND n2.d = n1.d
+  GROUP BY 1, 2
+)
+SELECT c.a, c.b, coalesce(i.c, 0) AS intersection,
+       da.dg AS deg_a, db.dg AS deg_b,
+       coalesce(i.c, 0)::DOUBLE / least(da.dg, db.dg) AS overlap,
+       2 * coalesce(i.c, 0)::DOUBLE / (da.dg + db.dg) AS sorensen,
+       coalesce(i.c, 0)::DOUBLE / sqrt((da.dg * db.dg)::DOUBLE) AS cosine
+FROM can c LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+JOIN deg da ON da.v = c.a JOIN deg db ON db.v = c.b
+"""
+
+
+def q_triangle_counts(sf_dir):
+    """Per-vertex triangle count + local clustering coefficient: the
+    per-edge intersection IS the triangles-through-edge count, so this
+    is a combiner exchange over edge_jaccard's output."""
+    return gr.triangle_counts(_lineitem_edges(sf_dir), CFG)
+
+
+SQL_TRIANGLE_COUNTS = """
+WITH e0 AS (SELECT DISTINCT l_partkey AS s, l_suppkey AS d FROM lineitem
+            WHERE l_partkey <> l_suppkey),
+sym AS (SELECT s, d FROM e0 UNION SELECT d, s FROM e0),
+deg AS (SELECT s AS v, count(*) AS dg FROM sym GROUP BY s),
+can AS (SELECT s AS a, d AS b FROM sym WHERE s < d),
+inter AS (
+  SELECT e.a, e.b, count(*) AS c
+  FROM can e JOIN sym n1 ON n1.s = e.a JOIN sym n2 ON n2.s = e.b AND n2.d = n1.d
+  GROUP BY 1, 2
+),
+edge_i AS (SELECT c.a, c.b, coalesce(i.c, 0) AS c
+           FROM can c LEFT JOIN inter i ON i.a = c.a AND i.b = c.b),
+contrib AS (SELECT a AS v, c FROM edge_i
+            UNION ALL SELECT b AS v, c FROM edge_i),
+tri AS (SELECT v, (sum(c)::BIGINT // 2) AS triangles FROM contrib GROUP BY v)
+SELECT t.v AS vertex, d.dg AS degree, t.triangles,
+       CASE WHEN d.dg >= 2
+            THEN 2.0 * t.triangles / (d.dg * (d.dg - 1))
+            ELSE 0.0 END AS lcc
+FROM tri t JOIN deg d ON d.v = t.v
+"""
+
+
 def q_edge_jaccard_weighted(sf_dir):
     """Weighted edge Jaccard (jaccard.cpp:253-256, 346-351 weighted
     path): deterministic per-vertex weights w(v) = 1 + (v mod 7);
@@ -2081,6 +2140,8 @@ QUERIES = {
     "media_resize": q_media_resize,
     "edge_jaccard_nonzero": q_edge_jaccard_nonzero,
     "edge_jaccard_weighted": q_edge_jaccard_weighted,
+    "edge_similarity": q_edge_similarity,
+    "triangle_counts": q_triangle_counts,
     "char_ngram_adjacent": q_char_ngram_adjacent,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "decontam_kept": q_decontam_kept,
@@ -2154,6 +2215,8 @@ ORACLES = {
     "media_resize": SQL_MEDIA_RESIZE,
     "edge_jaccard_nonzero": SQL_EDGE_JACCARD_NONZERO,
     "edge_jaccard_weighted": SQL_EDGE_JACCARD_WEIGHTED,
+    "edge_similarity": SQL_EDGE_SIMILARITY,
+    "triangle_counts": SQL_TRIANGLE_COUNTS,
     "char_ngram_adjacent": SQL_CHAR_NGRAM_ADJACENT,
     "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
     "semantic_pairs_scored": SQL_SEMANTIC_PAIRS_SCORED,

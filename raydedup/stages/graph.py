@@ -313,18 +313,12 @@ def pair_jaccard(pairs_ds, adj_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
                               concurrency=(1, 4))
 
 
-def edge_jaccard(edges_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
-                 weights=None, *, symmetrize_input: bool = True):
-    """Edge-connected Jaccard over a graph: score every existing
-    (canonical) edge — the reference's main path (jaccard.cpp:784-899).
-
-    Input: Dataset(src:int64, dst:int64[, weight]).  The graph is
-    symmetrized (undirected contract, main.cpp:99-112) and self-loops
-    dropped before adjacency build; output is one row per canonical
-    (src<dst) edge: (a, b, intersection, union, jaccard) — both
-    directions of an edge score identically in the reference, so the
-    canonical row represents both.
-    """
+def _adjacency_and_pairs(edges_ds, cfg: PipelineConfig,
+                         symmetrize_input: bool = True):
+    """Shared prefix of every edge-scoring op: self-loop drop →
+    (optional) bidirectional emit → adjacency build (materialized) →
+    canonical (a<b) pair derivation FROM the adjacency rows.
+    Returns (adj, pairs)."""
     clean = drop_self_loops(edges_ds)
     # no pre-dedup shuffle: adjacency build dedups inside its one shuffle.
     # Both directions are emitted by ONE map over each batch — a
@@ -358,4 +352,205 @@ def edge_jaccard(edges_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
                          "b": pa.array(b[keep], pa.int64())})
 
     pairs = adj.map_batches(_pairs, batch_format="pyarrow", zero_copy_batch=True)
+    return adj, pairs
+
+
+def edge_jaccard(edges_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
+                 weights=None, *, symmetrize_input: bool = True):
+    """Edge-connected Jaccard over a graph: score every existing
+    (canonical) edge — the reference's main path (jaccard.cpp:784-899).
+
+    Input: Dataset(src:int64, dst:int64[, weight]).  The graph is
+    symmetrized (undirected contract, main.cpp:99-112) and self-loops
+    dropped before adjacency build; output is one row per canonical
+    (src<dst) edge: (a, b, intersection, union, jaccard) — both
+    directions of an edge score identically in the reference, so the
+    canonical row represents both.
+    """
+    adj, pairs = _adjacency_and_pairs(edges_ds, cfg, symmetrize_input)
     return pair_jaccard(pairs, adj, cfg, weights=weights, id_col="id")
+
+
+def attach_degrees(scored_ds, adj_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
+                   broadcast: bool | None = None,
+                   cols: tuple = (("a", "deg_a"), ("b", "deg_b"))):
+    """Append per-endpoint degree columns (neighbor-set sizes from the
+    adjacency's ``n_neighbors``) to a (a, b, ...) edge Dataset.
+    ``cols`` maps each endpoint id column to its output degree column.
+
+    Broadcast path (≤ BROADCAST_MAX_ROWS adjacency rows): the
+    (sorted-ids, degrees) arrays ship once via ray.put and each batch
+    resolves endpoints with searchsorted lookups — zero shuffle.  Above
+    the gate, one partitioned equi-join per endpoint column (both sides
+    move once each) attaches the columns at scale."""
+    import ray
+
+    if broadcast is None:
+        broadcast = adj_ds.count() <= BROADCAST_MAX_ROWS
+    if not broadcast:
+        from .join import partitioned_join
+
+        deg = adj_ds.map_batches(
+            lambda t: pa.table({"__v": t["id"].combine_chunks(),
+                                "__dg": t["n_neighbors"].combine_chunks()}),
+            batch_format="pyarrow")
+        out = scored_ds
+        for id_c, deg_c in cols:
+            out = partitioned_join(out, deg, id_c, cfg, right_on="__v")
+            out = out.map_batches(
+                lambda t, dc=deg_c: t.rename_columns(
+                    [(dc if c == "__dg" else c) for c in t.column_names]),
+                batch_format="pyarrow")
+        return out
+
+    tabs = [ray.get(r) for r in
+            adj_ds.select_columns(["id", "n_neighbors"]).to_arrow_refs()]
+    tab = pa.concat_tables([t for t in tabs if len(t)])
+    ids = np.asarray(tab["id"], dtype=np.int64)
+    dg = np.asarray(tab["n_neighbors"], dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    deg_ref = ray.put((ids[order], dg[order]))
+
+    def _lookup(t: pa.Table) -> pa.Table:
+        sids, sdg = ray.get(deg_ref)  # local plasma read, zero-copy arrays
+        out = t
+        for id_c, deg_c in cols:
+            v = np.asarray(t[id_c], dtype=np.int64)
+            pos = np.clip(np.searchsorted(sids, v), 0, max(len(sids) - 1, 0))
+            d = np.where(len(sids) and sids[pos] == v, sdg[pos], 0)
+            out = out.append_column(deg_c, pa.array(d, pa.int64()))
+        return out
+
+    return scored_ds.map_batches(_lookup, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+
+def edge_similarity(edges_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
+                    symmetrize_input: bool = True,
+                    broadcast: bool | None = None):
+    """Sibling edge-similarity coefficients over the SAME intersect
+    kernel as ``edge_jaccard`` (jaccard.cpp:614-619 computes only J;
+    overlap / Sørensen–Dice / Salton cosine are its standard graph-
+    similarity companions — all pure functions of (|A∩B|, |A|, |B|)):
+
+        overlap  = i / min(da, db)
+        sorensen = 2·i / (da + db)
+        cosine   = i / sqrt(da · db)
+
+    One intersection pass + one degree attach (broadcast lookup or
+    partitioned joins, `attach_degrees`); no extra set scans.  Output:
+    (a, b, intersection, deg_a, deg_b, overlap, sorensen, cosine)."""
+    adj, pairs = _adjacency_and_pairs(edges_ds, cfg, symmetrize_input)
+    scored = pair_jaccard(pairs, adj, cfg, id_col="id",
+                          broadcast=broadcast)
+    withdeg = attach_degrees(scored, adj, cfg, broadcast=broadcast)
+
+    def _metrics(t: pa.Table) -> pa.Table:
+        i = np.asarray(t["intersection"], dtype=np.int64).astype(np.float64)
+        da = np.asarray(t["deg_a"], dtype=np.int64)
+        db = np.asarray(t["deg_b"], dtype=np.int64)
+        daf, dbf = da.astype(np.float64), db.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mn = np.minimum(daf, dbf)
+            overlap = np.where(mn > 0, i / np.maximum(mn, 1.0), 0.0)
+            ssum = daf + dbf
+            sorensen = np.where(ssum > 0,
+                                (2.0 * i) / np.maximum(ssum, 1.0), 0.0)
+            prod = np.sqrt((da * db).astype(np.float64))
+            cosine = np.where(prod > 0, i / np.maximum(prod, 1.0), 0.0)
+        return pa.table({
+            "a": t["a"], "b": t["b"],
+            "intersection": t["intersection"],
+            "deg_a": t["deg_a"], "deg_b": t["deg_b"],
+            "overlap": pa.array(overlap, pa.float64()),
+            "sorensen": pa.array(sorensen, pa.float64()),
+            "cosine": pa.array(cosine, pa.float64()),
+        })
+
+    return withdeg.map_batches(_metrics, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
+def triangle_counts(edges_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
+                    symmetrize_input: bool = True,
+                    broadcast: bool | None = None):
+    """Per-vertex triangle counts + local clustering coefficient,
+    derived from the edge-intersection kernel: |N(a)∩N(b)| of a
+    canonical edge IS the number of triangles through that edge, so
+    t(v) = Σ_{edges incident to v} intersection(e) / 2 (each triangle
+    {v,x,y} is counted by both (v,x) and (v,y)), and
+    lcc(v) = 2·t(v) / (deg(v)·(deg(v)−1)).
+
+    Physical plan: score pass (shared with edge_jaccard) → per-batch
+    partial sums of intersections per endpoint (combiner, same shape as
+    ``degrees``) → one hash exchange → degree attach → pure map.
+    Output: (vertex, triangles, lcc) for every vertex with ≥1 edge."""
+    from ..functions.shuffle import hash_partition_map
+
+    adj, pairs = _adjacency_and_pairs(edges_ds, cfg, symmetrize_input)
+    scored = pair_jaccard(pairs, adj, cfg, id_col="id",
+                          broadcast=broadcast)
+    n_parts = cfg.resolved_partitions()
+
+    def _partial(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["a"], dtype=np.int64)
+        b = np.asarray(t["b"], dtype=np.int64)
+        c = np.asarray(t["intersection"], dtype=np.int64)
+        v = np.concatenate([a, b])
+        w = np.concatenate([c, c])
+        order = np.argsort(v, kind="stable")
+        vs, ws = v[order], w[order]
+        first = np.ones(len(vs), dtype=bool)
+        first[1:] = vs[1:] != vs[:-1]
+        u = vs[first]
+        s = np.add.reduceat(ws, np.flatnonzero(first)) if len(ws) else ws
+        return pa.table({
+            "vertex": pa.array(u, pa.int64()),
+            "partial": pa.array(s, pa.int64()),
+            "part": pa.array(_vertex_part(u, n_parts), pa.int64()),
+        })
+
+    empty = pa.table({"vertex": pa.array([], pa.int64()),
+                      "triangles": pa.array([], pa.int64())})
+
+    def _sum(tab: pa.Table | None) -> pa.Table:
+        if tab is None or len(tab) == 0 or tab.num_columns == 0:
+            return empty
+        v = np.asarray(tab["vertex"], dtype=np.int64)
+        c = np.asarray(tab["partial"], dtype=np.int64)
+        order = np.argsort(v, kind="stable")
+        vs, cs = v[order], c[order]
+        first = np.ones(len(vs), dtype=bool)
+        first[1:] = vs[1:] != vs[:-1]
+        starts = np.flatnonzero(first)
+        # each triangle at v is counted by exactly two incident edges
+        tri = np.add.reduceat(cs, starts) // 2
+        return pa.table({
+            "vertex": pa.array(vs[first], pa.int64()),
+            "triangles": pa.array(tri, pa.int64()),
+        })
+
+    parted = scored.map_batches(_partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    tri = hash_partition_map(parted, "part", _sum, n_parts)
+
+    withdeg = attach_degrees(tri, adj, cfg, broadcast=broadcast,
+                             cols=(("vertex", "degree"),))
+
+    def _lcc(t: pa.Table) -> pa.Table:
+        tr = np.asarray(t["triangles"], dtype=np.int64)
+        dg = np.asarray(t["degree"], dtype=np.int64)
+        denom = dg * (dg - 1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lcc = np.where(denom > 0,
+                           (2.0 * tr) / np.maximum(denom, 1).astype(np.float64),
+                           0.0)
+        return pa.table({
+            "vertex": t["vertex"],
+            "degree": t["degree"],
+            "triangles": t["triangles"],
+            "lcc": pa.array(lcc, pa.float64()),
+        })
+
+    return withdeg.map_batches(_lcc, batch_format="pyarrow",
+                               zero_copy_batch=True)

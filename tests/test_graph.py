@@ -202,3 +202,119 @@ class TestGraphOps:
         assert list(map(tuple, sym[["src", "dst"]].values.tolist())) == \
             [(0, 1), (1, 0)]
         assert list(sym["weight"]) == [2.0, 2.0]
+
+
+def brute_edge_similarity(edges):
+    """Oracle: dict[(u,v)] -> (inter, da, db, overlap, sorensen, cosine)."""
+    adj: dict[int, set] = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    out = {}
+    for s in adj:
+        for d in adj[s]:
+            if s < d:
+                na, nb = adj[s], adj[d]
+                i = len(na & nb)
+                da, db = len(na), len(nb)
+                out[(s, d)] = (i, da, db, i / min(da, db),
+                               2 * i / (da + db), i / (da * db) ** 0.5)
+    return out
+
+
+def brute_triangles(edges):
+    """Oracle: dict[v] -> (degree, triangles, lcc)."""
+    adj: dict[int, set] = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    out = {}
+    for v, nv in adj.items():
+        t = sum(len(nv & adj[u]) for u in nv) // 2
+        d = len(nv)
+        out[v] = (d, t, (2 * t / (d * (d - 1))) if d >= 2 else 0.0)
+    return out
+
+
+class TestEdgeSimilarity:
+    def _run(self, edges, **kw):
+        import ray.data as rd
+        from raydedup.stages.graph import edge_similarity
+        tab = pa.table({
+            "src": pa.array([e[0] for e in edges], pa.int64()),
+            "dst": pa.array([e[1] for e in edges], pa.int64()),
+        })
+        out = edge_similarity(rd.from_arrow(tab), CFG, **kw).to_pandas()
+        return {(a, b): (i, da, db, o, s, c) for a, b, i, da, db, o, s, c in
+                zip(out["a"], out["b"], out["intersection"], out["deg_a"],
+                    out["deg_b"], out["overlap"], out["sorensen"],
+                    out["cosine"])}
+
+    def test_triangle_plus_tail(self, ray_session):
+        got = self._run(TRI_PLUS_TAIL)
+        want = brute_edge_similarity(TRI_PLUS_TAIL)
+        assert got.keys() == want.keys()
+        for k, (i, da, db, o, s, c) in want.items():
+            gi, gda, gdb, go, gs, gc = got[k]
+            assert (gi, gda, gdb) == (i, da, db), k
+            assert go == pytest.approx(o, abs=1e-12)
+            assert gs == pytest.approx(s, abs=1e-12)
+            assert gc == pytest.approx(c, abs=1e-12)
+
+    def test_random_gnp_both_paths(self, ray_session):
+        rng = np.random.default_rng(11)
+        n = 80
+        mask = rng.random((n, n)) < 0.07
+        edges = [(int(i), int(j)) for i in range(n) for j in range(i + 1, n)
+                 if mask[i, j]]
+        want = brute_edge_similarity(edges)
+        for bcast in (True, False):  # broadcast lookup vs partitioned joins
+            got = self._run(edges, broadcast=bcast)
+            assert got.keys() == want.keys(), bcast
+            for k, w in want.items():
+                g = got[k]
+                assert g[:3] == w[:3], (bcast, k)
+                for gi, wi in zip(g[3:], w[3:]):
+                    assert gi == pytest.approx(wi, abs=1e-12), (bcast, k)
+
+
+class TestTriangleCounts:
+    def _run(self, edges, **kw):
+        import ray.data as rd
+        from raydedup.stages.graph import triangle_counts
+        tab = pa.table({
+            "src": pa.array([e[0] for e in edges], pa.int64()),
+            "dst": pa.array([e[1] for e in edges], pa.int64()),
+        })
+        out = triangle_counts(rd.from_arrow(tab), CFG, **kw).to_pandas()
+        return {v: (d, t, l) for v, d, t, l in
+                zip(out["vertex"], out["degree"], out["triangles"],
+                    out["lcc"])}
+
+    def test_triangle_plus_tail(self, ray_session):
+        got = self._run(TRI_PLUS_TAIL)
+        # one triangle {0,1,2}; vertex 3 is a tail
+        assert got[0][1] == 1 and got[1][1] == 1 and got[2][1] == 1
+        assert got[3][1] == 0 and got[3][2] == 0.0
+        assert got[0][2] == pytest.approx(1.0)   # deg 2, 1 triangle
+        assert got[2][2] == pytest.approx(1 / 3)  # deg 3, 1 triangle
+
+    def test_random_gnp_both_paths(self, ray_session):
+        rng = np.random.default_rng(13)
+        n = 90
+        mask = rng.random((n, n)) < 0.08
+        edges = [(int(i), int(j)) for i in range(n) for j in range(i + 1, n)
+                 if mask[i, j]]
+        want = brute_triangles(edges)
+        assert sum(t for _, t, _ in want.values()) > 0
+        for bcast in (True, False):
+            got = self._run(edges, broadcast=bcast)
+            assert got.keys() == want.keys(), bcast
+            for v, (d, t, l) in want.items():
+                gd, gt, gl = got[v]
+                assert (gd, gt) == (d, t), (bcast, v)
+                assert gl == pytest.approx(l, abs=1e-12), (bcast, v)
