@@ -96,6 +96,67 @@ FROM b
 """
 
 
+def q_gopher_quality(sf_dir):
+    """Gopher-style quality heuristics (Rae et al. 2021, App. A1.1)."""
+    return ts.gopher_rules(_docs(sf_dir, ["doc_id", "text"])).select_columns(
+        ["doc_id", "n_words", "mean_word_len", "bullet_line_frac",
+         "ellipsis_line_frac", "alpha_word_frac", "symbol_word_ratio",
+         "n_stopwords_present", "gopher_pass"])
+
+
+SQL_GOPHER_QUALITY = """
+WITH b AS (
+  SELECT doc_id, text,
+         string_split(text, ' ') AS words,
+         string_split(text, chr(10)) AS lines,
+         length(text)::DOUBLE AS n_chars
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(words)::DOUBLE AS n_words,
+         greatest(n_chars - (len(words) - 1), 0) AS word_chars,
+         len(list_filter(words,
+             w -> regexp_matches(w, '[a-zA-Z]')))::DOUBLE AS n_alpha_words,
+         len(lines)::DOUBLE AS n_lines,
+         len(list_filter(lines,
+             l -> starts_with(l, '•') OR starts_with(l, '-')))::DOUBLE AS n_bullet,
+         len(list_filter(lines,
+             l -> ends_with(l, '...') OR ends_with(l, '…')))::DOUBLE AS n_ellip,
+         (length(text) - length(replace(text, '#', '')))::DOUBLE
+           + (length(text) - length(replace(text, '...', '')))::DOUBLE / 3
+           AS n_sym,
+         (list_contains(words, 'the')::INT + list_contains(words, 'be')::INT
+          + list_contains(words, 'to')::INT + list_contains(words, 'of')::INT
+          + list_contains(words, 'and')::INT
+          + list_contains(words, 'that')::INT
+          + list_contains(words, 'have')::INT
+          + list_contains(words, 'with')::INT)::BIGINT AS n_stop
+  FROM b
+),
+s AS (
+  SELECT doc_id,
+         n_words::BIGINT AS n_words,
+         word_chars / greatest(n_words, 1) AS mean_word_len,
+         n_bullet / greatest(n_lines, 1) AS bullet_line_frac,
+         n_ellip / greatest(n_lines, 1) AS ellipsis_line_frac,
+         n_alpha_words / greatest(n_words, 1) AS alpha_word_frac,
+         n_sym / greatest(n_words, 1) AS symbol_word_ratio,
+         n_stop AS n_stopwords_present
+  FROM m
+)
+SELECT *,
+       (n_words BETWEEN 50 AND 100000
+        AND mean_word_len BETWEEN 3 AND 10
+        AND symbol_word_ratio < 0.1
+        AND bullet_line_frac < 0.9
+        AND ellipsis_line_frac < 0.3
+        AND alpha_word_frac > 0.8
+        AND n_stopwords_present >= 2) AS gopher_pass
+FROM s
+"""
+
+
 # ---------------------------------------------------------------- exact dedup
 
 def q_exact_dedup_groups(sf_dir):
@@ -2112,6 +2173,7 @@ QUERIES = {
     "shingle_count": q_shingle_count,
     "fingerprint": q_fingerprint,
     "quality_scores": q_quality,
+    "gopher_quality": q_gopher_quality,
     "exact_dedup_groups": q_exact_dedup_groups,
     "exact_dedup_corpus": q_exact_dedup_corpus,
     "exact_dup_pairs": q_exact_dup_pairs,
@@ -2191,6 +2253,7 @@ ORACLES = {
     "shingle_count": SQL_SHINGLE_COUNT,
     "fingerprint": SQL_FINGERPRINT,
     "quality_scores": SQL_QUALITY,
+    "gopher_quality": SQL_GOPHER_QUALITY,
     "exact_dedup_groups": SQL_EXACT_DEDUP_GROUPS,
     "exact_dedup_corpus": SQL_EXACT_DEDUP_CORPUS,
     "exact_dup_pairs": SQL_EXACT_DUP_PAIRS,

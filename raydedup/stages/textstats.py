@@ -61,6 +61,122 @@ def quality_scores(ds, text_col: str = "text"):
     return ds.map_batches(_score, batch_format="pyarrow", zero_copy_batch=True)
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _segment_sum(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Sum ``values`` per list row given Arrow list offsets (int64)."""
+    n = len(offsets) - 1
+    out = np.zeros(n, dtype=np.float64)
+    if len(values) == 0:
+        return out
+    cs = np.zeros(len(values) + 1, dtype=np.float64)
+    np.cumsum(values, out=cs[1:])
+    return cs[offsets[1:]] - cs[offsets[:-1]]
+
+
+def _count_sub(texts, pattern: str):
+    """Non-overlapping substring occurrence count via the replace-length
+    trick — the same left-to-right greedy semantics as DuckDB
+    ``replace``, so the oracle agrees exactly."""
+    removed = pc.subtract(
+        pc.utf8_length(texts),
+        pc.utf8_length(pc.replace_substring(texts, pattern=pattern,
+                                            replacement="")))
+    return pc.divide(removed.cast(pa.float64()), float(len(pattern)))
+
+
+def gopher_rules(ds, text_col: str = "text"):
+    """Gopher-style document quality heuristics (Rae et al. 2021,
+    Appendix A1.1 — public literature), all vectorized Arrow/numpy:
+
+      n_words, mean_word_len          (space-delimited tokens)
+      bullet_line_frac                lines starting with '•' or '-'
+      ellipsis_line_frac              lines ending with '...' or '…'
+      alpha_word_frac                 words containing ≥1 [a-zA-Z]
+      symbol_word_ratio               ('#' + '...') occurrences / words
+      n_stopwords_present             of the paper's 8 stop words
+      gopher_pass                     the paper's conjunctive gate
+
+    Gate: 50 ≤ words ≤ 100 000, 3 ≤ mean_word_len ≤ 10,
+    symbol_word_ratio < 0.1, bullet_line_frac < 0.9,
+    ellipsis_line_frac < 0.3, alpha_word_frac > 0.8, ≥2 stop words."""
+
+    def _rules(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch[text_col], "").combine_chunks()
+        n_chars = pc.utf8_length(texts).cast(pa.float64())
+
+        def _one_chunk(arr):
+            return (arr.combine_chunks()
+                    if isinstance(arr, pa.ChunkedArray) else arr)
+
+        words = _one_chunk(pc.split_pattern(texts, pattern=" "))
+        w_offs = np.asarray(words.offsets, dtype=np.int64)
+        w_offs = w_offs - w_offs[0]  # sliced arrays carry a base offset
+        w_vals = words.flatten()     # values aligned with adjusted offsets
+        n_words = (w_offs[1:] - w_offs[:-1]).astype(np.float64)
+        # Σ word lengths = n_chars − separators (split on ' ' partitions)
+        word_chars = np.maximum(
+            np.asarray(n_chars) - (n_words - 1.0), 0.0)
+        mean_word_len = word_chars / np.maximum(n_words, 1.0)
+
+        has_alpha = pc.match_substring_regex(w_vals, "[a-zA-Z]")
+        alpha_per_word = np.asarray(
+            pc.fill_null(has_alpha, False)).astype(np.float64)
+        alpha_word_frac = (_segment_sum(alpha_per_word, w_offs)
+                           / np.maximum(n_words, 1.0))
+
+        lines = _one_chunk(pc.split_pattern(texts, pattern="\n"))
+        l_offs = np.asarray(lines.offsets, dtype=np.int64)
+        l_offs = l_offs - l_offs[0]
+        l_vals = lines.flatten()
+        n_lines = (l_offs[1:] - l_offs[:-1]).astype(np.float64)
+        bullet = pc.or_(pc.starts_with(l_vals, pattern="•"),
+                        pc.starts_with(l_vals, pattern="-"))
+        ellip = pc.or_(pc.ends_with(l_vals, pattern="..."),
+                       pc.ends_with(l_vals, pattern="…"))
+        bullet_frac = (_segment_sum(
+            np.asarray(pc.fill_null(bullet, False)).astype(np.float64), l_offs)
+            / np.maximum(n_lines, 1.0))
+        ellip_frac = (_segment_sum(
+            np.asarray(pc.fill_null(ellip, False)).astype(np.float64), l_offs)
+            / np.maximum(n_lines, 1.0))
+
+        n_sym = (np.asarray(_count_sub(texts, "#"))
+                 + np.asarray(_count_sub(texts, "...")))
+        symbol_ratio = n_sym / np.maximum(n_words, 1.0)
+
+        n_stop = np.zeros(len(batch), dtype=np.int64)
+        for w in GOPHER_STOPWORDS:
+            present = _segment_sum(
+                np.asarray(pc.equal(w_vals, w)).astype(np.float64), w_offs)
+            n_stop += (present > 0)
+
+        gate = ((n_words >= 50) & (n_words <= 100_000)
+                & (mean_word_len >= 3) & (mean_word_len <= 10)
+                & (symbol_ratio < 0.1) & (bullet_frac < 0.9)
+                & (ellip_frac < 0.3) & (alpha_word_frac > 0.8)
+                & (n_stop >= 2))
+
+        batch = batch.append_column("n_words",
+                                    pa.array(n_words.astype(np.int64)))
+        batch = batch.append_column("mean_word_len",
+                                    pa.array(mean_word_len, pa.float64()))
+        batch = batch.append_column("bullet_line_frac",
+                                    pa.array(bullet_frac, pa.float64()))
+        batch = batch.append_column("ellipsis_line_frac",
+                                    pa.array(ellip_frac, pa.float64()))
+        batch = batch.append_column("alpha_word_frac",
+                                    pa.array(alpha_word_frac, pa.float64()))
+        batch = batch.append_column("symbol_word_ratio",
+                                    pa.array(symbol_ratio, pa.float64()))
+        batch = batch.append_column("n_stopwords_present", pa.array(n_stop))
+        return batch.append_column("gopher_pass", pa.array(gate))
+
+    return ds.map_batches(_rules, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def repetition_stats(ds, text_col: str = "text"):
     """Gopher/RefinedWeb-style intra-document repetition signals, fully
     vectorized (one lexsort + run-length pass per batch):

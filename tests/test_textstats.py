@@ -248,3 +248,42 @@ class TestCorpusReport:
         # empty corpus → zero row, not a crash
         z = corpus_report(_docs_ds([])).to_pandas()
         assert z.iloc[0]["n_docs"] == 0
+
+
+class TestGopherRules:
+    def test_planted_fixtures(self, ray_session):
+        from raydedup.stages.textstats import gopher_rules
+        good = ("the quick brown fox jumps over a lazy dog and then they "
+                "have supper with all of their friends that evening ") * 5
+        bullets = "\n".join(f"- item {i}" for i in range(20))
+        ellipses = "\n".join(f"line {i} trails off..." for i in range(10))
+        symbols = "# ".join(str(i) for i in range(60))
+        short = "too short"
+        out = gopher_rules(_docs_ds(
+            [good, bullets, ellipses, symbols, short])).to_pandas()
+        out = out.set_index("doc_id")
+        assert bool(out.loc[0, "gopher_pass"])
+        assert out.loc[0, "n_stopwords_present"] >= 2
+        # every line is a bullet → frac 1.0, gate fails
+        assert out.loc[1, "bullet_line_frac"] == pytest.approx(1.0)
+        assert not bool(out.loc[1, "gopher_pass"])
+        assert out.loc[2, "ellipsis_line_frac"] == pytest.approx(1.0)
+        assert not bool(out.loc[2, "gopher_pass"])
+        assert out.loc[3, "symbol_word_ratio"] > 0.1
+        assert not bool(out.loc[3, "gopher_pass"])
+        assert out.loc[4, "n_words"] == 2
+        assert not bool(out.loc[4, "gopher_pass"])
+
+    def test_symbol_count_matches_replace_semantics(self, ray_session):
+        from raydedup.stages.textstats import gopher_rules
+        # 5 dots = ONE non-overlapping '...' occurrence (replace trick);
+        # also one '#'
+        out = gopher_rules(_docs_ds(["a..... # b"])).to_pandas()
+        assert out.loc[0, "symbol_word_ratio"] == pytest.approx(2 / 3)
+
+    def test_empty_and_no_newline(self, ray_session):
+        from raydedup.stages.textstats import gopher_rules
+        out = gopher_rules(_docs_ds(["", "single line no newline"])).to_pandas()
+        assert out.loc[0, "n_words"] == 1  # split of "" yields [""]
+        assert not bool(out.loc[0, "gopher_pass"])
+        assert out.loc[1, "bullet_line_frac"] == 0.0
