@@ -63,7 +63,14 @@ def cmd_jaccard(args):
         edges, _ = read_mtx(args.input)
     else:
         edges = rd.read_parquet(args.input)
-    out = edge_jaccard(edges, cfg)
+    if getattr(args, "stat", "jaccard") == "triangles":
+        from .stages.graph import triangle_counts
+        out = triangle_counts(edges, cfg)
+    elif getattr(args, "stat", "jaccard") == "similarity":
+        from .stages.graph import edge_similarity
+        out = edge_similarity(edges, cfg)
+    else:
+        out = edge_jaccard(edges, cfg)
     out.write_parquet(args.output)
     print(f"wrote {args.output}")
 
@@ -159,6 +166,8 @@ def cmd_build(args):
         quality["min_alpha_ratio"] = args.min_alpha
     if args.max_dup_frac_e6 is not None:
         quality["max_dup_word_frac_e6"] = args.max_dup_frac_e6
+    if getattr(args, "gopher", False):
+        quality["gopher_gate"] = True
     splits = None
     if args.splits:
         splits = {}
@@ -297,6 +306,10 @@ def main(argv=None):
     s = sub.add_parser("jaccard", help="edge-connected Jaccard over a graph")
     s.add_argument("input")
     s.add_argument("output")
+    s.add_argument("--stat", choices=["jaccard", "similarity", "triangles"],
+                   default="jaccard",
+                   help="similarity = overlap/Sørensen/cosine per edge; "
+                        "triangles = per-vertex counts + clustering coeff")
     s.set_defaults(fn=cmd_jaccard)
 
     s = sub.add_parser("compare", help="golden-output tolerance compare "
@@ -344,6 +357,9 @@ def main(argv=None):
     s.add_argument("--min-tokens", type=int, default=None)
     s.add_argument("--min-alpha", type=float, default=None)
     s.add_argument("--max-dup-frac-e6", type=int, default=None)
+    s.add_argument("--gopher", action="store_true",
+                   help="require the full conjunctive Gopher rule set "
+                        "in the quality gate")
     s.add_argument("--threshold", type=float, default=None)
     s.add_argument("--line-min-docs", type=int, default=None)
     s.add_argument("--splits", default=None,

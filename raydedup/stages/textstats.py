@@ -86,6 +86,73 @@ def _count_sub(texts, pattern: str):
     return pc.divide(removed.cast(pa.float64()), float(len(pattern)))
 
 
+def _gopher_stats(texts: pa.Array | pa.ChunkedArray) -> dict:
+    """Vectorized Gopher heuristics over a (null-filled) string array —
+    shared by ``gopher_rules`` (stats + gate columns) and
+    ``quality_filter(gopher_gate=True)`` (gate only)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_chars = pc.utf8_length(texts).cast(pa.float64())
+
+    def _one_chunk(arr):
+        return (arr.combine_chunks()
+                if isinstance(arr, pa.ChunkedArray) else arr)
+
+    words = _one_chunk(pc.split_pattern(texts, pattern=" "))
+    w_offs = np.asarray(words.offsets, dtype=np.int64)
+    w_offs = w_offs - w_offs[0]  # sliced arrays carry a base offset
+    w_vals = words.flatten()     # values aligned with adjusted offsets
+    n_words = (w_offs[1:] - w_offs[:-1]).astype(np.float64)
+    # Σ word lengths = n_chars − separators (split on ' ' partitions)
+    word_chars = np.maximum(
+        np.asarray(n_chars) - (n_words - 1.0), 0.0)
+    mean_word_len = word_chars / np.maximum(n_words, 1.0)
+
+    has_alpha = pc.match_substring_regex(w_vals, "[a-zA-Z]")
+    alpha_per_word = np.asarray(
+        pc.fill_null(has_alpha, False)).astype(np.float64)
+    alpha_word_frac = (_segment_sum(alpha_per_word, w_offs)
+                       / np.maximum(n_words, 1.0))
+
+    lines = _one_chunk(pc.split_pattern(texts, pattern="\n"))
+    l_offs = np.asarray(lines.offsets, dtype=np.int64)
+    l_offs = l_offs - l_offs[0]
+    l_vals = lines.flatten()
+    n_lines = (l_offs[1:] - l_offs[:-1]).astype(np.float64)
+    bullet = pc.or_(pc.starts_with(l_vals, pattern="•"),
+                    pc.starts_with(l_vals, pattern="-"))
+    ellip = pc.or_(pc.ends_with(l_vals, pattern="..."),
+                   pc.ends_with(l_vals, pattern="…"))
+    bullet_frac = (_segment_sum(
+        np.asarray(pc.fill_null(bullet, False)).astype(np.float64), l_offs)
+        / np.maximum(n_lines, 1.0))
+    ellip_frac = (_segment_sum(
+        np.asarray(pc.fill_null(ellip, False)).astype(np.float64), l_offs)
+        / np.maximum(n_lines, 1.0))
+
+    n_sym = (np.asarray(_count_sub(texts, "#"))
+             + np.asarray(_count_sub(texts, "...")))
+    symbol_ratio = n_sym / np.maximum(n_words, 1.0)
+
+    n_stop = np.zeros(len(n_words), dtype=np.int64)
+    for w in GOPHER_STOPWORDS:
+        present = _segment_sum(
+            np.asarray(pc.equal(w_vals, w)).astype(np.float64), w_offs)
+        n_stop += (present > 0)
+
+    gate = ((n_words >= 50) & (n_words <= 100_000)
+            & (mean_word_len >= 3) & (mean_word_len <= 10)
+            & (symbol_ratio < 0.1) & (bullet_frac < 0.9)
+            & (ellip_frac < 0.3) & (alpha_word_frac > 0.8)
+            & (n_stop >= 2))
+    return {"n_words": n_words, "mean_word_len": mean_word_len,
+            "bullet_line_frac": bullet_frac,
+            "ellipsis_line_frac": ellip_frac,
+            "alpha_word_frac": alpha_word_frac,
+            "symbol_word_ratio": symbol_ratio,
+            "n_stopwords_present": n_stop, "gopher_pass": gate}
+
+
 def gopher_rules(ds, text_col: str = "text"):
     """Gopher-style document quality heuristics (Rae et al. 2021,
     Appendix A1.1 — public literature), all vectorized Arrow/numpy:
@@ -103,60 +170,15 @@ def gopher_rules(ds, text_col: str = "text"):
     ellipsis_line_frac < 0.3, alpha_word_frac > 0.8, ≥2 stop words."""
 
     def _rules(batch: pa.Table) -> pa.Table:
-        texts = pc.fill_null(batch[text_col], "").combine_chunks()
-        n_chars = pc.utf8_length(texts).cast(pa.float64())
-
-        def _one_chunk(arr):
-            return (arr.combine_chunks()
-                    if isinstance(arr, pa.ChunkedArray) else arr)
-
-        words = _one_chunk(pc.split_pattern(texts, pattern=" "))
-        w_offs = np.asarray(words.offsets, dtype=np.int64)
-        w_offs = w_offs - w_offs[0]  # sliced arrays carry a base offset
-        w_vals = words.flatten()     # values aligned with adjusted offsets
-        n_words = (w_offs[1:] - w_offs[:-1]).astype(np.float64)
-        # Σ word lengths = n_chars − separators (split on ' ' partitions)
-        word_chars = np.maximum(
-            np.asarray(n_chars) - (n_words - 1.0), 0.0)
-        mean_word_len = word_chars / np.maximum(n_words, 1.0)
-
-        has_alpha = pc.match_substring_regex(w_vals, "[a-zA-Z]")
-        alpha_per_word = np.asarray(
-            pc.fill_null(has_alpha, False)).astype(np.float64)
-        alpha_word_frac = (_segment_sum(alpha_per_word, w_offs)
-                           / np.maximum(n_words, 1.0))
-
-        lines = _one_chunk(pc.split_pattern(texts, pattern="\n"))
-        l_offs = np.asarray(lines.offsets, dtype=np.int64)
-        l_offs = l_offs - l_offs[0]
-        l_vals = lines.flatten()
-        n_lines = (l_offs[1:] - l_offs[:-1]).astype(np.float64)
-        bullet = pc.or_(pc.starts_with(l_vals, pattern="•"),
-                        pc.starts_with(l_vals, pattern="-"))
-        ellip = pc.or_(pc.ends_with(l_vals, pattern="..."),
-                       pc.ends_with(l_vals, pattern="…"))
-        bullet_frac = (_segment_sum(
-            np.asarray(pc.fill_null(bullet, False)).astype(np.float64), l_offs)
-            / np.maximum(n_lines, 1.0))
-        ellip_frac = (_segment_sum(
-            np.asarray(pc.fill_null(ellip, False)).astype(np.float64), l_offs)
-            / np.maximum(n_lines, 1.0))
-
-        n_sym = (np.asarray(_count_sub(texts, "#"))
-                 + np.asarray(_count_sub(texts, "...")))
-        symbol_ratio = n_sym / np.maximum(n_words, 1.0)
-
-        n_stop = np.zeros(len(batch), dtype=np.int64)
-        for w in GOPHER_STOPWORDS:
-            present = _segment_sum(
-                np.asarray(pc.equal(w_vals, w)).astype(np.float64), w_offs)
-            n_stop += (present > 0)
-
-        gate = ((n_words >= 50) & (n_words <= 100_000)
-                & (mean_word_len >= 3) & (mean_word_len <= 10)
-                & (symbol_ratio < 0.1) & (bullet_frac < 0.9)
-                & (ellip_frac < 0.3) & (alpha_word_frac > 0.8)
-                & (n_stop >= 2))
+        s = _gopher_stats(pc.fill_null(batch[text_col], ""))
+        n_words = s["n_words"]
+        mean_word_len = s["mean_word_len"]
+        bullet_frac = s["bullet_line_frac"]
+        ellip_frac = s["ellipsis_line_frac"]
+        alpha_word_frac = s["alpha_word_frac"]
+        symbol_ratio = s["symbol_word_ratio"]
+        n_stop = s["n_stopwords_present"]
+        gate = s["gopher_pass"]
 
         batch = batch.append_column("n_words",
                                     pa.array(n_words.astype(np.int64)))
@@ -346,6 +368,7 @@ def quality_filter(ds, *, text_col: str = "text",
                    max_mean_token_len: float | None = None,
                    min_alpha_ratio: float | None = None,
                    max_dup_word_frac_e6: int | None = None,
+                   gopher_gate: bool = False,
                    counters=None, carry_tokens: bool = False):
     """Composite C4/Gopher-style quality gate: keep docs passing every
     provided bound (None = unbounded) over token count, mean token
@@ -363,7 +386,12 @@ def quality_filter(ds, *, text_col: str = "text",
     zero-shuffle stages (decontamination, n-gram guard) reuse this
     stage's tokenization instead of re-tokenizing — the tokenize-once
     prefix.  The caller must drop the column before any
-    materialize/exchange."""
+    materialize/exchange.
+
+    ``gopher_gate``: additionally require the full conjunctive Gopher
+    rule set (``gopher_rules``'s gate — bullet/ellipsis line fractions,
+    symbol-to-word ratio, alpha-word fraction, stop-word presence) in
+    the same streaming map."""
     from ..functions.text import (TOKEN_CACHE_COL, batch_tokens,
                                   tokens_to_column)
 
@@ -403,6 +431,8 @@ def quality_filter(ds, *, text_col: str = "text",
             dup_e6 = (n_tok - distinct) * np.int64(1_000_000) \
                 // np.maximum(n_tok, 1)
             keep &= dup_e6 <= max_dup_word_frac_e6
+        if gopher_gate:
+            keep &= _gopher_stats(texts)["gopher_pass"]
         if counters is not None and not keep.all():
             counters.add.remote(            # settle on read, not here
                 {"quality_dropped": int((~keep).sum())})

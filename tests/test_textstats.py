@@ -287,3 +287,15 @@ class TestGopherRules:
         assert out.loc[0, "n_words"] == 1  # split of "" yields [""]
         assert not bool(out.loc[0, "gopher_pass"])
         assert out.loc[1, "bullet_line_frac"] == 0.0
+
+    def test_quality_filter_gopher_gate_agrees(self, ray_session):
+        from raydedup.stages.textstats import gopher_rules, quality_filter
+        good = ("the quick brown fox jumps over a lazy dog and then they "
+                "have supper with all of their friends that evening ") * 5
+        texts = [good, "\n".join(f"- b {i}" for i in range(30)),
+                 good + " extra words here", "tiny"]
+        full = gopher_rules(_docs_ds(texts)).to_pandas()
+        kept = quality_filter(_docs_ds(texts), gopher_gate=True).to_pandas()
+        assert set(kept["doc_id"]) == set(
+            full[full["gopher_pass"]]["doc_id"])
+        assert 0 < len(kept) < len(texts)
