@@ -2065,6 +2065,52 @@ SELECT 'p99', quantile_disc(n_tokens, 0.99)::BIGINT FROM t
 """
 
 
+def q_price_quantiles(sf_dir):
+    """Exact continuous (interpolated) quantiles of a fixed-decimal
+    metric: l_extendedprice as integer cents through the value-
+    histogram exchange, read off with quantile_cont semantics."""
+    import ray.data as rd
+
+    from ..stages.quantiles import cont_quantiles
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_extendedprice"])
+    cents = li.map_batches(
+        lambda t: pa.table({"cents": pc.round(
+            pc.multiply(t["l_extendedprice"], 100.0)).cast(pa.int64())}),
+        batch_format="pyarrow")
+    return cont_quantiles(cents, "cents",
+                          qs=(0.25, 0.5, 0.75, 0.9, 0.99), cfg=CFG)
+
+
+SQL_PRICE_QUANTILES = """
+WITH t AS (SELECT round(l_extendedprice * 100)::BIGINT AS cents
+           FROM lineitem)
+SELECT 'p25' AS q, quantile_cont(cents, 0.25) AS value FROM t
+UNION ALL SELECT 'p50', quantile_cont(cents, 0.50) FROM t
+UNION ALL SELECT 'p75', quantile_cont(cents, 0.75) FROM t
+UNION ALL SELECT 'p90', quantile_cont(cents, 0.90) FROM t
+UNION ALL SELECT 'p99', quantile_cont(cents, 0.99) FROM t
+"""
+
+
+def q_top_bigrams(sf_dir):
+    """Global top-k word bigrams (combiner exchange; ngrams never cross
+    document bounds)."""
+    from ..stages.vocab import top_k_ngrams
+    return top_k_ngrams(_docs(sf_dir, ["doc_id", "text"]), CFG, k=30, n=2)
+
+
+SQL_TOP_BIGRAMS = """
+WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+b AS (SELECT unnest(list_transform(
+        generate_series(1, len(ws) - 1),
+        i -> ws[i] || ' ' || ws[i + 1])) AS ngram
+      FROM w)
+SELECT ngram, count(*) AS n FROM b
+GROUP BY ngram ORDER BY n DESC, ngram LIMIT 30
+"""
+
+
 def q_orders_customer(sf_dir):
     """Broadcast dim join: orders ⋈ customer (small side shipped once,
     Acero hash join per batch, zero shuffle)."""
@@ -2242,6 +2288,8 @@ QUERIES = {
     "orders_customer": q_orders_customer,
     "lineitem_orders": q_lineitem_orders,
     "token_quantiles": q_token_quantiles,
+    "price_quantiles": q_price_quantiles,
+    "top_bigrams": q_top_bigrams,
     "common_token_stats": q_common_token_stats,
     "incremental_dedup": q_incremental_dedup,
     "incremental_near_dup": q_incremental_near_dup,
@@ -2316,6 +2364,8 @@ ORACLES = {
     "orders_customer": SQL_ORDERS_CUSTOMER,
     "lineitem_orders": SQL_LINEITEM_ORDERS,
     "token_quantiles": SQL_TOKEN_QUANTILES,
+    "price_quantiles": SQL_PRICE_QUANTILES,
+    "top_bigrams": SQL_TOP_BIGRAMS,
     "common_token_stats": SQL_COMMON_TOKEN_STATS,
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "incremental_near_dup": SQL_INCREMENTAL_NEAR_DUP,

@@ -89,6 +89,49 @@ def int_quantiles(ds, col: str, qs=(0.5, 0.9, 0.99),
                      "value": pa.array(values, pa.int64())})
 
 
+def cont_quantiles(ds, col: str, qs=(0.5, 0.9, 0.99),
+                   cfg: PipelineConfig = DEFAULT_CONFIG) -> pa.Table:
+    """Exact CONTINUOUS (linear-interpolated) quantiles of an integer
+    column → pa.Table(q:string, value:double), DuckDB ``quantile_cont``
+    semantics: position h = q·(n−1); result =
+    v[floor(h)]·(ceil(h) − h) + v[ceil(h)]·(h − floor(h)) — the
+    two-sided form, which differs from lo + frac·(hi−lo) by an ulp on
+    some inputs; the oracle hash requires DuckDB's exact arithmetic.
+
+    Same physical plan as ``int_quantiles`` — only the (value, count)
+    histogram reaches the driver; the rank-to-value reads come off the
+    cumulative counts, so no sort of the data ever happens.  Fixed-
+    decimal metrics (prices) should be passed as scaled integers
+    (cents) — the interpolation then matches the SQL oracle bit-for-
+    bit because both engines do the same double arithmetic."""
+    import ray
+
+    hist_tabs = [t for t in ray.get(
+        list(value_histogram(ds, col, cfg).to_arrow_refs())) if len(t)]
+    if not hist_tabs:
+        return pa.table({"q": pa.array([], pa.string()),
+                         "value": pa.array([], pa.float64())})
+    hist = pa.concat_tables(hist_tabs)
+    v = np.asarray(hist["value"], dtype=np.int64)
+    c = np.asarray(hist["n"], dtype=np.int64)
+    order = np.argsort(v, kind="stable")
+    v, c = v[order], c[order]
+    cum = np.cumsum(c)
+    n = int(cum[-1])
+    labels, values = [], []
+    for q in qs:
+        h = q * (n - 1)                      # 0-based fractional rank
+        lo_rank, hi_rank = math.floor(h), math.ceil(h)
+        # value at 0-based rank r = smallest v with cum > r
+        lo = float(v[int(np.searchsorted(cum, lo_rank, side="right"))])
+        hi = float(v[int(np.searchsorted(cum, hi_rank, side="right"))])
+        labels.append(_plabel(q))
+        values.append(lo if hi_rank == lo_rank
+                      else lo * (hi_rank - h) + hi * (h - lo_rank))
+    return pa.table({"q": pa.array(labels, pa.string()),
+                     "value": pa.array(values, pa.float64())})
+
+
 def _plabel(q: float) -> str:
     pct = q * 100
     if abs(pct - round(pct)) < 1e-9:

@@ -67,6 +67,73 @@ def top_k_vocab(docs_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
     return parts.sort(["n", "token"], descending=[True, False]).limit(k)
 
 
+def top_k_ngrams(docs_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
+                 text_col: str = "text", k: int = 100, n: int = 2,
+                 sep: str = " "):
+    """→ Dataset(ngram, n) of the k most frequent word ``n``-grams
+    (space-joined adjacent tokens, never crossing document bounds),
+    ordered (count desc, ngram asc).  Same combiner-exchange shape as
+    ``top_k_vocab``: what travels is one (ngram, partial) row per
+    distinct n-gram per map chunk.  Tokens keep empties so the
+    SQL-list oracle (``ws[i] || ' ' || ws[i+1]``) agrees exactly."""
+    if n < 2:
+        raise ValueError("top_k_ngrams needs n >= 2; use top_k_vocab")
+    n_parts = cfg.resolved_partitions()
+
+    def _partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.fill_null(
+            t[text_col].combine_chunks(), ""), sep)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = np.asarray(toks.offsets, dtype=np.int64)
+        offs = offs - offs[0]
+        vals = toks.flatten()
+        lens = offs[1:] - offs[:-1]
+        counts = np.maximum(lens - (n - 1), 0)
+        b_offs = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=b_offs[1:])
+        total = int(b_offs[-1])
+        # global start index of each in-row n-gram window
+        idx = (np.repeat(offs[:-1], counts)
+               + (np.arange(total, dtype=np.int64)
+                  - np.repeat(b_offs[:-1], counts)))
+        # last argument of binary_join_element_wise is the SEPARATOR
+        pieces = [vals.take(pa.array(idx + j, pa.int64()))
+                  for j in range(n)]
+        grams = (pc.binary_join_element_wise(*pieces, sep) if total else
+                 pa.array([], pa.string()))
+        part = pa.table({"token": grams}).group_by("token") \
+            .aggregate([("token", "count")])
+        tok_col = part["token"].combine_chunks()
+        pid = (hash_utf8_array(tok_col) % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({
+            "token": tok_col,
+            "n": part["token_count"].cast(pa.int64()),
+            "part": pa.array(pid, pa.int64()),
+        })
+
+    empty = pa.table({"token": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+
+    def _topk(tab: pa.Table | None) -> pa.Table:
+        if tab is None or len(tab) == 0:
+            return empty
+        agg = tab.group_by("token").aggregate([("n", "sum")])
+        total = pa.table({"token": agg["token"],
+                          "n": agg["n_sum"].cast(pa.int64())})
+        return total.sort_by([("n", "descending"), ("token", "ascending")]) \
+            .slice(0, k)
+
+    parts = hash_partition_map(
+        docs_ds, "part", _topk, n_parts,
+        map_fn=_partial, map_chunk_rows=cfg.batch_size)
+    out = parts.sort(["n", "token"], descending=[True, False]).limit(k)
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            ["ngram" if c == "token" else c for c in t.column_names]),
+        batch_format="pyarrow")
+
+
 def token_doc_freq(docs_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
                    id_col: str = "doc_id", text_col: str = "text",
                    min_df: int = 1, sep: str = " "):

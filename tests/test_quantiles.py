@@ -6,6 +6,7 @@ exactly, including tie plateaus and extreme q.
 """
 
 import duckdb
+import pytest
 import numpy as np
 import pyarrow as pa
 
@@ -45,3 +46,30 @@ def test_labels(ray_session):
     got = int_quantiles(_ds([1, 2, 3]), "x", qs=(0.5, 0.999), cfg=CFG) \
         .to_pandas()
     assert list(got["q"]) == ["p50", "p99.9"]
+
+
+def test_cont_quantiles_matches_duckdb_and_numpy(ray_session):
+    from raydedup.stages.quantiles import cont_quantiles
+    rng = np.random.default_rng(17)
+    for trial in range(3):
+        vals = rng.integers(0, 1000, size=rng.integers(10, 400)).tolist()
+        qs = (0.0, 0.25, 0.5, 0.75, 0.9, 1.0)
+        got = cont_quantiles(_ds(vals), "x", qs=qs, cfg=CFG).to_pandas()
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t AS SELECT unnest(?) AS x", [vals])
+        for q, v in zip(qs, got["value"]):
+            want = con.execute(
+                "SELECT quantile_cont(x, ?) FROM t", [q]).fetchone()[0]
+            assert v == want, (trial, q, v, want)
+            # and the textbook linear-interpolation definition (numpy's
+            # one-sided form differs from DuckDB's by at most an ulp)
+            assert v == pytest.approx(
+                np.percentile(np.array(vals, dtype=np.float64),
+                              q * 100, method="linear"), rel=1e-12)
+
+
+def test_cont_quantiles_single_value(ray_session):
+    from raydedup.stages.quantiles import cont_quantiles
+    got = cont_quantiles(_ds([7]), "x", qs=(0.0, 0.5, 1.0), cfg=CFG) \
+        .to_pandas()
+    assert list(got["value"]) == [7.0, 7.0, 7.0]

@@ -299,3 +299,30 @@ class TestGopherRules:
         assert set(kept["doc_id"]) == set(
             full[full["gopher_pass"]]["doc_id"])
         assert 0 < len(kept) < len(texts)
+
+
+class TestTopKNgrams:
+    def test_bigrams_vs_brute(self, ray_session):
+        from collections import Counter
+
+        from raydedup.config import DEFAULT_CONFIG
+        from raydedup.stages.vocab import top_k_ngrams
+        texts = ["a b c a b", "b c", "x", "", "a b"]
+        got = top_k_ngrams(_docs_ds(texts), DEFAULT_CONFIG, k=10) \
+            .to_pandas()
+        want = Counter()
+        for t in texts:
+            ws = t.split(" ")
+            want.update(f"{x} {y}" for x, y in zip(ws, ws[1:]))
+        assert dict(zip(got["ngram"], got["n"])) == dict(want)
+        # no cross-document bigram ("b b" would need doc0's tail + doc4)
+        assert "b a" not in set(got["ngram"]) or want["b a"] > 0
+
+    def test_trigrams_and_k_cut(self, ray_session):
+        from raydedup.config import DEFAULT_CONFIG
+        from raydedup.stages.vocab import top_k_ngrams
+        texts = ["p q r p q r p q r", "p q r"]
+        got = top_k_ngrams(_docs_ds(texts), DEFAULT_CONFIG, k=2, n=3) \
+            .to_pandas()
+        assert len(got) == 2
+        assert got.iloc[0]["ngram"] == "p q r" and got.iloc[0]["n"] == 4
