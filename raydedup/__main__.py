@@ -225,11 +225,17 @@ def cmd_bandstore(args):
     docs = rd.read_parquet(args.input)
     corpus_band_table(docs, DEFAULT_CONFIG).write_parquet(
         f"{args.output}/bands")
-    corpus_hash_table(docs, DEFAULT_CONFIG).write_parquet(
-        f"{args.output}/hashes")
+    hashes = corpus_hash_table(docs, DEFAULT_CONFIG).materialize()
+    hashes.write_parquet(f"{args.output}/hashes")
+    from .stages.incremental import build_hash_bloom
+    build_hash_bloom(None, DEFAULT_CONFIG,
+                     corpus_hashes=hashes).write_parquet(
+        f"{args.output}/bloom")
     n_bands = rd.read_parquet(f"{args.output}/bands").count()
     n_hashes = rd.read_parquet(f"{args.output}/hashes").count()
+    n_bloom = rd.read_parquet(f"{args.output}/bloom").count()
     print(json.dumps({"bands": n_bands, "hashes": n_hashes,
+                      "bloom_filters": n_bloom,
                       "out": args.output}, sort_keys=True))
 
 
@@ -246,13 +252,24 @@ def cmd_incremental(args):
     )
     inc = rd.read_parquet(args.increment)
     corpus = rd.read_parquet(args.corpus)
-    bands = hashes = None
+    bands = hashes = bloom = None
     if args.store:
+        import os as _os
         bands = rd.read_parquet(f"{args.store}/bands")
         hashes = rd.read_parquet(f"{args.store}/hashes")
-    # tier 1: exact vs corpus (prebuilt hash store skips corpus re-hash)
-    kept = incremental_exact_dedup(inc, corpus, cfg,
-                                   corpus_hashes=hashes).materialize()
+        if _os.path.isdir(f"{args.store}/bloom"):
+            bloom = rd.read_parquet(f"{args.store}/bloom")
+    # tier 1: exact vs corpus (prebuilt hash store skips corpus re-hash;
+    # a persisted bloom store collapses the corpus-side exchange to a
+    # membership probe + zero-shuffle confirm scan)
+    if bloom is not None:
+        from .stages.incremental import incremental_exact_dedup_bloom
+        kept = incremental_exact_dedup_bloom(
+            inc, corpus, cfg, corpus_bloom=bloom,
+            corpus_hashes=hashes).materialize()
+    else:
+        kept = incremental_exact_dedup(inc, corpus, cfg,
+                                       corpus_hashes=hashes).materialize()
     if not args.exact_only:
         # one band exchange serves both outputs
         kept, matches = incremental_near_dup(kept, corpus, cfg,
@@ -260,7 +277,10 @@ def cmd_incremental(args):
                                              with_matches=True)
         matches.write_parquet(f"{args.output}/matches")
     kept.write_parquet(f"{args.output}/kept")
-    n_kept = rd.read_parquet(f"{args.output}/kept").count()
+    import os as _os
+    # an all-duplicate increment writes zero files — count 0, not a crash
+    n_kept = (rd.read_parquet(f"{args.output}/kept").count()
+              if _os.path.isdir(f"{args.output}/kept") else 0)
     print(json.dumps({"kept": n_kept, "out": args.output}, sort_keys=True))
 
 

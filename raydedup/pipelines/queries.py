@@ -1931,6 +1931,17 @@ WHERE i.text NOT IN (SELECT text FROM corpus)
 """
 
 
+def q_incremental_dedup_bloom(sf_dir):
+    """Bloom-prefiltered incremental exact dedup — identical output to
+    incremental_dedup (the filter only prunes; hits are confirmed
+    exactly), with the corpus side reduced to a ~16-bit-per-doc filter
+    plus a zero-shuffle confirmation scan.  Same SQL oracle."""
+    from ..stages.incremental import incremental_exact_dedup_bloom
+    corpus, inc = _increment_corpus(sf_dir)
+    return incremental_exact_dedup_bloom(inc, corpus, CFG) \
+        .select_columns(["doc_id", "text"])
+
+
 def _inc_nd_split(sf_dir, ref: bool):
     """Deterministic corpus/increment split for the incremental
     near-dup queries: doc_id % 3 == 0 → existing-corpus side."""
@@ -2292,6 +2303,7 @@ QUERIES = {
     "top_bigrams": q_top_bigrams,
     "common_token_stats": q_common_token_stats,
     "incremental_dedup": q_incremental_dedup,
+    "incremental_dedup_bloom": q_incremental_dedup_bloom,
     "incremental_near_dup": q_incremental_near_dup,
     "incremental_near_dup_matches": q_incremental_near_dup_matches,
 }
@@ -2368,6 +2380,7 @@ ORACLES = {
     "top_bigrams": SQL_TOP_BIGRAMS,
     "common_token_stats": SQL_COMMON_TOKEN_STATS,
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
+    "incremental_dedup_bloom": SQL_INCREMENTAL_DEDUP,
     "incremental_near_dup": SQL_INCREMENTAL_NEAR_DUP,
     "incremental_near_dup_matches": SQL_INCREMENTAL_NEAR_DUP_MATCHES,
     # rows-only (non-SQL-expressible): simhash_dup_pairs, ann_lsh_buckets,

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
 from ..functions.hashing import splitmix64
@@ -155,6 +156,257 @@ def incremental_exact_dedup(new_ds, corpus_ds,
     c_refs = corpus_parts.to_arrow_refs()
     return rd.from_arrow_refs(
         [_resolve.remote(a, b) for a, b in zip(n_refs, c_refs)])
+
+
+# ------------------------------------------------------- bloom-prefiltered
+
+BLOOM_BITS_PER_KEY = 16          # ~0.04% false-positive rate at k=11
+
+
+def _bloom_k(bits_per_key: int) -> int:
+    """Optimal probe count k = (m/n)·ln2, fixed per store."""
+    return max(1, int(round(0.6931 * bits_per_key)))
+
+
+def _bloom_positions(h1: np.ndarray, h2: np.ndarray, m: int,
+                     k: int) -> np.ndarray:
+    """(k, n) bit positions via Kirsch–Mitzenmacher double hashing:
+    pos_i = (h1 + i·h2) mod m — two 64-bit hashes give k independent
+    probes (public construction, Kirsch & Mitzenmacher 2006)."""
+    u1 = h1.view(np.uint64) if h1.dtype == np.int64 else h1.astype(np.uint64)
+    u2 = h2.view(np.uint64) if h2.dtype == np.int64 else h2.astype(np.uint64)
+    i = np.arange(k, dtype=np.uint64)[:, None]
+    return ((u1[None, :] + i * u2[None, :]) % np.uint64(m))
+
+
+def build_hash_bloom(corpus_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
+                     text_col: str = "text", corpus_hashes=None,
+                     bits_per_key: int = BLOOM_BITS_PER_KEY):
+    """Per-partition Bloom filters over a corpus's content hashes —
+    → Dataset(part:int64, m:int64, k:int64, bits:large_binary), one row
+    per hash partition (persistable: write_parquet once, read_parquet
+    every increment — ~``bits_per_key`` bits per corpus doc instead of
+    the 128-bit ``corpus_hash_table``).
+
+    The partition key is the SAME splitmix64(text_hash) routing every
+    incremental exchange uses, so a membership probe touches exactly
+    one filter.  Build is one exchange of per-batch-uniqued hash pairs;
+    each reduce packs its filter with one ``np.packbits``."""
+    n_parts = cfg.resolved_partitions()
+    k = _bloom_k(bits_per_key)
+
+    if corpus_hashes is None:
+        corpus_hashes = with_text_hash(
+            corpus_ds.select_columns([text_col]), text_col) \
+            .select_columns(_HASH_COLS)
+
+    def _uniq(t: pa.Table) -> pa.Table:
+        h1 = np.asarray(t["text_hash"], dtype=np.int64)
+        h2 = np.asarray(t["text_hash2"], dtype=np.int64)
+        order = np.lexsort((h2, h1))
+        keep = np.ones(len(order), dtype=bool)
+        h1o, h2o = h1[order], h2[order]
+        keep[1:] = (h1o[1:] != h1o[:-1]) | (h2o[1:] != h2o[:-1])
+        idx = pa.array(order[keep], pa.int64())
+        return t.select(_HASH_COLS).take(idx)
+
+    hashed = corpus_hashes.map_batches(_uniq, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+
+    def _pack(tab: pa.Table | None) -> pa.Table:
+        if tab is None or tab.num_columns == 0 or not len(tab):
+            return pa.table({"part": pa.array([], pa.int64()),
+                             "m": pa.array([], pa.int64()),
+                             "k": pa.array([], pa.int64()),
+                             "bits": pa.array([], pa.large_binary())})
+        h1 = np.asarray(tab["text_hash"], dtype=np.int64)
+        h2 = np.asarray(tab["text_hash2"], dtype=np.int64)
+        # the whole partition shares one routing key value
+        part = int(splitmix64(h1[:1].view(np.uint64))[0]
+                   % np.uint64(n_parts))
+        m = max(64, int(bits_per_key) * len(h1))
+        m += (-m) % 8                      # whole bytes for packbits
+        bools = np.zeros(m, dtype=bool)
+        bools[_bloom_positions(h1, h2, m, k).ravel()] = True
+        bits = np.packbits(bools, bitorder="little").tobytes()
+        return pa.table({"part": pa.array([part], pa.int64()),
+                         "m": pa.array([m], pa.int64()),
+                         "k": pa.array([k], pa.int64()),
+                         "bits": pa.array([bits], pa.large_binary())})
+
+    return hash_partition_map(hashed, "_part", _pack, n_parts,
+                              map_fn=_tag_part(n_parts),
+                              map_chunk_rows=cfg.batch_size)
+
+
+def incremental_exact_dedup_bloom(new_ds, corpus_ds,
+                                  cfg: PipelineConfig = DEFAULT_CONFIG, *,
+                                  id_col: str = "doc_id",
+                                  text_col: str = "text",
+                                  corpus_bloom=None, corpus_hashes=None,
+                                  counters=None):
+    """``incremental_exact_dedup`` with a Bloom prefilter — output is
+    IDENTICAL (the filter only prunes, never decides): increment rows
+    whose hash misses the corpus Bloom are definitely-new; only the
+    hits (true duplicates + the ~0.04% false-positive tail) are
+    confirmed exactly against the corpus hash store.
+
+    Why it exists: the baseline plan ships 16 B × |corpus| hashes
+    through the exchange EVERY increment.  Here the corpus-side
+    exchange disappears — the corpus contributes a ``bits_per_key``-bit
+    per doc filter (built once, persisted, reused across increments)
+    plus a zero-shuffle confirmation scan of the hash store restricted
+    to bloom-hit keys (searchsorted against a broadcast candidate set;
+    volume ∝ increment hits, not corpus).  Driver state: the candidate
+    and confirmed hash arrays (≤ 16 B × bloom hits).
+
+    The P filter blobs are collected once and re-broadcast via
+    ray.put — at extreme corpus scale (≥10⁹ docs) keep ``cfg``'s
+    partition count high enough that a single blob stays worker-sized;
+    the driver never holds more than the store's total
+    (n·bits_per_key/8 bytes ≈ 1/8 of the hash store)."""
+    import ray
+    import ray.data as rd
+
+    n_parts = cfg.resolved_partitions()
+
+    if corpus_bloom is None:
+        corpus_bloom = build_hash_bloom(corpus_ds, cfg, text_col=text_col,
+                                        corpus_hashes=corpus_hashes)
+    if corpus_hashes is None:
+        corpus_hashes = with_text_hash(
+            corpus_ds.select_columns([text_col]), text_col) \
+            .select_columns(_HASH_COLS)
+
+    blooms = {}
+    for t in (ray.get(r) for r in corpus_bloom.to_arrow_refs()):
+        for i in range(len(t)):
+            blooms[int(t["part"][i].as_py())] = (
+                int(t["m"][i].as_py()), int(t["k"][i].as_py()),
+                np.frombuffer(t["bits"][i].as_py(), dtype=np.uint8))
+    bloom_ref = ray.put(blooms)
+
+    new_hashed = with_text_hash(new_ds, text_col)
+    new_parts = _exchange(new_hashed, n_parts, cfg).materialize()
+
+    def _probe(t: pa.Table) -> pa.Table:
+        """+ _hit flag: 1 iff the row's hash may be in the corpus."""
+        if not len(t):
+            return t.append_column("_hit", pa.array([], pa.int8()))
+        bl = ray.get(bloom_ref)
+        h1 = np.asarray(t["text_hash"], dtype=np.int64)
+        h2 = np.asarray(t["text_hash2"], dtype=np.int64)
+        part = (splitmix64(h1.view(np.uint64)) % np.uint64(n_parts)) \
+            .astype(np.int64)
+        hit = np.zeros(len(h1), dtype=bool)
+        for p in np.unique(part):
+            if int(p) not in bl:
+                continue                   # empty corpus partition
+            m, k, bits = bl[int(p)]
+            sel = np.flatnonzero(part == p)
+            pos = _bloom_positions(h1[sel], h2[sel], m, k)
+            ok = np.ones(len(sel), dtype=bool)
+            for row in pos:                # k probes, vectorized per probe
+                b = (bits[(row >> np.uint64(3)).astype(np.int64)]
+                     >> (row & np.uint64(7)).astype(np.uint8))
+                ok &= (b & 1).astype(bool)
+            hit[sel] = ok
+        return t.append_column("_hit", pa.array(hit.astype(np.int8)))
+
+    probed = new_parts.map_batches(_probe, batch_format="pyarrow",
+                                   batch_size=None, zero_copy_batch=True) \
+        .materialize()
+
+    # candidate hash set (bloom hits) — tiny: true dups + FP tail
+    _hash_empty = pa.table({"text_hash": pa.array([], pa.int64()),
+                            "text_hash2": pa.array([], pa.int64())})
+
+    def _hits_only(t: pa.Table) -> pa.Table:
+        if "_hit" not in t.column_names:    # empty exchange partition
+            return _hash_empty
+        return t.filter(pc.equal(t["_hit"], 1)).select(_HASH_COLS)
+
+    cand = [t for t in (ray.get(r) for r in probed.map_batches(
+        _hits_only, batch_format="pyarrow").to_arrow_refs()) if len(t)]
+    if counters is not None:
+        counters.add.remote({"bloom_hits": sum(len(t) for t in cand)})
+    if cand:
+        ct = pa.concat_tables(cand)
+        c1 = np.asarray(ct["text_hash"], dtype=np.int64)
+        c2 = np.asarray(ct["text_hash2"], dtype=np.int64)
+        order = np.lexsort((c2, c1))
+        c1, c2 = c1[order], c2[order]
+        cand_ref = ray.put((c1, c2))
+
+        def _confirm(t: pa.Table) -> pa.Table:
+            """Zero-shuffle semi-filter of the corpus hash store down
+            to candidate keys (sorted-array membership per batch)."""
+            a1, a2 = ray.get(cand_ref)
+            h1 = np.asarray(t["text_hash"], dtype=np.int64)
+            h2 = np.asarray(t["text_hash2"], dtype=np.int64)
+            lo = np.searchsorted(a1, h1, side="left")
+            hi = np.searchsorted(a1, h1, side="right")
+            sel = np.zeros(len(h1), dtype=bool)
+            width = hi - lo
+            for w in range(int(width.max()) if len(width) else 0):
+                act = width > w
+                sel[act] |= a2[lo[act] + w] == h2[act]
+            return t.select(_HASH_COLS).filter(pa.array(sel))
+
+        conf = [t for t in (ray.get(r) for r in corpus_hashes.map_batches(
+            _confirm, batch_format="pyarrow").to_arrow_refs()) if len(t)]
+    else:
+        conf = []
+    if conf:
+        ft = pa.concat_tables(conf)
+        f1 = np.asarray(ft["text_hash"], dtype=np.int64)
+        f2 = np.asarray(ft["text_hash2"], dtype=np.int64)
+        order = np.lexsort((f2, f1))
+        f1, f2 = f1[order], f2[order]
+    else:
+        f1 = np.empty(0, dtype=np.int64)
+        f2 = np.empty(0, dtype=np.int64)
+    conf_ref = ray.put((f1, f2))
+
+    def _finish(t: pa.Table) -> pa.Table:
+        """Per co-partitioned block: drop confirmed-in-corpus rows,
+        then within-increment keep-min (partition-complete by the
+        exchange, so both steps are exact per block)."""
+        if not len(t):
+            return pa.table({})
+        a1, a2 = ray.get(conf_ref)
+        h1 = np.asarray(t["text_hash"], dtype=np.int64)
+        h2 = np.asarray(t["text_hash2"], dtype=np.int64)
+        keep = np.ones(len(h1), dtype=bool)
+        flagged = np.flatnonzero(
+            np.asarray(t["_hit"], dtype=np.int8) == 1)
+        if len(flagged) and len(a1):
+            g1, g2 = h1[flagged], h2[flagged]
+            lo = np.searchsorted(a1, g1, side="left")
+            hi = np.searchsorted(a1, g1, side="right")
+            ind = np.zeros(len(g1), dtype=bool)
+            width = hi - lo
+            for w in range(int(width.max()) if len(width) else 0):
+                act = width > w
+                ind[act] |= a2[lo[act] + w] == g2[act]
+            keep[flagged[ind]] = False
+        ids = np.asarray(t[id_col], dtype=np.int64)
+        surv = np.flatnonzero(keep)
+        if len(surv):
+            s1, s2, sid = h1[surv], h2[surv], ids[surv]
+            order = np.lexsort((sid, s2, s1))
+            s1o, s2o = s1[order], s2[order]
+            first = np.ones(len(order), dtype=bool)
+            first[1:] = (s1o[1:] != s1o[:-1]) | (s2o[1:] != s2o[:-1])
+            winners = surv[order[first]]
+            keep = np.zeros(len(h1), dtype=bool)
+            keep[winners] = True
+        out = t.filter(pa.array(keep))
+        return out.drop_columns([c for c in ("_hit", *_HASH_COLS)
+                                 if c in out.column_names])
+
+    return probed.map_batches(_finish, batch_format="pyarrow",
+                              batch_size=None, zero_copy_batch=True)
 
 
 # --------------------------------------------------------- near-dup variant

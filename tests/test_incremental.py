@@ -166,3 +166,53 @@ def test_incremental_cli(ray_session, tmp_path):
     m = rd.read_parquet(str(tmp_path / "out/matches")).to_pandas()
     assert sorted(kept["doc_id"]) == [101, 102, 104]
     assert sorted(zip(m["a"], m["b"])) == [(100, 0)]
+
+
+class TestBloomPrefilter:
+    def test_matches_plain_path_random(self, ray_session):
+        import numpy as np
+        from raydedup.stages.incremental import incremental_exact_dedup_bloom
+        rng = np.random.default_rng(23)
+        texts = [f"doc text {i}" for i in range(60)]
+        corpus = _ds([(i, texts[rng.integers(0, 40)]) for i in range(50)])
+        inc = _ds([(100 + i, texts[rng.integers(0, 60)])
+                   for i in range(40)])
+        plain = incremental_exact_dedup(inc, corpus, CFG).to_pandas()
+        bloom = incremental_exact_dedup_bloom(inc, corpus, CFG).to_pandas()
+        assert sorted(bloom["doc_id"]) == sorted(plain["doc_id"])
+
+    def test_false_positives_confirmed_exactly(self, ray_session):
+        # bits_per_key=1 → massive FP rate; exact confirm must still
+        # produce the identical answer
+        from raydedup.stages.incremental import (build_hash_bloom,
+                                                 incremental_exact_dedup_bloom)
+        corpus = _ds([(i, f"old {i}") for i in range(30)])
+        inc = _ds([(100 + i, f"new {i}") for i in range(30)]
+                  + [(200, "old 7"), (201, "old 7")])
+        bl = build_hash_bloom(corpus, CFG, bits_per_key=1).materialize()
+        out = incremental_exact_dedup_bloom(
+            inc, corpus, CFG, corpus_bloom=bl).to_pandas()
+        plain = incremental_exact_dedup(inc, corpus, CFG).to_pandas()
+        assert sorted(out["doc_id"]) == sorted(plain["doc_id"])
+        assert 200 not in set(out["doc_id"])  # corpus wins
+        assert set(out["doc_id"]) == set(100 + i for i in range(30))
+
+    def test_store_roundtrip_and_size(self, ray_session, tmp_path):
+        import ray.data as rd
+        from raydedup.stages.incremental import (build_hash_bloom,
+                                                 corpus_hash_table,
+                                                 incremental_exact_dedup_bloom)
+        corpus = _ds([(i, f"corpus doc number {i}") for i in range(200)])
+        bl = build_hash_bloom(corpus, CFG)
+        path = str(tmp_path / "bloom_store")
+        bl.write_parquet(path)
+        reloaded = rd.read_parquet(path)
+        inc = _ds([(1000, "corpus doc number 5"), (1001, "fresh")])
+        out = incremental_exact_dedup_bloom(
+            inc, corpus, CFG, corpus_bloom=reloaded).to_pandas()
+        assert sorted(out["doc_id"]) == [1001]
+        # the filter is an order of magnitude leaner than the hash store
+        bloom_bytes = sum(len(b) for b in
+                          reloaded.to_pandas()["bits"])
+        hash_rows = corpus_hash_table(corpus, CFG).count()
+        assert bloom_bytes < hash_rows * 16
