@@ -73,6 +73,42 @@ def q_fingerprint(sf_dir):
 SQL_FINGERPRINT = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
 
 
+def q_winnow_fingerprints(sf_dir):
+    """Robust-winnowing fingerprint selection (k=5-gram, window 4) on
+    the SQL-expressible md5 hash path; the production rabin path shares
+    the selection code and is pinned against a pure-python reference in
+    tests."""
+    return ts.winnow_fingerprints(_docs(sf_dir, ["doc_id", "text"]),
+                                  k=5, w=4, hash="md5")
+
+
+SQL_WINNOW_FINGERPRINTS = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+h AS (
+  SELECT doc_id, i AS pos,
+         substr(md5(array_to_string(t[i:i+4], ' ')), 1, 16) AS hash
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i)
+  WHERE len(t) >= 5
+),
+m AS (
+  SELECT doc_id, pos, hash,
+         min(hash) OVER win AS mn,
+         count(*) OVER win AS cnt
+  FROM h
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+),
+sel AS (
+  SELECT m.doc_id, max(h2.pos) AS pos, m.mn AS fingerprint
+  FROM m JOIN h h2 ON h2.doc_id = m.doc_id
+        AND h2.pos BETWEEN m.pos - 3 AND m.pos AND h2.hash = m.mn
+  WHERE m.cnt = 4
+  GROUP BY m.doc_id, m.pos, m.mn
+)
+SELECT DISTINCT doc_id, pos, fingerprint FROM sel
+"""
+
+
 def q_quality(sf_dir):
     return ts.quality_scores(_docs(sf_dir, ["doc_id", "text"])).select_columns(
         ["doc_id", "n_chars_measured", "n_tokens", "mean_token_len", "alpha_ratio"]
@@ -2122,6 +2158,25 @@ GROUP BY ngram ORDER BY n DESC, ngram LIMIT 30
 """
 
 
+def q_doc_keywords(sf_dir):
+    """Per-doc top-3 tokens by term frequency — doc-local, zero
+    shuffle (one Arrow group-by + lexsort per batch)."""
+    from ..stages.vocab import doc_keywords
+    return doc_keywords(_docs(sf_dir, ["doc_id", "text"]), k=3)
+
+
+SQL_DOC_KEYWORDS = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+r AS (SELECT doc_id, token, tf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tf DESC, token) AS rank
+      FROM tf)
+SELECT doc_id, token, tf, rank FROM r WHERE rank <= 3
+"""
+
+
 def q_orders_customer(sf_dir):
     """Broadcast dim join: orders ⋈ customer (small side shipped once,
     Acero hash join per batch, zero shuffle)."""
@@ -2229,6 +2284,7 @@ QUERIES = {
     "token_count": q_token_count,
     "shingle_count": q_shingle_count,
     "fingerprint": q_fingerprint,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "quality_scores": q_quality,
     "gopher_quality": q_gopher_quality,
     "exact_dedup_groups": q_exact_dedup_groups,
@@ -2301,6 +2357,7 @@ QUERIES = {
     "token_quantiles": q_token_quantiles,
     "price_quantiles": q_price_quantiles,
     "top_bigrams": q_top_bigrams,
+    "doc_keywords": q_doc_keywords,
     "common_token_stats": q_common_token_stats,
     "incremental_dedup": q_incremental_dedup,
     "incremental_dedup_bloom": q_incremental_dedup_bloom,
@@ -2312,6 +2369,7 @@ ORACLES = {
     "token_count": SQL_TOKEN_COUNT,
     "shingle_count": SQL_SHINGLE_COUNT,
     "fingerprint": SQL_FINGERPRINT,
+    "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
     "quality_scores": SQL_QUALITY,
     "gopher_quality": SQL_GOPHER_QUALITY,
     "exact_dedup_groups": SQL_EXACT_DEDUP_GROUPS,
@@ -2378,6 +2436,7 @@ ORACLES = {
     "token_quantiles": SQL_TOKEN_QUANTILES,
     "price_quantiles": SQL_PRICE_QUANTILES,
     "top_bigrams": SQL_TOP_BIGRAMS,
+    "doc_keywords": SQL_DOC_KEYWORDS,
     "common_token_stats": SQL_COMMON_TOKEN_STATS,
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "incremental_dedup_bloom": SQL_INCREMENTAL_DEDUP,

@@ -445,6 +445,96 @@ def quality_filter(ds, *, text_col: str = "text",
                           zero_copy_batch=True)
 
 
+def winnow_fingerprints(ds, cfg=None, *, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 5, w: int = 4,
+                        hash: str = "rabin"):
+    """Robust-winnowing document fingerprints (Schleimer, Wilkerson &
+    Aiken, SIGMOD 2003 — the MOSS selection rule): over the document's
+    k-gram hash sequence, every window of ``w`` consecutive hashes
+    selects its MINIMUM (rightmost position on ties); the distinct
+    selections are the fingerprint set.  Guarantees any shared run of
+    ≥ w+k−1 tokens contributes at least one common fingerprint, at
+    ~1/w the storage of the full hash stream.
+
+    → Dataset(id, pos:int64 1-based k-gram index, fingerprint:string
+    16-hex-char).  ``hash="rabin"``: the production rolling-hash path
+    (functions/text.shingle_stream — zero Python per token).
+    ``hash="md5"``: the SQL-expressible oracle path — k-gram text →
+    first 16 hex chars of md5, the same construction the DuckDB oracle
+    writes (mix_sample's md5-oracle-path pattern); selection code is
+    shared between the paths.  One streaming map, zero shuffle."""
+    import hashlib
+
+    from ..functions.text import shingle_stream, tokenize_arrow
+
+    if hash not in ("rabin", "md5"):
+        raise ValueError("hash must be 'rabin' or 'md5'")
+
+    def _fp(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch[text_col], "").combine_chunks()
+        if hash == "rabin":
+            h, doc, _ = shingle_stream(texts, k)
+        else:
+            toks = pc.split_pattern(texts, pattern=" ")
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            offs = np.asarray(toks.offsets, dtype=np.int64)
+            offs = offs - offs[0]
+            vals = toks.flatten()
+            lens = offs[1:] - offs[:-1]
+            counts = np.maximum(lens - (k - 1), 0)
+            g_offs = np.zeros(len(counts) + 1, dtype=np.int64)
+            np.cumsum(counts, out=g_offs[1:])
+            total = int(g_offs[-1])
+            idx = (np.repeat(offs[:-1], counts)
+                   + (np.arange(total, dtype=np.int64)
+                      - np.repeat(g_offs[:-1], counts)))
+            pieces = [vals.take(pa.array(idx + j, pa.int64()))
+                      for j in range(k)]
+            grams = (pc.binary_join_element_wise(*pieces, " ") if total
+                     else pa.array([], pa.string()))
+            # md5 is the oracle-parity hash — per-gram hashlib loop is
+            # the documented cost of SQL expressibility (oracle path
+            # only; production runs the vectorized rabin stream)
+            h = np.fromiter(
+                (int(hashlib.md5(g.encode()).hexdigest()[:16], 16)
+                 for g in grams.to_pylist()),
+                dtype=np.uint64, count=total)
+            doc = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        n = len(h)
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "pos": pa.array([], pa.int64()),
+                          "fingerprint": pa.array([], pa.string())})
+        if n < w:
+            return empty
+        # 1-based k-gram position within each doc
+        starts_of_doc = np.zeros(n, dtype=np.int64)
+        first = np.ones(n, dtype=bool)
+        first[1:] = doc[1:] != doc[:-1]
+        starts_of_doc = np.repeat(np.flatnonzero(first),
+                                  np.diff(np.append(np.flatnonzero(first),
+                                                    n)))
+        pos = np.arange(n, dtype=np.int64) - starts_of_doc + 1
+
+        sw = np.lib.stride_tricks.sliding_window_view(h, w)
+        # rightmost minimum: argmin over the reversed window
+        sel_off = (w - 1) - np.argmin(sw[:, ::-1], axis=1)
+        ends = np.arange(w - 1, n)
+        wstarts = ends - (w - 1)
+        valid = doc[ends] == doc[wstarts]       # windows never cross docs
+        sel_idx = np.unique(wstarts[valid] + sel_off[valid])
+        return pa.table({
+            id_col: pa.array(ids[doc[sel_idx]], pa.int64()),
+            "pos": pa.array(pos[sel_idx], pa.int64()),
+            "fingerprint": pa.array(
+                [format(x, "016x") for x in h[sel_idx]], pa.string()),
+        })
+
+    return ds.map_batches(_fp, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def corpus_report(ds, *, text_col: str = "text"):
     """→ one-row Dataset(n_docs, n_tokens, n_chars, min_tokens,
     max_tokens, mean_tokens): the whole-corpus summary every build

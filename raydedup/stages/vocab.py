@@ -134,6 +134,56 @@ def top_k_ngrams(docs_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
         batch_format="pyarrow")
 
 
+def doc_keywords(docs_ds, *, id_col: str = "doc_id",
+                 text_col: str = "text", k: int = 3, sep: str = " "):
+    """→ Dataset(id, token, tf, rank): each document's top-``k`` tokens
+    by term frequency (tf desc, token asc tie-break — binary collation,
+    matching DuckDB's default ORDER BY).  Entirely doc-local: one
+    streaming map, per-batch Arrow hash group-by + one lexsort, ZERO
+    shuffle — the keyword surface for doc routing / topic bucketing."""
+
+    def _kw(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch[text_col], "").combine_chunks()
+        toks = pc.split_pattern(texts, sep)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        doc = np.repeat(np.arange(len(batch), dtype=np.int64),
+                        np.asarray(pc.list_value_length(toks),
+                                   dtype=np.int64))
+        if not len(flat):
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "token": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64())})
+        tf_tab = pa.table({"d": pa.array(doc, pa.int64()),
+                           "token": flat}) \
+            .group_by(["d", "token"]).aggregate([("token", "count")])
+        d = np.asarray(tf_tab["d"], dtype=np.int64)
+        tf = np.asarray(tf_tab["token_count"], dtype=np.int64)
+        tok = np.asarray(tf_tab["token"].to_pylist(), dtype=str)
+        order = np.lexsort((tok, -tf, d))
+        do = d[order]
+        first = np.ones(len(do), dtype=bool)
+        first[1:] = do[1:] != do[:-1]
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.append(starts, len(do)))
+        rank = (np.arange(len(do), dtype=np.int64)
+                - np.repeat(starts, lens) + 1)
+        keep = order[rank <= k]
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        return pa.table({
+            id_col: pa.array(ids[d[keep]], pa.int64()),
+            "token": tf_tab["token"].combine_chunks().take(
+                pa.array(keep, pa.int64())),
+            "tf": pa.array(tf[keep], pa.int64()),
+            "rank": pa.array(rank[rank <= k], pa.int64()),
+        })
+
+    return docs_ds.map_batches(_kw, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
 def token_doc_freq(docs_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
                    id_col: str = "doc_id", text_col: str = "text",
                    min_df: int = 1, sep: str = " "):

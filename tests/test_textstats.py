@@ -326,3 +326,82 @@ class TestTopKNgrams:
             .to_pandas()
         assert len(got) == 2
         assert got.iloc[0]["ngram"] == "p q r" and got.iloc[0]["n"] == 4
+
+
+class TestWinnowFingerprints:
+    @staticmethod
+    def _brute_select(hashes, w):
+        """Pure-python robust winnowing: rightmost-min per window."""
+        sel = set()
+        for e in range(w - 1, len(hashes)):
+            win = hashes[e - w + 1:e + 1]
+            mn = min(win)
+            off = max(i for i, v in enumerate(win) if v == mn)
+            sel.add(e - w + 1 + off)
+        return sel
+
+    def test_rabin_path_vs_brute(self, ray_session):
+        from raydedup.functions.text import shingle_stream
+        from raydedup.stages.textstats import winnow_fingerprints
+        texts = ["alpha beta gamma delta epsilon zeta eta theta iota "
+                 "kappa lambda mu nu xi omicron pi rho sigma tau",
+                 "one two three four five six seven eight nine ten",
+                 "tiny doc", ""]
+        k, w = 5, 4
+        got = winnow_fingerprints(_docs_ds(texts), k=k, w=w,
+                                  hash="rabin").to_pandas()
+        want = set()
+        for d, t in enumerate(texts):
+            h, doc, _ = shingle_stream(pa.array([t], pa.string()), k)
+            hs = h.tolist()
+            for i in self._brute_select(hs, w):
+                want.add((d, i + 1, format(hs[i], "016x")))
+        assert set(zip(got["doc_id"], got["pos"],
+                       got["fingerprint"])) == want
+        assert len(want) > 0
+
+    def test_md5_path_vs_brute(self, ray_session):
+        import hashlib
+        from raydedup.stages.textstats import winnow_fingerprints
+        texts = ["w x y z w x y z w x y z w", "a b c d e f g h"]
+        k, w = 5, 4
+        got = winnow_fingerprints(_docs_ds(texts), k=k, w=w,
+                                  hash="md5").to_pandas()
+        want = set()
+        for d, t in enumerate(texts):
+            ws = t.split(" ")
+            hs = [int(hashlib.md5(" ".join(ws[i:i + k]).encode())
+                      .hexdigest()[:16], 16)
+                  for i in range(len(ws) - k + 1)]
+            for i in self._brute_select(hs, w):
+                want.add((d, i + 1, format(hs[i], "016x")))
+        assert set(zip(got["doc_id"], got["pos"],
+                       got["fingerprint"])) == want
+
+    def test_shared_run_guarantee(self, ray_session):
+        # Schleimer et al. guarantee: a shared token run of ≥ w+k−1
+        # yields at least one common fingerprint
+        from raydedup.stages.textstats import winnow_fingerprints
+        shared = "the quick brown fox jumps over the lazy dog today"
+        texts = ["prefix one two " + shared + " suffix alpha",
+                 "totally different lead-in words " + shared]
+        out = winnow_fingerprints(_docs_ds(texts), k=5, w=4,
+                                  hash="rabin").to_pandas()
+        f0 = set(out[out["doc_id"] == 0]["fingerprint"])
+        f1 = set(out[out["doc_id"] == 1]["fingerprint"])
+        assert f0 & f1
+
+
+class TestDocKeywords:
+    def test_top_k_and_ties(self, ray_session):
+        from raydedup.stages.vocab import doc_keywords
+        texts = ["b b b a a c", "z y x", "solo"]
+        out = doc_keywords(_docs_ds(texts), k=2).to_pandas()
+        d0 = out[out["doc_id"] == 0].sort_values("rank")
+        assert list(d0["token"]) == ["b", "a"]
+        assert list(d0["tf"]) == [3, 2]
+        d1 = out[out["doc_id"] == 1].sort_values("rank")
+        # all tf=1 → alphabetical tie-break
+        assert list(d1["token"]) == ["x", "y"]
+        d2 = out[out["doc_id"] == 2]
+        assert list(d2["token"]) == ["solo"] and list(d2["rank"]) == [1]
