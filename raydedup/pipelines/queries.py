@@ -588,6 +588,66 @@ FROM documents GROUP BY lang
 """
 
 
+def q_user_funnel(sf_dir):
+    """Sequential view→click→purchase funnel: users completing every
+    step in strict timestamp order, earliest valid ts per step (one
+    hash exchange by user, vectorized per-step threshold pass)."""
+    import ray.data as rd
+
+    from ..stages.sessions import funnel
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    return funnel(ev, ("view", "click", "purchase"), CFG)
+
+
+SQL_USER_FUNNEL = """
+WITH v AS (SELECT user_id, min(ts) AS view_ts FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, min(e.ts) AS click_ts FROM events e
+      JOIN v ON v.user_id = e.user_id AND e.ts > v.view_ts
+      WHERE e.event_type = 'click' GROUP BY 1),
+p AS (SELECT e.user_id, min(e.ts) AS purchase_ts FROM events e
+      JOIN c ON c.user_id = e.user_id AND e.ts > c.click_ts
+      WHERE e.event_type = 'purchase' GROUP BY 1)
+SELECT p.user_id, v.view_ts, c.click_ts, p.purchase_ts
+FROM p JOIN c ON c.user_id = p.user_id JOIN v ON v.user_id = p.user_id
+"""
+
+
+def q_event_props_stats(sf_dir):
+    """Per-type aggregation of a value extracted from the JSON-ish
+    props payload (vectorized RE2 extract, both engines)."""
+    import ray.data as rd
+
+    from ray.data.aggregate import Count, Sum
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+
+    def _ext(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(pc.fill_null(t["props"], ""),
+                             pattern=r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({"event_type": t["event_type"],
+                         "k": pc.fill_null(k, 0)})
+
+    agg = ev.map_batches(_ext, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(Count(alias_name="n"),
+                                         Sum("k", alias_name="sum_k_raw"))
+    return agg.map_batches(
+        lambda t: pa.table({"event_type": t["event_type"],
+                            "n": t["n"].cast(pa.int64()),
+                            "sum_k": t["sum_k_raw"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+SQL_EVENT_PROPS_STATS = """
+SELECT event_type, count(*)::BIGINT AS n,
+       sum(coalesce(try_cast(regexp_extract(props, '"k": (\\d+)', 1)
+                             AS BIGINT), 0))::BIGINT AS sum_k
+FROM events GROUP BY event_type
+"""
+
+
 def q_events_hourly(sf_dir):
     import ray.data as rd
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
@@ -2300,6 +2360,8 @@ QUERIES = {
     "pair_jaccard_adjacent": q_pair_jaccard_adjacent,
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "events_hourly": q_events_hourly,
+    "user_funnel": q_user_funnel,
+    "event_props_stats": q_event_props_stats,
     "user_sessions": q_user_sessions,
     "top_sources": q_top_sources,
     "filter_lang": q_filter_lang,
@@ -2384,6 +2446,8 @@ ORACLES = {
     "pair_jaccard_adjacent": SQL_PAIR_JACCARD_ADJACENT,
     "doc_stats_by_lang": SQL_DOC_STATS_BY_LANG,
     "events_hourly": SQL_EVENTS_HOURLY,
+    "user_funnel": SQL_USER_FUNNEL,
+    "event_props_stats": SQL_EVENT_PROPS_STATS,
     "user_sessions": SQL_USER_SESSIONS,
     "top_sources": SQL_TOP_SOURCES,
     "filter_lang": SQL_FILTER_LANG,

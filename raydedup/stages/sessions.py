@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
 from ..functions.hashing import splitmix64
@@ -78,3 +79,81 @@ def sessionize(events_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
     tagged = events_ds.map_batches(_tag, batch_format="pyarrow",
                                    zero_copy_batch=True)
     return hash_partition_map(tagged, "part", _sessions, n_parts)
+
+
+def funnel(events_ds, steps, cfg: PipelineConfig = DEFAULT_CONFIG, *,
+           user_col: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type"):
+    """Sequential funnel: users who performed every step of ``steps``
+    IN ORDER (each step's timestamp strictly after the previous step's)
+    → Dataset(user_id, <step>_ts per step) with the EARLIEST valid
+    timestamp per step (greedy-earliest semantics — the standard
+    product-analytics funnel definition, and the one SQL's
+    min-after-previous chain expresses).
+
+    One hash exchange by user; per partition everything is one lexsort
+    + one vectorized pass per step (per-user state is a threshold
+    array indexed by user rank — no Python loop over users)."""
+    n_parts = cfg.resolved_partitions()
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least two steps")
+
+    def _tag(t: pa.Table) -> pa.Table:
+        # only funnel-step rows travel
+        keep = pc.is_in(t[type_col], value_set=pa.array(steps, pa.string()))
+        t = t.filter(keep)
+        uid = np.asarray(t[user_col], dtype=np.int64)
+        part = (splitmix64(uid.view(np.uint64))
+                % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({
+            user_col: pa.array(uid, pa.int64()),
+            ts_col: t[ts_col],
+            type_col: t[type_col],
+            "part": pa.array(part, pa.int64()),
+        })
+
+    empty_cols = {user_col: pa.array([], pa.int64())}
+    for s in steps:
+        empty_cols[f"{s}_ts"] = pa.array([], pa.timestamp("us"))
+    empty = pa.table(empty_cols)
+
+    DEAD = np.iinfo(np.int64).max
+    START = np.iinfo(np.int64).min
+
+    def _funnel(tab: pa.Table | None) -> pa.Table:
+        if tab is None or tab.num_columns == 0 or not len(tab):
+            return empty
+        uid = np.asarray(tab[user_col], dtype=np.int64)
+        ts = np.asarray(tab[ts_col].cast(pa.timestamp("us")),
+                        dtype="datetime64[us]").astype(np.int64)
+        typ = tab[type_col].combine_chunks()
+        st = np.full(len(uid), -1, dtype=np.int64)
+        for i, s in enumerate(steps):
+            st[np.asarray(pc.equal(typ, s)).nonzero()] = i
+        order = np.lexsort((ts, uid))
+        uid, ts, st = uid[order], ts[order], st[order]
+        uniq, inv = np.unique(uid, return_inverse=True)
+        thr = np.full(len(uniq), START, dtype=np.int64)
+        step_ts = []
+        for i in range(len(steps)):
+            rows = np.flatnonzero((st == i) & (ts > thr[inv]))
+            nxt = np.full(len(uniq), DEAD, dtype=np.int64)
+            if len(rows):
+                ur = inv[rows]
+                # rows are (user, ts)-sorted → first per user = earliest
+                first = np.ones(len(ur), dtype=bool)
+                first[1:] = ur[1:] != ur[:-1]
+                nxt[ur[first]] = ts[rows[first]]
+            thr = nxt                      # DEAD never revives: ts > max
+            step_ts.append(thr.copy())
+        alive = step_ts[-1] != DEAD
+        out = {user_col: pa.array(uniq[alive], pa.int64())}
+        for s, col in zip(steps, step_ts):
+            out[f"{s}_ts"] = pa.array(
+                col[alive].astype("datetime64[us]"), pa.timestamp("us"))
+        return pa.table(out)
+
+    tagged = events_ds.map_batches(_tag, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    return hash_partition_map(tagged, "part", _funnel, n_parts)

@@ -260,3 +260,39 @@ class TestNearDupCanonical:
         out = nd.near_dup_canonical(_ds(self._corpus()), CFG,
                                     quality_col="n_chars").to_pandas()
         assert sorted(out["doc_id"]) == [2, 3, 4]
+
+
+class TestFunnel:
+    def _ev(self, rows):
+        import pyarrow as pa
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+        })).repartition(2)
+
+    def test_ordered_and_unordered_users(self, ray_session):
+        from raydedup.config import DEFAULT_CONFIG
+        from raydedup.stages.sessions import funnel
+        CFG = DEFAULT_CONFIG.with_(num_partitions=4)
+        rows = [
+            # user 1: complete in-order funnel
+            (1, 100, "view"), (1, 200, "click"), (1, 300, "purchase"),
+            # user 2: purchase BEFORE click → not a funnel completion
+            (2, 100, "view"), (2, 300, "click"), (2, 200, "purchase"),
+            # user 3: missing click
+            (3, 100, "view"), (3, 300, "purchase"),
+            # user 4: extra noise events + earliest-valid selection
+            (4, 50, "view"), (4, 60, "view"), (4, 70, "click"),
+            (4, 80, "click"), (4, 90, "purchase"),
+            # user 5: click at SAME ts as view → strict > rejects it
+            (5, 100, "view"), (5, 100, "click"), (5, 200, "purchase"),
+        ]
+        out = funnel(self._ev(rows), ("view", "click", "purchase"),
+                     CFG).to_pandas().set_index("user_id")
+        assert sorted(out.index) == [1, 4]
+        u4 = out.loc[4]
+        assert (u4["view_ts"].value, u4["click_ts"].value,
+                u4["purchase_ts"].value) == (50_000, 70_000, 90_000)
+        # pandas .value is ns; ours are us inputs → x*1000 ns
