@@ -182,6 +182,38 @@ def shingle_stream(texts: pa.Array, k: int, tok: tuple | None = None
     return win_hash[valid], doc_of[:n_win][valid], n_docs
 
 
+def word_ngram_strings(texts, n: int, sep: str = " "):
+    """Adjacent word ``n``-gram STRINGS per text (sep-joined windows
+    that never cross rows) → (grams: pa.StringArray, doc: np.int64[]).
+
+    Tokens are the sep-split INCLUDING empties, so the DuckDB list
+    oracle (``ws[i] || ' ' || ws[i+1]``) agrees exactly.  Shared by
+    vocab.top_k_ngrams and the winnowing md5 oracle path — one
+    implementation of the sliced-offsets window-index arithmetic."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.split_pattern(pc.fill_null(texts, ""), sep)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offs = np.asarray(toks.offsets, dtype=np.int64)
+    offs = offs - offs[0]          # sliced arrays carry a base offset
+    vals = toks.flatten()          # values aligned with adjusted offsets
+    lens = offs[1:] - offs[:-1]
+    counts = np.maximum(lens - (n - 1), 0)
+    g_offs = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=g_offs[1:])
+    total = int(g_offs[-1])
+    doc = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    if not total:
+        return pa.array([], pa.string()), doc
+    idx = (np.repeat(offs[:-1], counts)
+           + (np.arange(total, dtype=np.int64)
+              - np.repeat(g_offs[:-1], counts)))
+    # last argument of binary_join_element_wise is the SEPARATOR
+    pieces = [vals.take(pa.array(idx + j, pa.int64())) for j in range(n)]
+    return pc.binary_join_element_wise(*pieces, sep), doc
+
+
 def char_ngram_batch(texts: pa.Array, n: int = 3
                      ) -> tuple[np.ndarray, np.ndarray]:
     """Character (byte) n-gram sets per doc, CSR layout, sorted unique.

@@ -36,6 +36,37 @@ from .dedup import with_text_hash
 _HASH_COLS = ["text_hash", "text_hash2"]
 
 
+def _uniq_hash_pairs(t: pa.Table) -> pa.Table:
+    """Per-batch unique (text_hash, text_hash2) projection — a
+    duplicate-heavy side ships one pair per distinct text per batch."""
+    h1 = np.asarray(t["text_hash"], dtype=np.int64)
+    h2 = np.asarray(t["text_hash2"], dtype=np.int64)
+    order = np.lexsort((h2, h1))
+    keep = np.ones(len(order), dtype=bool)
+    h1o, h2o = h1[order], h2[order]
+    keep[1:] = (h1o[1:] != h1o[:-1]) | (h2o[1:] != h2o[:-1])
+    idx = pa.array(order[keep], pa.int64())
+    return t.select(_HASH_COLS).take(idx)
+
+
+def _pair_member(sorted_h1: np.ndarray, sorted_h2: np.ndarray,
+                 h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    """Vectorized membership of (h1, h2) pairs in a (h1, h2)-lexsorted
+    pair set: searchsorted run bounds on h1, then a bounded linear scan
+    over the run for the h2 hit — runs are true 64-bit h1 collisions
+    (~1 element), so the loop stays O(1) whatever the dup skew."""
+    if not len(h1) or not len(sorted_h1):
+        return np.zeros(len(h1), dtype=bool)
+    lo = np.searchsorted(sorted_h1, h1, side="left")
+    hi = np.searchsorted(sorted_h1, h1, side="right")
+    hit = np.zeros(len(h1), dtype=bool)
+    width = hi - lo
+    for w in range(int(width.max()) if len(width) else 0):
+        act = width > w
+        hit[act] |= sorted_h2[lo[act] + w] == h2[act]
+    return hit
+
+
 def _tag_part(n_parts: int):
     def _tag(t: pa.Table) -> pa.Table:
         h = np.asarray(t["text_hash"], dtype=np.int64)
@@ -77,23 +108,13 @@ def incremental_exact_dedup(new_ds, corpus_ds,
 
     n_parts = cfg.resolved_partitions()
 
-    def _uniq_hashes(t: pa.Table) -> pa.Table:
-        h1 = np.asarray(t["text_hash"], dtype=np.int64)
-        h2 = np.asarray(t["text_hash2"], dtype=np.int64)
-        order = np.lexsort((h2, h1))
-        keep = np.ones(len(order), dtype=bool)
-        h1o, h2o = h1[order], h2[order]
-        keep[1:] = (h1o[1:] != h1o[:-1]) | (h2o[1:] != h2o[:-1])
-        idx = pa.array(order[keep], pa.int64())
-        return t.select(_HASH_COLS).take(idx)
-
     # per-batch unique BEFORE the exchange: a duplicate-heavy corpus
     # ships one hash pair per distinct text per batch, not per row
     if corpus_hashes is None:
         corpus_hashes = with_text_hash(
             corpus_ds.select_columns([text_col]), text_col)
     corpus_hashes = corpus_hashes.map_batches(
-        _uniq_hashes, batch_format="pyarrow", zero_copy_batch=True)
+        _uniq_hash_pairs, batch_format="pyarrow", zero_copy_batch=True)
     new_hashed = with_text_hash(new_ds, text_col)
 
     new_parts = _exchange(new_hashed, n_parts, cfg)
@@ -115,27 +136,7 @@ def incremental_exact_dedup(new_ds, corpus_ds,
             uq[1:] = (c1[1:] != c1[:-1]) | (c2[1:] != c2[:-1])
             c1, c2 = c1[uq], c2[uq]   # bounds the probe-run width to
             # true 64-bit h1 collisions (~1), whatever the dup skew
-            pos = np.searchsorted(c1, h1, side="left")
-            # probe the (h1 run) for an exact (h1,h2) hit
-            end = np.searchsorted(c1, h1, side="right")
-            for_probe = np.flatnonzero(end > pos)
-            hit = np.zeros(len(h1), dtype=bool)
-            if len(for_probe):
-                lo = pos[for_probe]
-                hi = end[for_probe]
-                # vectorized per-row binary search bounded to [lo, hi)
-                found = np.zeros(len(for_probe), dtype=bool)
-                # runs are tiny (hash collisions on 64 bits): linear scan
-                # over the run via a flattened gather stays vectorized in
-                # the common len==1 case and exact always
-                width = hi - lo
-                maxw = int(width.max())
-                for w in range(maxw):
-                    active = width > w
-                    idx = lo[active] + w
-                    found[active] |= c2[idx] == h2[for_probe[active]]
-                hit[for_probe] = found
-            keep &= ~hit
+            keep &= ~_pair_member(c1, c2, h1, h2)
         # within-increment keep-min on surviving rows
         ids = np.asarray(new_tab[id_col], dtype=np.int64)
         surv = np.flatnonzero(keep)
@@ -190,8 +191,11 @@ def build_hash_bloom(corpus_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
 
     The partition key is the SAME splitmix64(text_hash) routing every
     incremental exchange uses, so a membership probe touches exactly
-    one filter.  Build is one exchange of per-batch-uniqued hash pairs;
-    each reduce packs its filter with one ``np.packbits``."""
+    one filter.  The store rows carry ``n_parts`` — probes route by the
+    STORE's partition count, so a store built under one config stays
+    correct under any later config.  Build is one exchange of
+    per-batch-uniqued hash pairs; each reduce packs its filter with one
+    ``np.packbits``."""
     n_parts = cfg.resolved_partitions()
     k = _bloom_k(bits_per_key)
 
@@ -200,22 +204,14 @@ def build_hash_bloom(corpus_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
             corpus_ds.select_columns([text_col]), text_col) \
             .select_columns(_HASH_COLS)
 
-    def _uniq(t: pa.Table) -> pa.Table:
-        h1 = np.asarray(t["text_hash"], dtype=np.int64)
-        h2 = np.asarray(t["text_hash2"], dtype=np.int64)
-        order = np.lexsort((h2, h1))
-        keep = np.ones(len(order), dtype=bool)
-        h1o, h2o = h1[order], h2[order]
-        keep[1:] = (h1o[1:] != h1o[:-1]) | (h2o[1:] != h2o[:-1])
-        idx = pa.array(order[keep], pa.int64())
-        return t.select(_HASH_COLS).take(idx)
-
-    hashed = corpus_hashes.map_batches(_uniq, batch_format="pyarrow",
+    hashed = corpus_hashes.map_batches(_uniq_hash_pairs,
+                                       batch_format="pyarrow",
                                        zero_copy_batch=True)
 
     def _pack(tab: pa.Table | None) -> pa.Table:
         if tab is None or tab.num_columns == 0 or not len(tab):
             return pa.table({"part": pa.array([], pa.int64()),
+                             "n_parts": pa.array([], pa.int64()),
                              "m": pa.array([], pa.int64()),
                              "k": pa.array([], pa.int64()),
                              "bits": pa.array([], pa.large_binary())})
@@ -230,6 +226,7 @@ def build_hash_bloom(corpus_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
         bools[_bloom_positions(h1, h2, m, k).ravel()] = True
         bits = np.packbits(bools, bitorder="little").tobytes()
         return pa.table({"part": pa.array([part], pa.int64()),
+                         "n_parts": pa.array([n_parts], pa.int64()),
                          "m": pa.array([m], pa.int64()),
                          "k": pa.array([k], pa.int64()),
                          "bits": pa.array([bits], pa.large_binary())})
@@ -279,11 +276,20 @@ def incremental_exact_dedup_bloom(new_ds, corpus_ds,
             .select_columns(_HASH_COLS)
 
     blooms = {}
+    store_n_parts = None
     for t in (ray.get(r) for r in corpus_bloom.to_arrow_refs()):
         for i in range(len(t)):
             blooms[int(t["part"][i].as_py())] = (
                 int(t["m"][i].as_py()), int(t["k"][i].as_py()),
                 np.frombuffer(t["bits"][i].as_py(), dtype=np.uint8))
+            if "n_parts" in t.column_names:
+                store_n_parts = int(t["n_parts"][i].as_py())
+    # probes MUST route by the partition count the store was BUILT
+    # with — a store persisted under one config and probed under
+    # another would otherwise look up the wrong filter and leak
+    # duplicates as definitely-new (silent corruption)
+    if store_n_parts is None:
+        store_n_parts = n_parts        # pre-n_parts stores: same-config only
     bloom_ref = ray.put(blooms)
 
     new_hashed = with_text_hash(new_ds, text_col)
@@ -296,8 +302,8 @@ def incremental_exact_dedup_bloom(new_ds, corpus_ds,
         bl = ray.get(bloom_ref)
         h1 = np.asarray(t["text_hash"], dtype=np.int64)
         h2 = np.asarray(t["text_hash2"], dtype=np.int64)
-        part = (splitmix64(h1.view(np.uint64)) % np.uint64(n_parts)) \
-            .astype(np.int64)
+        part = (splitmix64(h1.view(np.uint64))
+                % np.uint64(store_n_parts)).astype(np.int64)
         hit = np.zeros(len(h1), dtype=bool)
         for p in np.unique(part):
             if int(p) not in bl:
@@ -344,14 +350,8 @@ def incremental_exact_dedup_bloom(new_ds, corpus_ds,
             a1, a2 = ray.get(cand_ref)
             h1 = np.asarray(t["text_hash"], dtype=np.int64)
             h2 = np.asarray(t["text_hash2"], dtype=np.int64)
-            lo = np.searchsorted(a1, h1, side="left")
-            hi = np.searchsorted(a1, h1, side="right")
-            sel = np.zeros(len(h1), dtype=bool)
-            width = hi - lo
-            for w in range(int(width.max()) if len(width) else 0):
-                act = width > w
-                sel[act] |= a2[lo[act] + w] == h2[act]
-            return t.select(_HASH_COLS).filter(pa.array(sel))
+            return t.select(_HASH_COLS).filter(
+                pa.array(_pair_member(a1, a2, h1, h2)))
 
         conf = [t for t in (ray.get(r) for r in corpus_hashes.map_batches(
             _confirm, batch_format="pyarrow").to_arrow_refs()) if len(t)]
@@ -381,14 +381,7 @@ def incremental_exact_dedup_bloom(new_ds, corpus_ds,
         flagged = np.flatnonzero(
             np.asarray(t["_hit"], dtype=np.int8) == 1)
         if len(flagged) and len(a1):
-            g1, g2 = h1[flagged], h2[flagged]
-            lo = np.searchsorted(a1, g1, side="left")
-            hi = np.searchsorted(a1, g1, side="right")
-            ind = np.zeros(len(g1), dtype=bool)
-            width = hi - lo
-            for w in range(int(width.max()) if len(width) else 0):
-                act = width > w
-                ind[act] |= a2[lo[act] + w] == g2[act]
+            ind = _pair_member(a1, a2, h1[flagged], h2[flagged])
             keep[flagged[ind]] = False
         ids = np.asarray(t[id_col], dtype=np.int64)
         surv = np.flatnonzero(keep)

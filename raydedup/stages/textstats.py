@@ -448,13 +448,16 @@ def quality_filter(ds, *, text_col: str = "text",
 def winnow_fingerprints(ds, cfg=None, *, id_col: str = "doc_id",
                         text_col: str = "text", k: int = 5, w: int = 4,
                         hash: str = "rabin"):
-    """Robust-winnowing document fingerprints (Schleimer, Wilkerson &
-    Aiken, SIGMOD 2003 — the MOSS selection rule): over the document's
-    k-gram hash sequence, every window of ``w`` consecutive hashes
-    selects its MINIMUM (rightmost position on ties); the distinct
-    selections are the fingerprint set.  Guarantees any shared run of
-    ≥ w+k−1 tokens contributes at least one common fingerprint, at
-    ~1/w the storage of the full hash stream.
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003): over the document's k-gram hash sequence, every
+    window of ``w`` consecutive hashes selects its MINIMUM, rightmost
+    position on ties — the STATELESS tie rule, deterministic and
+    SQL-expressible (the paper's "robust" variant instead re-selects
+    the previously selected hash on ties, which is per-document
+    sequential state; on tie-heavy inputs this rule selects a slightly
+    denser set).  The distinct selections are the fingerprint set.
+    Guarantees any shared run of ≥ w+k−1 tokens contributes at least
+    one common fingerprint, at ~1/w the storage of the full stream.
 
     → Dataset(id, pos:int64 1-based k-gram index, fingerprint:string
     16-hex-char).  ``hash="rabin"``: the production rolling-hash path
@@ -475,32 +478,15 @@ def winnow_fingerprints(ds, cfg=None, *, id_col: str = "doc_id",
         if hash == "rabin":
             h, doc, _ = shingle_stream(texts, k)
         else:
-            toks = pc.split_pattern(texts, pattern=" ")
-            if isinstance(toks, pa.ChunkedArray):
-                toks = toks.combine_chunks()
-            offs = np.asarray(toks.offsets, dtype=np.int64)
-            offs = offs - offs[0]
-            vals = toks.flatten()
-            lens = offs[1:] - offs[:-1]
-            counts = np.maximum(lens - (k - 1), 0)
-            g_offs = np.zeros(len(counts) + 1, dtype=np.int64)
-            np.cumsum(counts, out=g_offs[1:])
-            total = int(g_offs[-1])
-            idx = (np.repeat(offs[:-1], counts)
-                   + (np.arange(total, dtype=np.int64)
-                      - np.repeat(g_offs[:-1], counts)))
-            pieces = [vals.take(pa.array(idx + j, pa.int64()))
-                      for j in range(k)]
-            grams = (pc.binary_join_element_wise(*pieces, " ") if total
-                     else pa.array([], pa.string()))
+            from ..functions.text import word_ngram_strings
+            grams, doc = word_ngram_strings(texts, k)
             # md5 is the oracle-parity hash — per-gram hashlib loop is
             # the documented cost of SQL expressibility (oracle path
             # only; production runs the vectorized rabin stream)
             h = np.fromiter(
                 (int(hashlib.md5(g.encode()).hexdigest()[:16], 16)
                  for g in grams.to_pylist()),
-                dtype=np.uint64, count=total)
-            doc = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+                dtype=np.uint64, count=len(grams))
 
         ids = np.asarray(batch[id_col], dtype=np.int64)
         n = len(h)

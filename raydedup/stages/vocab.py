@@ -81,27 +81,8 @@ def top_k_ngrams(docs_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
     n_parts = cfg.resolved_partitions()
 
     def _partial(t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(pc.fill_null(
-            t[text_col].combine_chunks(), ""), sep)
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        offs = np.asarray(toks.offsets, dtype=np.int64)
-        offs = offs - offs[0]
-        vals = toks.flatten()
-        lens = offs[1:] - offs[:-1]
-        counts = np.maximum(lens - (n - 1), 0)
-        b_offs = np.zeros(len(counts) + 1, dtype=np.int64)
-        np.cumsum(counts, out=b_offs[1:])
-        total = int(b_offs[-1])
-        # global start index of each in-row n-gram window
-        idx = (np.repeat(offs[:-1], counts)
-               + (np.arange(total, dtype=np.int64)
-                  - np.repeat(b_offs[:-1], counts)))
-        # last argument of binary_join_element_wise is the SEPARATOR
-        pieces = [vals.take(pa.array(idx + j, pa.int64()))
-                  for j in range(n)]
-        grams = (pc.binary_join_element_wise(*pieces, sep) if total else
-                 pa.array([], pa.string()))
+        from ..functions.text import word_ngram_strings
+        grams, _ = word_ngram_strings(t[text_col], n, sep)
         part = pa.table({"token": grams}).group_by("token") \
             .aggregate([("token", "count")])
         tok_col = part["token"].combine_chunks()
@@ -156,28 +137,29 @@ def doc_keywords(docs_ds, *, id_col: str = "doc_id",
                              "token": pa.array([], pa.string()),
                              "tf": pa.array([], pa.int64()),
                              "rank": pa.array([], pa.int64())})
+        # Arrow-native ordering: binary collation == DuckDB's default
+        # ORDER BY, and no Python/unicode-dtype round-trip of the tokens
         tf_tab = pa.table({"d": pa.array(doc, pa.int64()),
                            "token": flat}) \
-            .group_by(["d", "token"]).aggregate([("token", "count")])
-        d = np.asarray(tf_tab["d"], dtype=np.int64)
-        tf = np.asarray(tf_tab["token_count"], dtype=np.int64)
-        tok = np.asarray(tf_tab["token"].to_pylist(), dtype=str)
-        order = np.lexsort((tok, -tf, d))
-        do = d[order]
+            .group_by(["d", "token"]).aggregate([("token", "count")]) \
+            .sort_by([("d", "ascending"), ("token_count", "descending"),
+                      ("token", "ascending")])
+        do = np.asarray(tf_tab["d"], dtype=np.int64)
         first = np.ones(len(do), dtype=bool)
         first[1:] = do[1:] != do[:-1]
         starts = np.flatnonzero(first)
         lens = np.diff(np.append(starts, len(do)))
         rank = (np.arange(len(do), dtype=np.int64)
                 - np.repeat(starts, lens) + 1)
-        keep = order[rank <= k]
+        mask = rank <= k
         ids = np.asarray(batch[id_col], dtype=np.int64)
+        sel = pa.array(np.flatnonzero(mask), pa.int64())
         return pa.table({
-            id_col: pa.array(ids[d[keep]], pa.int64()),
-            "token": tf_tab["token"].combine_chunks().take(
-                pa.array(keep, pa.int64())),
-            "tf": pa.array(tf[keep], pa.int64()),
-            "rank": pa.array(rank[rank <= k], pa.int64()),
+            id_col: pa.array(ids[do[mask]], pa.int64()),
+            "token": tf_tab["token"].combine_chunks().take(sel),
+            "tf": tf_tab["token_count"].cast(pa.int64())
+                .combine_chunks().take(sel),
+            "rank": pa.array(rank[mask], pa.int64()),
         })
 
     return docs_ds.map_batches(_kw, batch_format="pyarrow",

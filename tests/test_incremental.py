@@ -216,3 +216,19 @@ class TestBloomPrefilter:
                           reloaded.to_pandas()["bits"])
         hash_rows = corpus_hash_table(corpus, CFG).count()
         assert bloom_bytes < hash_rows * 16
+
+    def test_store_built_under_different_partition_count(self, ray_session):
+        # the store carries n_parts; probing under ANOTHER config must
+        # still route to the right filter (else dups leak as new)
+        from raydedup.config import DEFAULT_CONFIG
+        from raydedup.stages.incremental import (build_hash_bloom,
+                                                 incremental_exact_dedup_bloom)
+        corpus = _ds([(i, f"old {i}") for i in range(40)])
+        inc = _ds([(100 + i, f"old {i}") for i in range(40)]
+                  + [(900, "genuinely new")])
+        build_cfg = DEFAULT_CONFIG.with_(num_partitions=16)
+        probe_cfg = DEFAULT_CONFIG.with_(num_partitions=3)
+        bl = build_hash_bloom(corpus, build_cfg).materialize()
+        out = incremental_exact_dedup_bloom(
+            inc, corpus, probe_cfg, corpus_bloom=bl).to_pandas()
+        assert sorted(out["doc_id"]) == [900]

@@ -315,8 +315,15 @@ class TestTopKNgrams:
             ws = t.split(" ")
             want.update(f"{x} {y}" for x, y in zip(ws, ws[1:]))
         assert dict(zip(got["ngram"], got["n"])) == dict(want)
-        # no cross-document bigram ("b b" would need doc0's tail + doc4)
-        assert "b a" not in set(got["ngram"]) or want["b a"] > 0
+
+    def test_no_cross_document_bigram(self, ray_session):
+        from raydedup.config import DEFAULT_CONFIG
+        from raydedup.stages.vocab import top_k_ngrams
+        # the only way "tail head" can appear is by crossing the
+        # doc0→doc1 boundary — it must NOT be emitted
+        got = top_k_ngrams(_docs_ds(["one tail", "head two"]),
+                           DEFAULT_CONFIG, k=10).to_pandas()
+        assert set(got["ngram"]) == {"one tail", "head two"}
 
     def test_trigrams_and_k_cut(self, ray_session):
         from raydedup.config import DEFAULT_CONFIG

@@ -43,13 +43,15 @@ def main():
     cfg = PipelineConfig(num_partitions=max(32, cpus * 2))
     docs = synth_pages_ds(n, seed=42).materialize()
 
-    # truth: all 6 within-quad pairs of every planted quad, exact-scored
-    quads = np.arange(0, n // 4, 5, dtype=np.int64)  # planted quad ids
+    # truth: all 6 within-quad pairs of every planted quad (INCLUDING a
+    # trailing partial quad when n % 4 != 0 — its members are still
+    # perturbed copies of the base), exact-scored
+    quads = np.arange(0, (n + 3) // 4, 5, dtype=np.int64)
     base = quads * 4
     offs = [(i, j) for i in range(4) for j in range(i + 1, 4)]
     a = np.concatenate([base + i for i, _ in offs])
     b = np.concatenate([base + j for _, j in offs])
-    keep = b < n
+    keep = (a < n) & (b < n)
     cand = rd.from_arrow(pa.table({"a": pa.array(a[keep], pa.int64()),
                                    "b": pa.array(b[keep], pa.int64())}))
     t0 = time.time()
