@@ -403,11 +403,16 @@ def attach_degrees(scored_ds, adj_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
                 batch_format="pyarrow")
         return out
 
-    tabs = [ray.get(r) for r in
-            adj_ds.select_columns(["id", "n_neighbors"]).to_arrow_refs()]
-    tab = pa.concat_tables([t for t in tabs if len(t)])
-    ids = np.asarray(tab["id"], dtype=np.int64)
-    dg = np.asarray(tab["n_neighbors"], dtype=np.int64)
+    tabs = [t for t in (ray.get(r) for r in
+            adj_ds.select_columns(["id", "n_neighbors"]).to_arrow_refs())
+            if len(t)]
+    if tabs:
+        tab = pa.concat_tables(tabs)
+        ids = np.asarray(tab["id"], dtype=np.int64)
+        dg = np.asarray(tab["n_neighbors"], dtype=np.int64)
+    else:  # empty adjacency (e.g. a graph of only self-loops)
+        ids = np.empty(0, dtype=np.int64)
+        dg = np.empty(0, dtype=np.int64)
     order = np.argsort(ids, kind="stable")
     deg_ref = ray.put((ids[order], dg[order]))
 

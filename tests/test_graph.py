@@ -318,3 +318,13 @@ class TestTriangleCounts:
                 gd, gt, gl = got[v]
                 assert (gd, gt) == (d, t), (bcast, v)
                 assert gl == pytest.approx(l, abs=1e-12), (bcast, v)
+
+
+def test_edge_similarity_empty_graph(ray_session):
+    # only self-loops → zero edges → empty (not a concat crash)
+    import ray.data as rd
+    from raydedup.stages.graph import edge_similarity, triangle_counts
+    tab = pa.table({"src": pa.array([1, 2], pa.int64()),
+                    "dst": pa.array([1, 2], pa.int64())})
+    assert edge_similarity(rd.from_arrow(tab), CFG).count() == 0
+    assert triangle_counts(rd.from_arrow(tab), CFG).count() == 0
