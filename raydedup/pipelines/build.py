@@ -110,12 +110,14 @@ def build_corpus(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
             batch_format="pyarrow", zero_copy_batch=True)
 
     if cur is not docs:
-        # pin the zero-shuffle prefix ONCE: tiered has several consumers
-        # of its input (exchange, survivor stream, final filter) and a
-        # lazy prefix would re-execute per consumer — recomputing the
-        # filters AND triple-counting their drop counters.  This is the
-        # same stage-checkpoint materialization tiered applies to its
-        # own tagged stream (spillable; at 10^12 docs it becomes the
+        # pin the zero-shuffle prefix ONCE: besides tier 0's double
+        # consumption, even schema() probes downstream (tiered's
+        # base_schema read) partially re-execute a lazy prefix and
+        # re-fire the drop counters (measured: quality_dropped tripled
+        # on a 1-block corpus when this materialize was dropped) — the
+        # copy is the price of exact counters.  This is the same
+        # stage-checkpoint materialization tiered applies to its own
+        # tagged stream (spillable; at 10^12 docs it becomes the
         # parquet checkpoint pipelines/checkpoint.py writes).
         cur = cur.materialize()
 
