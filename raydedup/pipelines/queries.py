@@ -276,6 +276,79 @@ WHERE i.c::DOUBLE / (ca.n + cb.n - i.c) >= 0.8
 """
 
 
+def q_source_dup_rates(sf_dir):
+    """Per-source near-dup exposure: for each source, total docs and
+    docs appearing in ≥1 verified near-dup pair — the curation report
+    that decides which crawl sources need aggressive dedup.  Pipeline
+    composition: near_dup_pairs → distinct endpoint ids (broadcast
+    sorted array) → one streaming membership map + tiny groupby."""
+    import ray
+
+    from .neardup import near_dup_pairs
+    docs = _docs(sf_dir, ["doc_id", "text", "source"])
+    pairs = near_dup_pairs(
+        docs.select_columns(["doc_id", "text"]), CFG).materialize()
+    tabs = [t for t in (ray.get(r) for r in
+                        pairs.select_columns(["a", "b"]).to_arrow_refs())
+            if len(t)]
+    if tabs:
+        cat = pa.concat_tables(tabs)
+        dup_ids = np.unique(np.concatenate(
+            [np.asarray(cat["a"], dtype=np.int64),
+             np.asarray(cat["b"], dtype=np.int64)]))
+    else:
+        dup_ids = np.empty(0, dtype=np.int64)
+    ref = ray.put(dup_ids)
+
+    from ray.data.aggregate import Sum
+
+    def _flag(t: pa.Table) -> pa.Table:
+        ids_sorted = ray.get(ref)
+        d = np.asarray(t["doc_id"], dtype=np.int64)
+        pos = np.clip(np.searchsorted(ids_sorted, d), 0,
+                      max(len(ids_sorted) - 1, 0))
+        dup = (ids_sorted[pos] == d) if len(ids_sorted) else \
+            np.zeros(len(d), dtype=bool)
+        return pa.table({"source": t["source"],
+                         "one": pa.array(np.ones(len(d), np.int64)),
+                         "dup": pa.array(dup.astype(np.int64))})
+
+    agg = docs.map_batches(_flag, batch_format="pyarrow") \
+        .groupby("source").aggregate(Sum("one", alias_name="n_docs"),
+                                     Sum("dup", alias_name="n_dup_docs"))
+    return agg.map_batches(
+        lambda t: pa.table({"source": t["source"],
+                            "n_docs": t["n_docs"].cast(pa.int64()),
+                            "n_dup_docs": t["n_dup_docs"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+SQL_SOURCE_DUP_RATES = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i)
+  WHERE len(t) >= 5
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT i.a, i.b FROM inter i
+  JOIN cnt ca ON ca.doc_id = i.a JOIN cnt cb ON cb.doc_id = i.b
+  WHERE i.c::DOUBLE / (ca.n + cb.n - i.c) >= 0.8
+),
+dup_ids AS (SELECT a AS id FROM scored UNION SELECT b AS id FROM scored)
+SELECT d.source, count(*)::BIGINT AS n_docs,
+       count(*) FILTER (WHERE d.doc_id IN (SELECT id FROM dup_ids))::BIGINT
+         AS n_dup_docs
+FROM documents d GROUP BY d.source
+"""
+
+
 def q_near_dup_components(sf_dir):
     from .neardup import near_dup_clusters
     return near_dup_clusters(_docs(sf_dir, ["doc_id", "text"]), CFG)
@@ -2352,6 +2425,7 @@ QUERIES = {
     "exact_dup_pairs": q_exact_dup_pairs,
     "exact_dup_components": q_exact_dup_components,
     "near_dup_pairs": q_near_dup_pairs,
+    "source_dup_rates": q_source_dup_rates,
     "near_dup_components": q_near_dup_components,
     "near_dup_dedup": q_near_dup_dedup,
     "simhash_dup_pairs": q_simhash_dup_pairs,
@@ -2439,6 +2513,7 @@ ORACLES = {
     "exact_dup_pairs": SQL_EXACT_DUP_PAIRS,
     "exact_dup_components": SQL_EXACT_DUP_COMPONENTS,
     "near_dup_pairs": SQL_NEAR_DUP_PAIRS,
+    "source_dup_rates": SQL_SOURCE_DUP_RATES,
     "near_dup_components": SQL_NEAR_DUP_COMPONENTS,
     "near_dup_dedup": SQL_NEAR_DUP_DEDUP,
     "edge_jaccard": SQL_EDGE_JACCARD,
