@@ -2310,6 +2310,73 @@ SELECT doc_id, token, tf, rank FROM r WHERE rank <= 3
 """
 
 
+def q_tfidf_keywords(sf_dir):
+    """Per-doc top-3 tokens by log-free tf-idf (score ∝ tf/df; IEEE
+    division is correctly rounded, so numpy and DuckDB rank
+    identically) — one DF combiner exchange + one broadcast-join map."""
+    from ..stages.vocab import tfidf_keywords
+    return tfidf_keywords(_docs(sf_dir, ["doc_id", "text"]), CFG,
+                          k=3, min_df=2)
+
+
+SQL_TFIDF_KEYWORDS = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents),
+tk AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM tk GROUP BY 1, 2),
+df AS (SELECT token, count(DISTINCT doc_id)::BIGINT AS df FROM tk
+       GROUP BY 1),
+r AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf * 1.0 / df.df DESC,
+                                         tf.token) AS rank
+      FROM tf JOIN df USING (token) WHERE df.df >= 2)
+SELECT doc_id, token, tf, df, rank FROM r WHERE rank <= 3
+"""
+
+
+def q_host_top_docs(sf_dir):
+    """Grouped top-k: each host's 3 longest documents by token count
+    (map-side per-host trim → one host exchange → final trim)."""
+    from ..stages.domains import host_top_docs
+    return host_top_docs(_hosted_docs(sf_dir), CFG, k=3)
+
+
+SQL_HOST_TOP_DOCS = "WITH " + _SQL_HOSTED + """,
+r AS (SELECT host, doc_id,
+             len(string_split(text, ' '))::BIGINT AS n_tokens,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY len(string_split(text, ' ')) DESC,
+                                         doc_id) AS rank
+      FROM hh)
+SELECT host, doc_id, n_tokens, rank FROM r WHERE rank <= 3
+"""
+
+
+def q_user_gap_stats(sf_dir):
+    """Per-user inter-arrival stats (max gap µs, count of >30-min
+    gaps) — the session-break census; one exchange by user."""
+    import ray.data as rd
+    from ..stages.sessions import user_gap_stats
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    return user_gap_stats(ev, CFG, long_gap_minutes=30)
+
+
+SQL_USER_GAP_STATS = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+g AS (SELECT user_id,
+             tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus)
+                 AS gap
+      FROM e)
+SELECT user_id, count(*)::BIGINT AS n_events,
+       coalesce(max(gap), 0)::BIGINT AS max_gap_us,
+       coalesce(sum(CASE WHEN gap > 1800000000 THEN 1 END), 0)::BIGINT
+           AS n_long_gaps
+FROM g GROUP BY user_id
+"""
+
+
 def q_orders_customer(sf_dir):
     """Broadcast dim join: orders ⋈ customer (small side shipped once,
     Acero hash join per batch, zero shuffle)."""
@@ -2494,6 +2561,9 @@ QUERIES = {
     "price_quantiles": q_price_quantiles,
     "top_bigrams": q_top_bigrams,
     "doc_keywords": q_doc_keywords,
+    "tfidf_keywords": q_tfidf_keywords,
+    "host_top_docs": q_host_top_docs,
+    "user_gap_stats": q_user_gap_stats,
     "common_token_stats": q_common_token_stats,
     "incremental_dedup": q_incremental_dedup,
     "incremental_dedup_bloom": q_incremental_dedup_bloom,
@@ -2576,6 +2646,9 @@ ORACLES = {
     "price_quantiles": SQL_PRICE_QUANTILES,
     "top_bigrams": SQL_TOP_BIGRAMS,
     "doc_keywords": SQL_DOC_KEYWORDS,
+    "tfidf_keywords": SQL_TFIDF_KEYWORDS,
+    "host_top_docs": SQL_HOST_TOP_DOCS,
+    "user_gap_stats": SQL_USER_GAP_STATS,
     "common_token_stats": SQL_COMMON_TOKEN_STATS,
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "incremental_dedup_bloom": SQL_INCREMENTAL_DEDUP,

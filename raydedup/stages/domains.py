@@ -81,6 +81,77 @@ def domain_stats(ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
                               map_chunk_rows=cfg.batch_size)
 
 
+def _trim_topk_per_host(tab: pa.Table, k: int) -> pa.Table:
+    """Keep each host's top-``k`` rows by (n_tokens desc, doc_id asc)
+    and attach the 1-based rank.  Pure Arrow sort + numpy run walk —
+    shared by the map-side combiner and the reduce side (per-batch
+    top-k is a valid combiner for grouped top-k: a row outside its
+    batch's host-top-k can never enter the global host-top-k)."""
+    srt = tab.sort_by([("host", "ascending"), ("n_tokens", "descending"),
+                       ("doc_id", "ascending")])
+    hosts = srt["host"].combine_chunks()
+    first = np.ones(len(srt), dtype=bool)
+    if len(srt) > 1:
+        first[1:] = ~np.asarray(
+            pc.equal(hosts.slice(1), hosts.slice(0, len(srt) - 1)))
+    starts = np.flatnonzero(first)
+    lens = np.diff(np.append(starts, len(srt)))
+    rank = (np.arange(len(srt), dtype=np.int64)
+            - np.repeat(starts, lens) + 1)
+    mask = rank <= k
+    sel = pa.array(np.flatnonzero(mask), pa.int64())
+    return pa.table({
+        "host": hosts.take(sel),
+        "doc_id": srt["doc_id"].combine_chunks().take(sel),
+        "n_tokens": srt["n_tokens"].combine_chunks().take(sel),
+        "rank": pa.array(rank[mask], pa.int64()),
+    })
+
+
+def host_top_docs(ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
+                  url_col: str = "url", text_col: str = "text",
+                  id_col: str = "doc_id", k: int = 3):
+    """→ Dataset(host, doc_id, n_tokens, rank): each host's top-``k``
+    documents by whitespace-token count (n_tokens desc, doc_id asc
+    tie-break) — the grouped-top-k pattern (SQL ``row_number() OVER
+    (PARTITION BY host ...)``) a curation pipeline uses to pull
+    representative pages per domain.
+
+    Physical plan: grouped top-k is a monotone combiner, so the map
+    side trims each batch to its own per-host top-k BEFORE the
+    exchange — at most k rows per distinct host per batch travel —
+    then one hash exchange on the host and the same trim again."""
+    n_parts = cfg.resolved_partitions()
+    hosted = with_host(ds, url_col=url_col)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_value_length(
+            pc.split_pattern(pc.fill_null(t[text_col], ""), " "))
+        trimmed = _trim_topk_per_host(pa.table({
+            "host": t["host"],
+            "doc_id": t[id_col].cast(pa.int64()),
+            "n_tokens": toks.cast(pa.int64()),
+        }), k).drop_columns(["rank"])
+        h = hash_utf8_array(trimmed["host"].combine_chunks())
+        return trimmed.append_column(
+            "_part", pa.array((h % np.uint64(n_parts)).astype(np.int64),
+                              pa.int64()))
+
+    empty = pa.table({"host": pa.array([], pa.string()),
+                      "doc_id": pa.array([], pa.int64()),
+                      "n_tokens": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.int64())})
+
+    def _reduce(t: pa.Table | None) -> pa.Table:
+        if t is None or len(t) == 0:
+            return empty
+        return _trim_topk_per_host(t, k)
+
+    return hash_partition_map(hosted, "_part", _reduce, n_parts,
+                              map_fn=_partial,
+                              map_chunk_rows=cfg.batch_size)
+
+
 def filter_domains(ds, blocklist, url_col: str = "url",
                    keep_host_col: str | None = "host"):
     """Drop every row whose host is in ``blocklist`` (exact string

@@ -81,6 +81,74 @@ def sessionize(events_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
     return hash_partition_map(tagged, "part", _sessions, n_parts)
 
 
+def user_gap_stats(events_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
+                   user_col: str = "user_id", ts_col: str = "ts",
+                   long_gap_minutes: int = 30):
+    """→ Dataset(user_id, n_events, max_gap_us, n_long_gaps): per-user
+    inter-arrival statistics — event count, the largest gap between
+    consecutive events in exact integer microseconds (0 for single-event
+    users, matching SQL ``coalesce(max(gap), 0)``), and how many gaps
+    exceed ``long_gap_minutes`` (the session-break census).
+
+    Deterministic under timestamp ties: permuting equal values in a
+    sorted sequence leaves the consecutive-difference multiset
+    unchanged, so the result does not depend on how the sort (or SQL's
+    ``lag`` window) breaks ties.  Same single hash exchange by user as
+    sessionize; per partition one lexsort + ``reduceat`` segment
+    kernels — no Python loop over users."""
+    n_parts = cfg.resolved_partitions()
+    long_us = np.int64(long_gap_minutes) * 60 * 1_000_000
+
+    def _tag(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t[user_col], dtype=np.int64)
+        part = (splitmix64(uid.view(np.uint64))
+                % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({
+            user_col: pa.array(uid, pa.int64()),
+            ts_col: t[ts_col],
+            "part": pa.array(part, pa.int64()),
+        })
+
+    empty = pa.table({user_col: pa.array([], pa.int64()),
+                      "n_events": pa.array([], pa.int64()),
+                      "max_gap_us": pa.array([], pa.int64()),
+                      "n_long_gaps": pa.array([], pa.int64())})
+
+    def _stats(tab: pa.Table | None) -> pa.Table:
+        if tab is None or len(tab) == 0:
+            return empty
+        uid = np.asarray(tab[user_col], dtype=np.int64)
+        ts = np.asarray(tab[ts_col].cast(pa.timestamp("us")),
+                        dtype="datetime64[us]").astype(np.int64)
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
+        new_user = np.empty(len(uid), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new_user)
+        counts = np.diff(np.append(starts, len(uid)))
+        # diffs[i] = ts[i+1]-ts[i]; cross-user positions masked to 0 so
+        # each reduceat segment [starts[u], starts[u+1]) over the
+        # n-length padded array sees only user u's gaps (plus zeros)
+        same = ~new_user[1:]
+        diffs = np.where(same, ts[1:] - ts[:-1], 0)
+        padded = np.append(diffs, np.int64(0))
+        max_gap = np.maximum.reduceat(padded, starts)
+        n_long = np.add.reduceat(
+            np.append((same & (ts[1:] - ts[:-1] > long_us))
+                      .astype(np.int64), 0), starts)
+        return pa.table({
+            user_col: pa.array(uid[starts], pa.int64()),
+            "n_events": pa.array(counts, pa.int64()),
+            "max_gap_us": pa.array(max_gap, pa.int64()),
+            "n_long_gaps": pa.array(n_long, pa.int64()),
+        })
+
+    tagged = events_ds.map_batches(_tag, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    return hash_partition_map(tagged, "part", _stats, n_parts)
+
+
 def funnel(events_ds, steps, cfg: PipelineConfig = DEFAULT_CONFIG, *,
            user_col: str = "user_id", ts_col: str = "ts",
            type_col: str = "event_type"):

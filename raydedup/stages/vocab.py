@@ -166,6 +166,95 @@ def doc_keywords(docs_ds, *, id_col: str = "doc_id",
                                zero_copy_batch=True)
 
 
+def tfidf_keywords(docs_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   k: int = 3, min_df: int = 1, sep: str = " "):
+    """→ Dataset(id, token, tf, df, rank): each document's top-``k``
+    tokens by tf-idf with the LOG-FREE rational idf — score ∝ tf/df.
+    Dropping the log keeps the ranking EXACTLY reproducible: IEEE-754
+    division is correctly rounded, so numpy and the DuckDB oracle
+    (``tf * 1.0 / df``) produce bit-identical scores, where ``ln`` is
+    libm-dependent and can flip near-ties.  Order inside a doc is
+    (tf/df desc, token asc); tokens with df < ``min_df`` are excluded
+    from ranking.
+
+    Physical plan: ONE combiner exchange builds the document-frequency
+    table (token_doc_freq), the df table ships once via ``ray.put``
+    (vocabulary-sized — ``min_df`` prunes the hapax tail that dominates
+    a web vocabulary; for an unbounded vocabulary the alternative is a
+    double exchange: route (doc, token, tf) by token, join df, route
+    back by doc), then one zero-shuffle streaming map computes
+    doc-local tf, joins df with an exact ``pc.index_in``, and ranks."""
+    import ray
+
+    df_tab = pa.concat_tables(
+        [t for t in ray.get(list(
+            token_doc_freq(docs_ds, cfg, id_col=id_col, text_col=text_col,
+                           min_df=min_df, sep=sep).to_arrow_refs()))
+         if len(t)] or [pa.table({"token": pa.array([], pa.string()),
+                                  "df": pa.array([], pa.int64())})])
+    df_ref = ray.put({"tokens": df_tab["token"].combine_chunks(),
+                      "df": np.asarray(df_tab["df"], dtype=np.int64)})
+
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "token": pa.array([], pa.string()),
+                      "tf": pa.array([], pa.int64()),
+                      "df": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.int64())})
+
+    def _kw(batch: pa.Table) -> pa.Table:
+        pk = ray.get(df_ref)
+        texts = pc.fill_null(batch[text_col], "").combine_chunks()
+        toks = pc.split_pattern(texts, sep)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        doc = np.repeat(np.arange(len(batch), dtype=np.int64),
+                        np.asarray(pc.list_value_length(toks),
+                                   dtype=np.int64))
+        if not len(flat):
+            return empty
+        tf_tab = pa.table({"d": pa.array(doc, pa.int64()), "token": flat}) \
+            .filter(pc.not_equal(flat, "")) \
+            .group_by(["d", "token"]).aggregate([("token", "count")])
+        idx = pc.index_in(tf_tab["token"].combine_chunks(),
+                          value_set=pk["tokens"])
+        known = pc.is_valid(idx)
+        tf_tab = tf_tab.append_column("df_idx", idx).filter(known)
+        if not len(tf_tab):
+            return empty
+        tf = np.asarray(tf_tab["token_count"], dtype=np.int64)
+        dfv = pk["df"][np.asarray(tf_tab["df_idx"], dtype=np.int64)]
+        scored = pa.table({
+            "d": tf_tab["d"],
+            "token": tf_tab["token"],
+            "tf": pa.array(tf, pa.int64()),
+            "df": pa.array(dfv, pa.int64()),
+            "score": pa.array(tf.astype(np.float64) / dfv, pa.float64()),
+        }).sort_by([("d", "ascending"), ("score", "descending"),
+                    ("token", "ascending")])
+        do = np.asarray(scored["d"], dtype=np.int64)
+        first = np.ones(len(do), dtype=bool)
+        first[1:] = do[1:] != do[:-1]
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.append(starts, len(do)))
+        rank = (np.arange(len(do), dtype=np.int64)
+                - np.repeat(starts, lens) + 1)
+        mask = rank <= k
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        sel = pa.array(np.flatnonzero(mask), pa.int64())
+        return pa.table({
+            id_col: pa.array(ids[do[mask]], pa.int64()),
+            "token": scored["token"].combine_chunks().take(sel),
+            "tf": scored["tf"].combine_chunks().take(sel),
+            "df": scored["df"].combine_chunks().take(sel),
+            "rank": pa.array(rank[mask], pa.int64()),
+        })
+
+    return docs_ds.map_batches(_kw, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
 def token_doc_freq(docs_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
                    id_col: str = "doc_id", text_col: str = "text",
                    min_df: int = 1, sep: str = " "):

@@ -51,3 +51,26 @@ def test_filter_domains(ray_session):
     kept2 = filter_domains(_ds(ROWS), ["a.com"], keep_host_col=None) \
         .to_pandas()
     assert "host" not in kept2.columns
+
+
+def test_host_top_docs(ray_session):
+    from raydedup.stages.domains import host_top_docs
+    # batch_size=3 forces the map-side per-batch trim across batches —
+    # the combiner must still produce the global per-host top-k
+    out = host_top_docs(_ds(ROWS), CFG, k=1).to_pandas() \
+        .set_index("host")
+    # a.com: doc0 (3 tokens) beats doc1 (2); b.org: doc3 (4) beats doc2
+    assert out.loc["a.com", "doc_id"] == 0
+    assert out.loc["a.com", "n_tokens"] == 3
+    assert out.loc["b.org", "doc_id"] == 3
+    assert (out["rank"] == 1).all()
+
+
+def test_host_top_docs_tiebreak_and_k(ray_session):
+    from raydedup.stages.domains import host_top_docs
+    rows = [(i, "https://x.com/p", "a b") for i in range(5)]
+    out = host_top_docs(_ds(rows), CFG, k=3).to_pandas() \
+        .sort_values("rank")
+    # equal lengths -> doc_id asc breaks ties, exactly k rows kept
+    assert list(out["doc_id"]) == [0, 1, 2]
+    assert list(out["rank"]) == [1, 2, 3]

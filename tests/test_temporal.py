@@ -296,3 +296,112 @@ class TestFunnel:
         assert (u4["view_ts"].value, u4["click_ts"].value,
                 u4["purchase_ts"].value) == (50_000, 70_000, 90_000)
         # pandas .value is ns; ours are us inputs → x*1000 ns
+
+
+class TestTfidfKeywords:
+    def test_hand_checked(self, ray_session):
+        from raydedup.stages.vocab import tfidf_keywords
+        # df: the=3, cat=2, dog=1, sat=2, ran=1
+        docs = _ds(pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["the cat sat", "the cat ran",
+                              "the dog sat"], pa.string()),
+        }))
+        out = tfidf_keywords(docs, CFG, k=1, min_df=1).to_pandas() \
+            .set_index("doc_id")
+        # doc0 scores: the 1/3, cat 1/2, sat 1/2 -> cat (token asc tie)
+        assert out.loc[0, "token"] == "cat"
+        # doc2: dog 1/1 beats sat 1/2 and the 1/3
+        assert out.loc[2, "token"] == "dog"
+        assert out.loc[2, "df"] == 1 and out.loc[2, "tf"] == 1
+
+    def test_min_df_excludes_rare(self, ray_session):
+        from raydedup.stages.vocab import tfidf_keywords
+        docs = _ds(pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["unique common", "common"], pa.string()),
+        }))
+        out = tfidf_keywords(docs, CFG, k=5, min_df=2).to_pandas()
+        assert set(out["token"]) == {"common"}
+
+    def test_matches_duckdb(self, ray_session):
+        from raydedup.stages.vocab import tfidf_keywords
+        rng = np.random.default_rng(23)
+        words = [f"w{i}" for i in range(30)]
+        tab = pa.table({
+            "doc_id": pa.array(np.arange(150, dtype=np.int64)),
+            "text": pa.array([" ".join(rng.choice(words,
+                                                  size=rng.integers(2, 20)))
+                              for _ in range(150)], pa.string()),
+        })
+        out = tfidf_keywords(_ds(tab), CFG, k=3, min_df=2).to_pandas() \
+            .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("d", tab.to_pandas())
+        gold = con.sql("""
+            WITH tk AS (SELECT doc_id,
+                               unnest(string_split(text, ' ')) AS token
+                        FROM d),
+            tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+                   FROM tk GROUP BY 1, 2),
+            df AS (SELECT token, count(DISTINCT doc_id)::BIGINT AS df
+                   FROM tk GROUP BY 1),
+            r AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                         row_number() OVER (
+                             PARTITION BY tf.doc_id
+                             ORDER BY tf.tf * 1.0 / df.df DESC,
+                                      tf.token) AS rank
+                  FROM tf JOIN df USING (token) WHERE df.df >= 2)
+            SELECT doc_id, token, tf, df, rank FROM r WHERE rank <= 3
+            ORDER BY doc_id, rank""").df()
+        assert len(out) == len(gold)
+        assert (out["token"].values == gold["token"].values).all()
+        assert (out["df"].values == gold["df"].values).all()
+
+
+class TestUserGapStats:
+    def test_hand_checked(self, ray_session):
+        from raydedup.stages.sessions import user_gap_stats
+        ev = _ds(pa.table({
+            "user_id": pa.array([1, 1, 1, 2, 3, 3], pa.int64()),
+            # user1 gaps: 10min, 45min; user2: none; user3: 0min (tie)
+            "ts": _ts(0, 10, 55, 7, 3, 3),
+        }))
+        out = user_gap_stats(ev, CFG, long_gap_minutes=30).to_pandas() \
+            .set_index("user_id")
+        assert out.loc[1, "n_events"] == 3
+        assert out.loc[1, "max_gap_us"] == 45 * 60_000_000
+        assert out.loc[1, "n_long_gaps"] == 1
+        assert out.loc[2, "n_events"] == 1
+        assert out.loc[2, "max_gap_us"] == 0
+        assert out.loc[3, "max_gap_us"] == 0
+        assert out.loc[3, "n_long_gaps"] == 0
+
+    def test_matches_duckdb(self, ray_session):
+        from raydedup.stages.sessions import user_gap_stats
+        rng = np.random.default_rng(31)
+        n = 400
+        tab = pa.table({
+            "user_id": pa.array(rng.integers(0, 25, n), pa.int64()),
+            "ts": pa.array(rng.integers(0, 10**7, n) * 1_000_000,
+                           pa.timestamp("us")),
+        })
+        out = user_gap_stats(_ds(tab), CFG, long_gap_minutes=30) \
+            .to_pandas().sort_values("user_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("e", tab.to_pandas())
+        gold = con.sql("""
+            WITH g AS (SELECT user_id,
+                              epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY epoch_us(ts)) AS gap
+                       FROM e)
+            SELECT user_id, count(*)::BIGINT AS n_events,
+                   coalesce(max(gap), 0)::BIGINT AS max_gap_us,
+                   coalesce(sum(CASE WHEN gap > 1800000000 THEN 1 END),
+                            0)::BIGINT AS n_long_gaps
+            FROM g GROUP BY user_id ORDER BY user_id""").df()
+        assert (out["n_events"].values == gold["n_events"].values).all()
+        assert (out["max_gap_us"].values == gold["max_gap_us"].values).all()
+        assert (out["n_long_gaps"].values
+                == gold["n_long_gaps"].values).all()
