@@ -2480,6 +2480,152 @@ def q_lang_id(sf_dir):
              .select_columns(["doc_id", "lang_pred"])
 
 
+# -------------------------------------------------- snapshot-aware dedup
+
+def _snapshot_docs(sf_dir):
+    """Deterministic multi-crawl fixture: every 3 consecutive doc_ids
+    re-crawl the same page text; crawl_ts is a Knuth-hash pseudo-shuffle
+    of doc_id so the earliest crawl is NOT the smallest id."""
+    import numpy as np
+
+    def _snap(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        txt = pc.binary_join_element_wise(
+            pa.scalar("page "),
+            pa.array((ids // 3).astype(str), pa.string()), "")
+        ts_ = (ids * 2654435761) % 1000000
+        return pa.table({"doc_id": t["doc_id"], "text": txt,
+                         "crawl_ts": pa.array(ts_, pa.int64())})
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(
+        _snap, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_SQL_SNAPSHOT = """
+snap AS (SELECT doc_id, 'page ' || (doc_id // 3)::VARCHAR AS text,
+                (doc_id * 2654435761) % 1000000 AS crawl_ts
+         FROM documents)
+"""
+
+
+def q_keep_earliest(sf_dir):
+    """Snapshot-aware exact dedup: per distinct page text keep the
+    earliest (crawl_ts, doc_id) crawl — the multi-snapshot CC keep rule."""
+    from ..stages.dedup import keep_earliest
+    return keep_earliest(_snapshot_docs(sf_dir), CFG) \
+        .select_columns(["doc_id", "crawl_ts"])
+
+
+SQL_KEEP_EARLIEST = "WITH " + _SQL_SNAPSHOT + """
+SELECT doc_id, crawl_ts FROM (
+  SELECT doc_id, crawl_ts,
+         row_number() OVER (PARTITION BY text
+                            ORDER BY crawl_ts, doc_id) AS rn
+  FROM snap)
+WHERE rn = 1
+"""
+
+
+def q_crawl_diff(sf_dir):
+    """Two-snapshot crawl diff: urls added / removed / changed between
+    a deterministic old crawl (doc_id%7≠0) and new crawl (doc_id%5≠0,
+    every doc_id%3==0 page's content revised)."""
+    import numpy as np
+
+    from ..stages.urls import crawl_diff
+
+    def _side(new: bool):
+        def _m(t: pa.Table) -> pa.Table:
+            ids = np.asarray(t["doc_id"], dtype=np.int64)
+            keep = (ids % (5 if new else 7)) != 0
+            t = t.filter(pa.array(keep))
+            ids = ids[keep]
+            url = pc.binary_join_element_wise(
+                pa.scalar("https://h"),
+                pa.array((ids % 20).astype(str), pa.string()),
+                pa.scalar(".example.com/p/"),
+                pa.array(ids.astype(str), pa.string()), "")
+            text = t["text"].combine_chunks()
+            if new:
+                text = pc.if_else(
+                    pa.array(ids % 3 == 0),
+                    pc.binary_join_element_wise(
+                        text, pa.scalar(" v2"), ""),
+                    text)
+            return pa.table({"url": url, "text": text})
+        return _m
+
+    def _snap(new):
+        return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            _side(new), batch_format="pyarrow", zero_copy_batch=True)
+
+    return crawl_diff(_snap(False), _snap(True), CFG)
+
+
+SQL_CRAWL_DIFF = """
+WITH base AS (SELECT doc_id, text,
+                     'https://h' || (doc_id % 20)::VARCHAR ||
+                     '.example.com/p/' || doc_id::VARCHAR AS url
+              FROM documents),
+olds AS (SELECT url, text FROM base WHERE doc_id % 7 <> 0),
+news AS (SELECT url,
+                CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END
+                    AS text
+         FROM base WHERE doc_id % 5 <> 0)
+SELECT coalesce(o.url, n.url) AS url,
+       CASE WHEN o.url IS NULL THEN 'added'
+            WHEN n.url IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM olds o FULL OUTER JOIN news n ON o.url = n.url
+WHERE o.url IS NULL OR n.url IS NULL OR o.text <> n.text
+"""
+
+
+def q_url_filter(sf_dir):
+    """Crawl-frontier URL filter over a deterministic mixed frontier:
+    scheme gate (doc_id%4==1 pages are ftp://), asset-extension gate
+    (suffix cycles through 8 shapes by doc_id%8), length gate."""
+    import numpy as np
+
+    from ..stages.urls import filter_urls
+
+    _SUFF = np.array(["", ".html", ".jpg", ".png", ".php?q=1", ".pdf",
+                      "/download.zip", ".css"])
+
+    def _frontier(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        scheme = np.where(ids % 4 == 1, "ftp://", "https://")
+        url = pc.binary_join_element_wise(
+            pa.array(scheme, pa.string()),
+            pa.scalar("h"),
+            pa.array((ids % 20).astype(str), pa.string()),
+            pa.scalar(".example.com/p/"),
+            pa.array(ids.astype(str), pa.string()),
+            pa.array(_SUFF[ids % 8], pa.string()), "")
+        return pa.table({"doc_id": t["doc_id"], "url": url})
+
+    frontier = _docs(sf_dir, ["doc_id"]).map_batches(
+        _frontier, batch_format="pyarrow", zero_copy_batch=True)
+    return filter_urls(frontier)
+
+
+SQL_URL_FILTER = """
+WITH f AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 4 = 1 THEN 'ftp://' ELSE 'https://' END)
+         || 'h' || (doc_id % 20)::VARCHAR || '.example.com/p/'
+         || doc_id::VARCHAR
+         || (['', '.html', '.jpg', '.png', '.php?q=1', '.pdf',
+              '/download.zip', '.css'])[(doc_id % 8) + 1] AS url
+  FROM documents)
+SELECT doc_id, url FROM f
+WHERE len(url) <= 2048
+  AND regexp_matches(url, '^https?://')
+  AND NOT regexp_matches(url,
+      '\\.(?:jpe?g|png|gif|webp|svg|ico|css|js|woff2?|ttf|mp[34]|avi|mov|zip|gz|tar|exe|dmg|iso|pdf)([?#]|$)')
+"""
+
+
 QUERIES = {
     "token_count": q_token_count,
     "shingle_count": q_shingle_count,
@@ -2512,6 +2658,9 @@ QUERIES = {
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "pages_meta": q_pages_meta,
     "lang_id": q_lang_id,
+    "keep_earliest": q_keep_earliest,
+    "crawl_diff": q_crawl_diff,
+    "url_filter": q_url_filter,
     "substring_spans": q_substring_spans,
     "substring_dedup_stats": q_substring_dedup_stats,
     "media_bytes": q_media_bytes,
@@ -2654,6 +2803,9 @@ ORACLES = {
     "incremental_dedup_bloom": SQL_INCREMENTAL_DEDUP,
     "incremental_near_dup": SQL_INCREMENTAL_NEAR_DUP,
     "incremental_near_dup_matches": SQL_INCREMENTAL_NEAR_DUP_MATCHES,
+    "keep_earliest": SQL_KEEP_EARLIEST,
+    "crawl_diff": SQL_CRAWL_DIFF,
+    "url_filter": SQL_URL_FILTER,
     # rows-only (non-SQL-expressible): simhash_dup_pairs, ann_lsh_buckets,
     # lang_id
 }

@@ -143,6 +143,54 @@ def exact_dedup(ds, cfg: PipelineConfig, id_col: str = "doc_id",
     return hash_partition_map(tagged, "part", _keep, n_parts)
 
 
+def keep_earliest(ds, cfg: PipelineConfig, ts_col: str = "crawl_ts",
+                  id_col: str = "doc_id", text_col: str = "text"):
+    """Snapshot-aware exact dedup: keep, per distinct text, the row with
+    the minimum (``ts_col``, ``id_col``) — "the earliest crawl of each
+    page", the keep rule a multi-snapshot Common-Crawl corpus needs
+    (later re-crawls of identical content are the duplicates).
+
+    Same ONE-exchange physical plan as :func:`exact_dedup` (each dup
+    group lands whole in one partition via the 128-bit content hash);
+    only the in-partition keep rule changes: lexicographic min over
+    (timestamp, id) instead of min id.  ``ts_col`` may be any Arrow
+    type with a total order under int64 cast (timestamp[*], int, date).
+    """
+    from ..functions.hashing import splitmix64
+    from ..functions.shuffle import hash_partition_map
+
+    n_parts = cfg.resolved_partitions()
+    out_schema = ds.schema().base_schema
+
+    def _tag(t: pa.Table) -> pa.Table:
+        h = np.asarray(t["text_hash"], dtype=np.int64)
+        part = (np.asarray(splitmix64(h.view(np.uint64)))
+                % np.uint64(n_parts)).astype(np.int64)
+        return t.append_column("part", pa.array(part, pa.int64()))
+
+    tagged = with_text_hash(ds, text_col).map_batches(
+        _tag, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _keep(tab: pa.Table | None) -> pa.Table:
+        if tab is None or len(tab) == 0:
+            return out_schema.empty_table()
+        h1 = np.asarray(tab["text_hash"], dtype=np.int64)
+        h2 = np.asarray(tab["text_hash2"], dtype=np.int64)
+        ts = np.asarray(pc.cast(tab[ts_col].combine_chunks(), pa.int64()),
+                        dtype=np.int64)
+        ids = np.asarray(tab[id_col], dtype=np.int64)
+        order = np.lexsort((ids, ts, h2, h1))
+        h1s, h2s = h1[order], h2[order]
+        starts = np.empty(len(order), dtype=bool)
+        starts[0] = True
+        starts[1:] = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
+        keep_rows = np.sort(order[starts])   # earliest row per group,
+        out = tab.take(pa.array(keep_rows, pa.int64()))  # original order
+        return out.select(out_schema.names)
+
+    return hash_partition_map(tagged, "part", _keep, n_parts)
+
+
 EXACT_PAIRS_MAX_GROUP = 1000   # all-pairs enumeration cap per dup group
 
 

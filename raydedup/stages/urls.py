@@ -99,3 +99,107 @@ def url_dedup(ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
     tagged = canon.map_batches(_tag, batch_format="pyarrow",
                                zero_copy_batch=True)
     return hash_partition_map(tagged, "part", _keep, n_parts)
+
+
+def crawl_diff(old_ds, new_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
+               url_col: str = "url", text_col: str = "text"):
+    """Snapshot diff between two crawls of the same frontier:
+    → Dataset(url:string, status:string) with status ∈ {'added',
+    'removed', 'changed'}; urls whose content is byte-identical in both
+    snapshots are omitted.  The incremental-crawl planning table: what
+    must be re-fetched, what disappeared, what changed.
+
+    Physical plan: each side collapses to (url, 128-bit content hash,
+    side) in a streaming map — page text never leaves its scan task —
+    then ONE hash exchange on the url routes both sides' row for a url
+    to the same partition, where a vectorized sorted-run walk emits the
+    verdicts.  Both inputs are assumed url-unique (run url_dedup
+    first); per-url work is O(1), so there is no skew surface.
+    """
+    from .dedup import with_text_hash
+
+    n_parts = cfg.resolved_partitions()
+
+    def _project(side: int):
+        def _p(t: pa.Table) -> pa.Table:
+            urls = pc.fill_null(t[url_col], "").combine_chunks()
+            h = hash_utf8_array(urls)
+            part = (splitmix64(h) % np.uint64(n_parts)).astype(np.int64)
+            return pa.table({
+                "url": urls,
+                "h1": t["text_hash"], "h2": t["text_hash2"],
+                "side": pa.array(np.full(len(t), side, np.int8)),
+                "part": pa.array(part, pa.int64()),
+            })
+        return _p
+
+    sides = with_text_hash(old_ds, text_col).map_batches(
+        _project(0), batch_format="pyarrow", zero_copy_batch=True,
+    ).union(with_text_hash(new_ds, text_col).map_batches(
+        _project(1), batch_format="pyarrow", zero_copy_batch=True))
+
+    empty = pa.table({"url": pa.array([], pa.string()),
+                      "status": pa.array([], pa.string())})
+
+    def _diff(tab: pa.Table | None) -> pa.Table:
+        if tab is None or len(tab) == 0:
+            return empty
+        tab = tab.sort_by([("url", "ascending"), ("side", "ascending")])
+        urls = tab["url"].combine_chunks()
+        side = np.asarray(tab["side"], dtype=np.int8)
+        h1 = np.asarray(tab["h1"], dtype=np.int64)
+        h2 = np.asarray(tab["h2"], dtype=np.int64)
+        n = len(tab)
+        first = np.ones(n, dtype=bool)
+        if n > 1:
+            first[1:] = ~np.asarray(
+                pc.equal(urls.slice(1), urls.slice(0, n - 1)))
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.append(starts, n))
+        status = np.empty(n, dtype=np.int8)          # 0 add 1 rm 2 chg 3 same
+        solo = starts[lens == 1]
+        status[solo] = np.where(side[solo] == 1, 0, 1)
+        both = starts[lens == 2]                     # side 0 then side 1
+        changed = (h1[both] != h1[both + 1]) | (h2[both] != h2[both + 1])
+        status[both] = np.where(changed, 2, 3)
+        keep = np.flatnonzero(first & np.isin(status, (0, 1, 2)))
+        if not len(keep):
+            return empty
+        names = np.array(["added", "removed", "changed"])
+        return pa.table({
+            "url": urls.take(pa.array(keep, pa.int64())),
+            "status": pa.array(names[status[keep]], pa.string()),
+        })
+
+    return hash_partition_map(sides, "part", _diff, n_parts)
+
+
+# asset/media extensions a text-corpus frontier drops before fetching;
+# matched against the path with an optional ?query / #fragment tail.
+# RE2 on both sides: pc.match_substring_regex here, DuckDB
+# regexp_matches in the oracle — keep the pattern in sync by hand.
+BINARY_EXT_RE = (r"\.(?:jpe?g|png|gif|webp|svg|ico|css|js|woff2?|ttf|"
+                 r"mp[34]|avi|mov|zip|gz|tar|exe|dmg|iso|pdf)([?#]|$)")
+_SCHEME_RE = r"^https?://"
+
+
+def filter_urls(ds, url_col: str = "url", *, require_http: bool = True,
+                drop_extensions: bool = True, max_len: int = 2048):
+    """Crawl-frontier URL filter: keep fetchable text-page URLs.
+    Drops non-http(s) schemes, asset/media extensions
+    (``BINARY_EXT_RE``), and overlong URLs (> ``max_len`` chars —
+    crawler-trap query strings).  One streaming map, zero shuffle;
+    all three predicates are vectorized RE2 / length kernels."""
+
+    def _filter(t: pa.Table) -> pa.Table:
+        urls = pc.fill_null(t[url_col], "")
+        keep = pc.less_equal(pc.utf8_length(urls), max_len)
+        if require_http:
+            keep = pc.and_(keep, pc.match_substring_regex(urls, _SCHEME_RE))
+        if drop_extensions:
+            keep = pc.and_(keep, pc.invert(
+                pc.match_substring_regex(urls, BINARY_EXT_RE)))
+        return t.filter(keep)
+
+    return ds.map_batches(_filter, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -128,6 +128,29 @@ class TestExactDedup:
         got = set(zip(pairs["a"], pairs["b"]))
         assert got == want
 
+    def test_keep_earliest(self, ray_session):
+        import ray.data as rd
+        from raydedup.stages.dedup import keep_earliest
+        # 12 docs / 4 distinct texts; crawl_ts shuffled so the earliest
+        # crawl is NOT the smallest doc_id, plus a planted ts tie
+        ids = list(range(12))
+        texts = [f"page {i // 3}" for i in ids]
+        ts = [(i * 7 + 5) % 12 for i in ids]
+        ts[9] = ts[10] = 1   # tie inside the "page 3" group → min id wins
+        tab = pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "crawl_ts": pa.array(ts, pa.int64()),
+        })
+        out = keep_earliest(rd.from_arrow(tab), CFG).to_pandas()
+        best = {}
+        for i, t, s in zip(ids, texts, ts):
+            if t not in best or (s, i) < best[t]:
+                best[t] = (s, i)
+        assert set(out["doc_id"]) == {i for (_, i) in best.values()}
+        assert len(out) == 4
+        assert list(out.columns) == ["doc_id", "text", "crawl_ts"]
+
 
 class TestExtractionInvariant:
     def test_byte_identical_roundtrip(self, corpus):

@@ -57,3 +57,33 @@ class TestUrlDedup:
         # earliest ts wins within each canonical group
         assert got == {"s/a": 2, "s/b": 5}
         assert set(out.columns) == {"doc_id", "url", "ts", "canonical_url"}
+
+
+class TestCrawlDiff:
+    def test_diff_statuses(self, ray_session):
+        import ray.data as rd
+        from raydedup.stages.urls import crawl_diff
+        old = pa.table({
+            "url": pa.array(["u/a", "u/b", "u/c", "u/d"], pa.string()),
+            "text": pa.array(["A", "B", "C", "D"], pa.string()),
+        })
+        new = pa.table({
+            "url": pa.array(["u/b", "u/c", "u/d", "u/e"], pa.string()),
+            "text": pa.array(["B", "C2", "D", "E"], pa.string()),
+        })
+        out = crawl_diff(rd.from_arrow(old), rd.from_arrow(new), CFG) \
+            .to_pandas()
+        got = dict(zip(out["url"], out["status"]))
+        # u/b and u/d unchanged -> omitted
+        assert got == {"u/a": "removed", "u/c": "changed", "u/e": "added"}
+
+    def test_empty_sides(self, ray_session):
+        import ray.data as rd
+        from raydedup.stages.urls import crawl_diff
+        empty = pa.table({"url": pa.array([], pa.string()),
+                          "text": pa.array([], pa.string())})
+        one = pa.table({"url": pa.array(["u/x"], pa.string()),
+                        "text": pa.array(["X"], pa.string())})
+        out = crawl_diff(rd.from_arrow(empty), rd.from_arrow(one), CFG) \
+            .to_pandas()
+        assert dict(zip(out["url"], out["status"])) == {"u/x": "added"}
