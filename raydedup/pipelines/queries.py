@@ -2626,6 +2626,139 @@ WHERE len(url) <= 2048
 """
 
 
+# -------------------------------------------------- host link graph + PageRank
+
+_N_HOSTS = 101          # prime host space for the deterministic link fixture
+
+
+def _host_link_rows(t: pa.Table):
+    """doc → 2 outbound host links; hosts ≡0 (mod 10) emit none (sinks),
+    so the dangling-mass path is exercised.  Mirrored in _SQL_LINKS."""
+    import numpy as np
+    ids = np.asarray(t["doc_id"], dtype=np.int64)
+    src = np.repeat(ids % _N_HOSTS, 2)
+    dst = np.stack([(ids * 7 + 3) % _N_HOSTS,
+                    (ids * 31 + 11) % _N_HOSTS], axis=1).ravel()
+    keep = (src % 10) != 0
+    return src[keep], dst[keep]
+
+
+def _host_links_ds(sf_dir):
+    def _m(t: pa.Table) -> pa.Table:
+        src, dst = _host_link_rows(t)
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+    return _docs(sf_dir, ["doc_id"]).map_batches(
+        _m, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_SQL_LINKS = f"""
+links AS (
+  SELECT doc_id % {_N_HOSTS} AS src,
+         unnest([(doc_id * 7 + 3) % {_N_HOSTS},
+                 (doc_id * 31 + 11) % {_N_HOSTS}]) AS dst
+  FROM documents
+  WHERE (doc_id % {_N_HOSTS}) % 10 <> 0)
+"""
+
+
+def q_host_links(sf_dir):
+    """Weighted host→host link graph: per (src,dst) host pair, the number
+    of documents carrying the link.  Combiner exchange: per-batch partial
+    counts (≤ hosts² rows each) through one hash exchange on src."""
+    import numpy as np
+
+    from ..functions.shuffle import hash_partition_map, part_of
+
+    n_parts = CFG.resolved_partitions()
+
+    def _partial(t: pa.Table) -> pa.Table:
+        src, dst = _host_link_rows(t)
+        pk, cnt = np.unique(np.stack([src, dst], axis=1), axis=0,
+                            return_counts=True) if len(src) else \
+            (np.empty((0, 2), np.int64), np.empty(0, np.int64))
+        return pa.table({"src": pa.array(pk[:, 0], pa.int64()),
+                         "dst": pa.array(pk[:, 1], pa.int64()),
+                         "n_docs": pa.array(cnt.astype(np.int64)),
+                         "part": pa.array(part_of(pk[:, 0], n_parts))})
+
+    partials = _docs(sf_dir, ["doc_id"]).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _final(tab: pa.Table | None) -> pa.Table:
+        empty = pa.table({"src": pa.array([], pa.int64()),
+                          "dst": pa.array([], pa.int64()),
+                          "n_docs": pa.array([], pa.int64())})
+        if tab is None or len(tab) == 0:
+            return empty
+        src = np.asarray(tab["src"], dtype=np.int64)
+        dst = np.asarray(tab["dst"], dtype=np.int64)
+        cnt = np.asarray(tab["n_docs"], dtype=np.int64)
+        key = src * _N_HOSTS + dst
+        uk, inv = np.unique(key, return_inverse=True)
+        tot = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(tot, inv, cnt)
+        return pa.table({"src": pa.array(uk // _N_HOSTS, pa.int64()),
+                         "dst": pa.array(uk % _N_HOSTS, pa.int64()),
+                         "n_docs": pa.array(tot, pa.int64())})
+
+    return hash_partition_map(partials, "part", _final, n_parts)
+
+
+SQL_HOST_LINKS = "WITH " + _SQL_LINKS + """
+SELECT src, dst, count(*)::BIGINT AS n_docs FROM links GROUP BY src, dst
+"""
+
+
+_PR_ITERS = 5
+
+
+def q_pagerank_hosts(sf_dir):
+    """Exact integer fixed-point PageRank over the distinct host link
+    graph (5 iterations, damping 85/100, scale 1e12 — see
+    stages/pagerank.py for why integer arithmetic makes a distributed
+    iterative algorithm hash-comparable against SQL)."""
+    from ..stages.pagerank import pagerank
+    return pagerank(_host_links_ds(sf_dir), CFG, n_iter=_PR_ITERS)
+
+
+def _pagerank_sql(n_iter: int) -> str:
+    """Unroll the integer PageRank recursion into n_iter chained CTEs —
+    every constant is generated from the same numbers the engine uses."""
+    from ..stages.pagerank import DAMPING_DEN, DAMPING_NUM, RANK_SCALE
+    num, den, scale = DAMPING_NUM, DAMPING_DEN, RANK_SCALE
+    parts = ["WITH " + _SQL_LINKS.strip() + ",",
+             "e AS (SELECT DISTINCT src, dst FROM links),",
+             "nodes AS (SELECT DISTINCT node FROM"
+             " (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),",
+             "deg AS (SELECT n.node, count(e.src)::BIGINT AS outdeg"
+             " FROM nodes n LEFT JOIN e ON e.src = n.node GROUP BY n.node),",
+             "p AS (SELECT count(*)::BIGINT AS n FROM nodes),",
+             f"r0 AS (SELECT d.node, d.outdeg,"
+             f" ({scale} // p.n)::BIGINT AS rank_fp FROM deg d, p),"]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"d{i} AS (SELECT (COALESCE(sum(rank_fp), 0)::BIGINT"
+            f" // (SELECT n FROM p)) AS share FROM r{i-1} WHERE outdeg = 0),")
+        parts.append(
+            f"inc{i} AS (SELECT e.dst AS node,"
+            f" sum(r.rank_fp // r.outdeg)::BIGINT AS inc"
+            f" FROM e JOIN r{i-1} r ON r.node = e.src GROUP BY e.dst),")
+        parts.append(
+            f"r{i} AS (SELECT r.node, r.outdeg,"
+            f" ((({scale} * {den - num}) // {den}) // (SELECT n FROM p)"
+            f" + ({num} * (COALESCE(i.inc, 0) + d.share)) // {den})::BIGINT"
+            f" AS rank_fp"
+            f" FROM r{i-1} r CROSS JOIN d{i} d"
+            f" LEFT JOIN inc{i} i ON i.node = r.node),")
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT node, rank_fp FROM r{n_iter}")
+    return "\n".join(parts)
+
+
+SQL_PAGERANK = _pagerank_sql(_PR_ITERS)
+
+
 QUERIES = {
     "token_count": q_token_count,
     "shingle_count": q_shingle_count,
@@ -2661,6 +2794,8 @@ QUERIES = {
     "keep_earliest": q_keep_earliest,
     "crawl_diff": q_crawl_diff,
     "url_filter": q_url_filter,
+    "host_links": q_host_links,
+    "pagerank_hosts": q_pagerank_hosts,
     "substring_spans": q_substring_spans,
     "substring_dedup_stats": q_substring_dedup_stats,
     "media_bytes": q_media_bytes,
@@ -2806,6 +2941,8 @@ ORACLES = {
     "keep_earliest": SQL_KEEP_EARLIEST,
     "crawl_diff": SQL_CRAWL_DIFF,
     "url_filter": SQL_URL_FILTER,
+    "host_links": SQL_HOST_LINKS,
+    "pagerank_hosts": SQL_PAGERANK,
     # rows-only (non-SQL-expressible): simhash_dup_pairs, ann_lsh_buckets,
     # lang_id
 }

@@ -1,0 +1,240 @@
+"""Distributed PageRank over a link graph, in EXACT integer fixed-point.
+
+The host-level link graph is the standard companion artifact of a
+web-dedup corpus (crawl frontier prioritization, spam-host demotion,
+quality-weighted sampling all consume it), and PageRank is the
+reference's graph world-view (CSR edge kernels, jaccard.cpp's
+row-per-vertex gather) taken one step further: an *iterative* message
+exchange over the same partitioned adjacency.
+
+Why integer fixed-point: float PageRank sums are order-dependent, so a
+distributed run could never hash-match a SQL oracle.  Ranks here are
+int64 in units of ``1/scale`` (default 1e-12) and every operation is
+integer (floor) arithmetic — commutative, associative, and expressible
+verbatim in DuckDB (``//``), so the K-iteration recursion unrolls into
+K chained CTEs and hash-compares exactly (queries.py SQL_PAGERANK).
+
+Semantics (mirrored EXACTLY by the SQL oracle):
+  * edges   := distinct (src, dst) of the input (self-loops kept as-is)
+  * n       := |{src} ∪ {dst}|
+  * outdeg  := distinct out-edge count per node
+  * r0[v]   := scale // n
+  * each iteration, with num/den the damping fraction (85/100):
+      share  := (Σ_{outdeg[u]=0} r[u]) // n          (dangling mass)
+      inc[v] := Σ_{u→v} (r[u] // outdeg[u])
+      base   := ((scale * (den − num)) // den) // n
+      r'[v]  := base + (num * (inc[v] + share)) // den
+
+Physical plan (the cc.py architecture — SURVEY.md §2 custom-operator
+rule (c), raw tasks for iterative co-partitioned state):
+  * ONE hash exchange partitions edges by hash(src); edge partition p
+    is deduped, sorted by src, and NEVER moves again.
+  * rank state (node, outdeg, rank) is partitioned by the SAME hash of
+    node, so edge partition p reads every src's rank from state
+    partition p with one searchsorted — the join without a join.
+  * each round = P message tasks (segment-summed per-dst partials,
+    routed by hash(dst)) + P apply tasks; the only driver sync is the
+    P dangling scalars (the global dangling term is inherently a
+    barrier).  Per-round movement = partial-sum rows only, never edges.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import PipelineConfig
+
+DAMPING_NUM = 85        # damping 0.85 as an exact fraction
+DAMPING_DEN = 100
+RANK_SCALE = 10 ** 12   # rank unit = 1e-12
+
+
+def _empty_edges() -> pa.Table:
+    return pa.table({"src": pa.array([], pa.int64()),
+                     "dst": pa.array([], pa.int64())})
+
+
+def _empty_state() -> pa.Table:
+    return pa.table({"node": pa.array([], pa.int64()),
+                     "outdeg": pa.array([], pa.int64()),
+                     "rank_fp": pa.array([], pa.int64())})
+
+
+def pagerank(edges_ds, cfg: PipelineConfig, *, n_iter: int = 5,
+             damping_num: int = DAMPING_NUM, damping_den: int = DAMPING_DEN,
+             scale: int = RANK_SCALE, src_col: str = "src",
+             dst_col: str = "dst", counters=None):
+    """edges(src:int64, dst:int64) → Dataset(node:int64, rank_fp:int64).
+
+    ``rank_fp`` is the PageRank mass in units of ``1/scale``; ranks of
+    all nodes sum to ≈ scale (floor-division remainders are dropped,
+    identically on both engine and oracle sides).
+    """
+    import ray
+    import ray.data as rd
+
+    from ..functions.hashing import splitmix64
+    from ..functions.shuffle import hash_partition_map
+
+    n_parts = cfg.resolved_partitions()
+
+    def _hash_part(x: np.ndarray) -> np.ndarray:
+        return (splitmix64(x.view(np.uint64))
+                % np.uint64(n_parts)).astype(np.int64)
+
+    def _tag(t: pa.Table) -> pa.Table:
+        src = np.asarray(t[src_col], dtype=np.int64)
+        return pa.table({"src": t[src_col].combine_chunks(),
+                         "dst": t[dst_col].combine_chunks(),
+                         "part": pa.array(_hash_part(src), pa.int64())})
+
+    tagged = edges_ds.map_batches(_tag, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    def _dedup_sort(tab):
+        # distinct (src, dst), sorted by src — a (src,dst) pair always
+        # hashes to the same partition, so per-partition distinct IS
+        # global distinct.
+        if tab is None or len(tab) == 0:
+            return _empty_edges()
+        src = np.asarray(tab["src"], dtype=np.int64)
+        dst = np.asarray(tab["dst"], dtype=np.int64)
+        pk = np.unique(np.stack([src, dst], axis=1), axis=0)
+        return pa.table({"src": pa.array(pk[:, 0], pa.int64()),
+                         "dst": pa.array(pk[:, 1], pa.int64())})
+
+    edge_blocks = hash_partition_map(
+        tagged, "part", _dedup_sort, n_parts).to_arrow_refs()
+
+    # ---- initial state: (node, outdeg) co-partitioned by hash(node).
+    # srcs of edge partition p already hash to p; dsts are routed.
+    @ray.remote(num_returns=n_parts)
+    def _node_splits(edge_tab):
+        src = np.asarray(edge_tab["src"], dtype=np.int64)
+        dst = np.asarray(edge_tab["dst"], dtype=np.int64)
+        # per-src distinct out-degree (edge_tab is globally deduped)
+        usrc, deg = (np.unique(src, return_counts=True) if len(src)
+                     else (src, src))
+        nodes = np.unique(np.concatenate([usrc, dst]))
+        outdeg = np.zeros(len(nodes), dtype=np.int64)
+        pos = np.searchsorted(nodes, usrc)
+        outdeg[pos] = deg
+        part = _hash_part(nodes)
+        order = np.argsort(part, kind="stable")
+        nodes, outdeg, part = nodes[order], outdeg[order], part[order]
+        bounds = np.searchsorted(part, np.arange(n_parts + 1))
+        return tuple(
+            pa.table({"node": pa.array(nodes[bounds[p]:bounds[p + 1]],
+                                       pa.int64()),
+                      "outdeg": pa.array(outdeg[bounds[p]:bounds[p + 1]],
+                                         pa.int64())})
+            for p in range(n_parts))
+
+    @ray.remote(num_returns=2)
+    def _merge_nodes(*tabs):
+        """Merge a partition's (node, outdeg) shards: distinct nodes
+        sorted, out-degrees max-merged (a src's full degree arrives from
+        exactly one shard; other shards contribute it as a dst with 0).
+        Second return = node count (for the global n)."""
+        tabs = [t for t in tabs if len(t)]
+        if not tabs:
+            return _empty_state(), 0
+        t = pa.concat_tables(tabs)
+        node = np.asarray(t["node"], dtype=np.int64)
+        deg = np.asarray(t["outdeg"], dtype=np.int64)
+        order = np.lexsort((deg, node))
+        node, deg = node[order], deg[order]
+        last = np.empty(len(node), dtype=bool)      # max deg = last in run
+        last[-1] = True
+        last[:-1] = node[1:] != node[:-1]
+        node, deg = node[last], deg[last]
+        return (pa.table({"node": pa.array(node, pa.int64()),
+                          "outdeg": pa.array(deg, pa.int64()),
+                          "rank_fp": pa.array(np.zeros(len(node), np.int64)),
+                          }), len(node))
+
+    splits = [_node_splits.remote(b) for b in edge_blocks]
+    merged = [_merge_nodes.remote(*[s[p] for s in splits])
+              for p in range(n_parts)]
+    state_blocks = [m[0] for m in merged]
+    n_nodes = int(sum(ray.get([m[1] for m in merged])))
+    if n_nodes == 0:
+        return rd.from_arrow([_empty_state().select(["node", "rank_fp"])])
+
+    r0 = scale // n_nodes
+    base = ((scale * (damping_den - damping_num)) // damping_den) // n_nodes
+
+    @ray.remote
+    def _set_rank(state_tab, r):
+        n = len(state_tab)
+        return state_tab.set_column(
+            2, "rank_fp", pa.array(np.full(n, r, np.int64)))
+
+    state_blocks = [_set_rank.remote(s, r0) for s in state_blocks]
+
+    @ray.remote(num_returns=n_parts + 1)
+    def _messages(edge_tab, state_tab):
+        """Edge partition p + state partition p → per-destination-partition
+        (node, inc) partial sums; extra return = this partition's
+        dangling rank mass (Σ rank where outdeg==0)."""
+        node = np.asarray(state_tab["node"], dtype=np.int64)
+        deg = np.asarray(state_tab["outdeg"], dtype=np.int64)
+        rank = np.asarray(state_tab["rank_fp"], dtype=np.int64)
+        dang = int(rank[deg == 0].sum())
+        src = np.asarray(edge_tab["src"], dtype=np.int64)
+        dst = np.asarray(edge_tab["dst"], dtype=np.int64)
+        empty = pa.table({"node": pa.array([], pa.int64()),
+                          "inc": pa.array([], pa.int64())})
+        if not len(src):
+            return (*[empty] * n_parts, dang)
+        pos = np.searchsorted(node, src)     # every src is present here
+        contrib = rank[pos] // deg[pos]      # deg>0 for every src
+        # local partial sums per dst (edge_tab sorted by src, not dst)
+        udst, inv = np.unique(dst, return_inverse=True)
+        inc = np.zeros(len(udst), dtype=np.int64)
+        np.add.at(inc, inv, contrib)
+        part = _hash_part(udst)
+        order = np.argsort(part, kind="stable")
+        udst, inc, part = udst[order], inc[order], part[order]
+        bounds = np.searchsorted(part, np.arange(n_parts + 1))
+        outs = [pa.table({"node": pa.array(udst[bounds[p]:bounds[p + 1]],
+                                           pa.int64()),
+                          "inc": pa.array(inc[bounds[p]:bounds[p + 1]],
+                                          pa.int64())})
+                for p in range(n_parts)]
+        return (*outs, dang)
+
+    @ray.remote
+    def _apply(state_tab, share, *msg_tabs):
+        node = np.asarray(state_tab["node"], dtype=np.int64)
+        inc = np.zeros(len(node), dtype=np.int64)
+        for m in msg_tabs:
+            if not len(m):
+                continue
+            mn = np.asarray(m["node"], dtype=np.int64)
+            mi = np.asarray(m["inc"], dtype=np.int64)
+            pos = np.searchsorted(node, mn)
+            inc[pos] += mi                    # every dst exists in state
+        new_rank = base + (damping_num * (inc + share)) // damping_den
+        return state_tab.set_column(2, "rank_fp",
+                                    pa.array(new_rank, pa.int64()))
+
+    for _ in range(n_iter):
+        msg = [_messages.remote(edge_blocks[p], state_blocks[p])
+               for p in range(n_parts)]
+        dang_total = sum(ray.get([m[n_parts] for m in msg]))
+        share = dang_total // n_nodes
+        state_blocks = [_apply.remote(state_blocks[q], share,
+                                      *[m[q] for m in msg])
+                        for q in range(n_parts)]
+
+    if counters is not None:
+        counters.add.remote({"pagerank_rounds": n_iter,
+                             "pagerank_nodes": n_nodes})
+
+    @ray.remote
+    def _emit(state_tab):
+        return state_tab.select(["node", "rank_fp"])
+
+    return rd.from_arrow_refs([_emit.remote(s) for s in state_blocks])

@@ -1,0 +1,89 @@
+"""PageRank: exact integer fixed-point semantics, dangling mass,
+dedup-on-input, and partition-count invariance."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from raydedup.config import DEFAULT_CONFIG
+from raydedup.stages.pagerank import (DAMPING_DEN, DAMPING_NUM, RANK_SCALE,
+                                      pagerank)
+
+CFG8 = DEFAULT_CONFIG.with_(num_partitions=8)
+
+
+def ref_pagerank(edges, n_iter=5, num=DAMPING_NUM, den=DAMPING_DEN,
+                 scale=RANK_SCALE):
+    """Pure-python reference of the documented integer recursion."""
+    edges = sorted(set(edges))
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    outdeg = {v: 0 for v in nodes}
+    for u, _ in edges:
+        outdeg[u] += 1
+    rank = {v: scale // n for v in nodes}
+    base = ((scale * (den - num)) // den) // n
+    for _ in range(n_iter):
+        share = sum(rank[v] for v in nodes if outdeg[v] == 0) // n
+        inc = {v: 0 for v in nodes}
+        for u, v in edges:
+            inc[v] += rank[u] // outdeg[u]
+        rank = {v: base + (num * (inc[v] + share)) // den for v in nodes}
+    return rank
+
+
+def _run(edges, cfg, **kw):
+    import ray.data as rd
+    tab = pa.table({"src": pa.array([u for u, _ in edges], pa.int64()),
+                    "dst": pa.array([v for _, v in edges], pa.int64())})
+    out = pagerank(rd.from_arrow(tab), cfg, **kw).to_pandas()
+    return dict(zip(out["node"], out["rank_fp"]))
+
+
+EDGES = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (10, 3), (10, 4),
+         (5, 5)]  # node 5: self-loop only; node 1..4 cycle-ish
+
+
+class TestPagerank:
+    def test_matches_reference(self, ray_session):
+        got = _run(EDGES, CFG8)
+        assert got == ref_pagerank(EDGES)
+
+    def test_dangling_mass(self, ray_session):
+        # 7 is a pure sink: rank flows in, redistributes via share
+        edges = [(1, 7), (2, 7), (1, 2)]
+        got = _run(edges, CFG8)
+        want = ref_pagerank(edges)
+        assert got == want
+        assert want[7] > want[2] > 0
+
+    def test_duplicate_edges_collapse(self, ray_session):
+        got = _run(EDGES + EDGES[:4], CFG8)
+        assert got == ref_pagerank(EDGES)
+
+    def test_partition_invariance(self, ray_session):
+        a = _run(EDGES, CFG8)
+        b = _run(EDGES, DEFAULT_CONFIG.with_(num_partitions=17))
+        assert a == b
+
+    def test_more_iterations_converge(self, ray_session):
+        # ranks should approach the stationary distribution: the gap
+        # between successive iterates shrinks
+        r5 = _run(EDGES, CFG8, n_iter=5)
+        r6 = _run(EDGES, CFG8, n_iter=6)
+        r20 = _run(EDGES, CFG8, n_iter=20)
+        r21 = _run(EDGES, CFG8, n_iter=21)
+        gap_early = max(abs(r5[v] - r6[v]) for v in r5)
+        gap_late = max(abs(r20[v] - r21[v]) for v in r20)
+        assert gap_late < gap_early
+        # total mass conserved up to floor losses: within n_nodes*(iters+2)
+        total = sum(r20.values())
+        assert abs(total - RANK_SCALE) < len(r20) * 25 * (DAMPING_DEN + 2)
+
+    def test_empty(self, ray_session):
+        import ray.data as rd
+        tab = pa.table({"src": pa.array([], pa.int64()),
+                        "dst": pa.array([], pa.int64())})
+        ds = pagerank(rd.from_arrow(tab), CFG8)
+        assert ds.count() == 0
+        assert ds.schema().names == ["node", "rank_fp"]
