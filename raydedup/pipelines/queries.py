@@ -2710,6 +2710,27 @@ SELECT src, dst, count(*)::BIGINT AS n_docs FROM links GROUP BY src, dst
 """
 
 
+# -------------------------------------------------- heavy hitters
+
+
+def q_heavy_hitters(sf_dir):
+    """Exact ≥0.1%-support tokens via the Misra-Gries candidate sweep +
+    exact-count verify (never shuffles the full distinct-token space)."""
+    from ..stages.vocab import heavy_hitters
+    return heavy_hitters(_docs(sf_dir, ["text"]), CFG,
+                         support_num=1, support_den=1000)
+
+
+SQL_HEAVY_HITTERS = """
+WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+     tok AS (SELECT token FROM t WHERE token <> ''),
+     p AS (SELECT count(*)::BIGINT AS n_total FROM tok)
+SELECT token, count(*)::BIGINT AS n FROM tok
+GROUP BY token
+HAVING count(*) >= (SELECT (1 * n_total + 999) // 1000 FROM p)
+"""
+
+
 _PR_ITERS = 5
 
 
@@ -2796,6 +2817,7 @@ QUERIES = {
     "url_filter": q_url_filter,
     "host_links": q_host_links,
     "pagerank_hosts": q_pagerank_hosts,
+    "heavy_hitters": q_heavy_hitters,
     "substring_spans": q_substring_spans,
     "substring_dedup_stats": q_substring_dedup_stats,
     "media_bytes": q_media_bytes,
@@ -2943,6 +2965,7 @@ ORACLES = {
     "url_filter": SQL_URL_FILTER,
     "host_links": SQL_HOST_LINKS,
     "pagerank_hosts": SQL_PAGERANK,
+    "heavy_hitters": SQL_HEAVY_HITTERS,
     # rows-only (non-SQL-expressible): simhash_dup_pairs, ann_lsh_buckets,
     # lang_id
 }

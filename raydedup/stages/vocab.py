@@ -351,3 +351,131 @@ def common_token_stats(docs_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
 
     return docs_ds.map_batches(_stats, batch_format="pyarrow",
                                zero_copy_batch=True)
+
+
+def heavy_hitters(docs_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
+                  text_col: str = "text", sep: str = " ",
+                  support_num: int = 1, support_den: int = 1000,
+                  summary_size: int | None = None, counters=None):
+    """EXACT heavy hitters: every token whose count ≥ ⌈support·N⌉
+    (N = total non-empty tokens), **without ever shuffling the full
+    distinct-token space** — the at-scale alternative to top_k_vocab.
+
+    top_k_vocab's exchange moves one partial row per distinct token per
+    map chunk; on a web corpus with ~10⁹ distinct tokens that is the
+    dominant shuffle.  Here each map chunk first compresses its counts
+    to a Misra-Gries summary of ``summary_size`` entries (default
+    ⌈2/support⌉), so the exchange moves AT MOST summary_size rows per
+    chunk regardless of vocabulary size.  MG summaries merge with the
+    additive guarantee (Agarwal et al., "Mergeable Summaries", PODS'12):
+    global undercount ≤ N/(summary_size+1), and MG never overcounts, so
+    filtering merged lower bounds at (threshold − slack) provably keeps
+    every true heavy hitter and at most ~2/support candidates.  A second
+    streaming pass exact-counts ONLY the candidate set (broadcast
+    ``pc.is_in`` filter), making the final output exact — and therefore
+    SQL-oracle-comparable (HAVING count ≥ ⌈support·N⌉), unlike a sketch
+    that stops at approximate counts.
+
+    Thresholds use pure integer arithmetic mirrored by the oracle:
+    ``thresh = (support_num·N + support_den − 1) // support_den``.
+
+    Global N is learned without a separate pass: every map chunk routes
+    one sentinel row (token='', its chunk token total) to EVERY
+    partition, so each reduce task knows N exactly and applies the
+    threshold locally — no driver round-trip inside either pass.
+    """
+    import ray
+
+    n_parts = cfg.resolved_partitions()
+    if summary_size is None:
+        summary_size = max(64, (2 * support_den + support_num - 1)
+                           // support_num)
+
+    def _tok_counts(t: pa.Table):
+        toks = pc.list_flatten(pc.split_pattern(
+            pc.fill_null(t[text_col].combine_chunks(), ""), sep))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        total = len(toks)
+        part = pa.table({"token": toks}).group_by("token") \
+            .aggregate([("token", "count")])
+        return (part["token"].combine_chunks(),
+                part["token_count"].to_numpy().astype(np.int64), total)
+
+    def _sentinels(total: int) -> pa.Table:
+        return pa.table({
+            "token": pa.array([""] * n_parts, pa.string()),
+            "n": pa.array(np.full(n_parts, total, np.int64)),
+            "part": pa.array(np.arange(n_parts, dtype=np.int64)),
+        })
+
+    def _mg_partial(t: pa.Table) -> pa.Table:
+        tok, cnt, total = _tok_counts(t)
+        if len(cnt) > summary_size:
+            # subtract-and-drop compress: decrement everything by the
+            # (summary_size+1)-th largest count, keep positive residuals
+            d = np.partition(cnt, len(cnt) - summary_size - 1)[
+                len(cnt) - summary_size - 1]
+            keep = cnt > d
+            tok = tok.filter(pa.array(keep))
+            cnt = cnt[keep] - d
+        pid = (hash_utf8_array(tok) % np.uint64(n_parts)).astype(np.int64)
+        rows = pa.table({"token": tok, "n": pa.array(cnt, pa.int64()),
+                         "part": pa.array(pid, pa.int64())})
+        return pa.concat_tables([rows, _sentinels(total)])
+
+    empty = pa.table({"token": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+
+    def _thresh(n_total: int) -> int:
+        return (support_num * n_total + support_den - 1) // support_den
+
+    def _cand(tab: pa.Table | None) -> pa.Table:
+        if tab is None or len(tab) == 0:
+            return empty
+        agg = tab.group_by("token").aggregate([("n", "sum")])
+        tok = agg["token"].combine_chunks()
+        n = agg["n_sum"].to_numpy().astype(np.int64)
+        is_sent = pc.equal(tok, "").to_numpy(zero_copy_only=False)
+        n_total = int(n[is_sent].sum())
+        slack = n_total // (summary_size + 1)
+        keep = (~is_sent) & (n >= max(_thresh(n_total) - slack, 1))
+        return pa.table({"token": tok.filter(pa.array(keep)),
+                         "n": pa.array(n[keep], pa.int64())})
+
+    cand_ds = hash_partition_map(docs_ds, "part", _cand, n_parts,
+                                 map_fn=_mg_partial,
+                                 map_chunk_rows=cfg.batch_size)
+    # provably ≤ ~2/support rows — a driver-side collect is safe
+    cand_tabs = [t for t in ray.get(list(cand_ds.to_arrow_refs())) if len(t)]
+    cand_tok = pa.concat_tables(cand_tabs)["token"].combine_chunks() \
+        if cand_tabs else pa.array([], pa.string())
+    if counters is not None:
+        counters.add.remote({"heavy_hitter_candidates": len(cand_tok)})
+    cand_ref = ray.put(cand_tok)
+
+    def _exact_partial(t: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        tok, cnt, total = _tok_counts(t)
+        keep = pc.fill_null(pc.is_in(tok, value_set=cand), False) \
+            .to_numpy(zero_copy_only=False)
+        tok, cnt = tok.filter(pa.array(keep)), cnt[keep]
+        pid = (hash_utf8_array(tok) % np.uint64(n_parts)).astype(np.int64)
+        rows = pa.table({"token": tok, "n": pa.array(cnt, pa.int64()),
+                         "part": pa.array(pid, pa.int64())})
+        return pa.concat_tables([rows, _sentinels(total)])
+
+    def _final(tab: pa.Table | None) -> pa.Table:
+        if tab is None or len(tab) == 0:
+            return empty
+        agg = tab.group_by("token").aggregate([("n", "sum")])
+        tok = agg["token"].combine_chunks()
+        n = agg["n_sum"].to_numpy().astype(np.int64)
+        is_sent = pc.equal(tok, "").to_numpy(zero_copy_only=False)
+        n_total = int(n[is_sent].sum())
+        keep = (~is_sent) & (n >= _thresh(n_total))
+        return pa.table({"token": tok.filter(pa.array(keep)),
+                         "n": pa.array(n[keep], pa.int64())})
+
+    return hash_partition_map(docs_ds, "part", _final, n_parts,
+                              map_fn=_exact_partial,
+                              map_chunk_rows=cfg.batch_size)

@@ -1,0 +1,76 @@
+"""Misra-Gries heavy hitters: exactness under real compression, the
+no-false-negative guarantee at the theoretical summary-size limit, and
+the candidate-set bound."""
+
+import collections
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from raydedup.config import DEFAULT_CONFIG
+from raydedup.stages.vocab import heavy_hitters
+
+CFG = DEFAULT_CONFIG.with_(num_partitions=8)
+
+
+def _zipf_docs(n_docs=400, vocab=3000, tokens_per_doc=60, seed=7):
+    """Zipf-ish token stream: head tokens dominate, long tail of
+    singletons — the distribution MG compression exists for."""
+    rng = np.random.RandomState(seed)
+    ranks = rng.zipf(1.3, size=(n_docs, tokens_per_doc)) % vocab
+    texts = [" ".join(f"w{r}" for r in row) for row in ranks]
+    return texts
+
+
+def _truth(texts, num, den):
+    cnt = collections.Counter(t for s in texts for t in s.split(" ") if t)
+    n = sum(cnt.values())
+    thresh = (num * n + den - 1) // den
+    return {t: c for t, c in cnt.items() if c >= thresh}
+
+
+def _run(texts, num, den, **kw):
+    import ray.data as rd
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts, pa.string())}))
+    out = heavy_hitters(ds, CFG, support_num=num, support_den=den,
+                        **kw).to_pandas()
+    if len(out) == 0:
+        return {}
+    return dict(zip(out["token"], out["n"]))
+
+
+class TestHeavyHitters:
+    def test_exact_under_compression(self, ray_session):
+        texts = _zipf_docs()
+        # summary far smaller than the ~3000-token vocab → the
+        # subtract-and-drop compress runs on every map chunk
+        got = _run(texts, 1, 100, summary_size=250)
+        assert got == _truth(texts, 1, 100)
+
+    def test_limit_summary_size(self, ray_session):
+        # the guarantee boundary: summary_size = 2/support exactly
+        texts = _zipf_docs(seed=11)
+        got = _run(texts, 1, 50, summary_size=100)
+        assert got == _truth(texts, 1, 50)
+
+    def test_no_hitters(self, ray_session):
+        # all tokens distinct → nothing reaches 10% support
+        texts = [f"u{i}a u{i}b u{i}c" for i in range(500)]
+        assert _run(texts, 1, 10) == {}
+
+    def test_single_dominant_token(self, ray_session):
+        texts = ["spam spam spam spam"] * 50 + _zipf_docs(n_docs=50)
+        truth = _truth(texts, 1, 20)
+        assert "spam" in truth          # fixture sanity: 200 ≥ N/20
+        got = _run(texts, 1, 20, summary_size=40)
+        assert got == truth
+        assert "spam" in got
+
+    def test_counts_are_exact_not_lower_bounds(self, ray_session):
+        texts = _zipf_docs(n_docs=100, seed=3)
+        got = _run(texts, 1, 100, summary_size=64)
+        cnt = collections.Counter(
+            t for s in texts for t in s.split(" ") if t)
+        for tok, n in got.items():
+            assert n == cnt[tok]
