@@ -2710,6 +2710,18 @@ SELECT src, dst, count(*)::BIGINT AS n_docs FROM links GROUP BY src, dst
 """
 
 
+# -------------------------------------------------- cardinality sketch
+
+
+def q_approx_distinct_tokens(sf_dir):
+    """HLL (p=14) distinct-token estimate.  Rows-only by design: the
+    estimate is deterministic but DuckDB's approx_count_distinct is a
+    different HLL — the <2% accuracy gate lives in
+    tests/test_cardinality.py against exact truth."""
+    from ..stages.cardinality import approx_distinct
+    return approx_distinct(_docs(sf_dir, ["text"]), CFG, tokens=True)
+
+
 # -------------------------------------------------- heavy hitters
 
 
@@ -2818,6 +2830,7 @@ QUERIES = {
     "host_links": q_host_links,
     "pagerank_hosts": q_pagerank_hosts,
     "heavy_hitters": q_heavy_hitters,
+    "approx_distinct_tokens": q_approx_distinct_tokens,
     "substring_spans": q_substring_spans,
     "substring_dedup_stats": q_substring_dedup_stats,
     "media_bytes": q_media_bytes,
@@ -2966,6 +2979,8 @@ ORACLES = {
     "host_links": SQL_HOST_LINKS,
     "pagerank_hosts": SQL_PAGERANK,
     "heavy_hitters": SQL_HEAVY_HITTERS,
-    # rows-only (non-SQL-expressible): simhash_dup_pairs, ann_lsh_buckets,
+    # rows-only (non-SQL-expressible): approx_distinct_tokens (HLL —
+    # DuckDB's approx_count_distinct is a different sketch),
+    # simhash_dup_pairs, ann_lsh_buckets,
     # lang_id
 }
