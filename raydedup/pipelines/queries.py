@@ -2710,6 +2710,107 @@ SELECT src, dst, count(*)::BIGINT AS n_docs FROM links GROUP BY src, dst
 """
 
 
+# -------------------------------------------------- multi-way analytics
+
+
+def q_revenue_by_nation(sf_dir):
+    """TPC-H Q5-shaped 3-way join + rollup: ASIA-region revenue by
+    nation over a 2-year order window.  Join ladder sized for scale:
+    region⋈nation (25 rows, driver-side), customer⋈dims (broadcast —
+    the dim side ships once), orders⋈customer and lineitem⋈orders
+    (partitioned — both fact sides move exactly once each), then a
+    combiner rollup (per-batch partial sums by nation, exchange carries
+    ≤25 rows per batch).  Revenue is exact integer 1e-4-dollar units:
+    price_cents × (100 − disc_pct) — order-independent, so the driver
+    hash-compare is exact.  (At 10¹²-row scale the int64 group sum
+    would need a hugeint/compensated accumulator — documented limit.)
+    """
+    import ray.data as rd
+
+    from ..functions.shuffle import hash_partition_map
+    from ..stages.join import broadcast_join, partitioned_join
+
+    lo = np.datetime64("1996-01-01").astype("datetime64[us]")
+    hi = np.datetime64("1998-01-01").astype("datetime64[us]")
+
+    region = rd.read_parquet(f"{sf_dir}/region.parquet",
+                             columns=["r_regionkey", "r_name"],
+                             filter=(pc.field("r_name") == "ASIA"))
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name",
+                                      "n_regionkey"])
+    dims = broadcast_join(nation, region, "n_regionkey",
+                          right_on="r_regionkey") \
+        .select_columns(["n_nationkey", "n_name"])
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    cust = broadcast_join(cust, dims, "c_nationkey",
+                          right_on="n_nationkey") \
+        .select_columns(["c_custkey", "n_name"])
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+        filter=((pc.field("o_orderdate") >= lo)
+                & (pc.field("o_orderdate") < hi)))
+    orders = partitioned_join(orders, cust, "o_custkey", CFG,
+                              right_on="c_custkey") \
+        .select_columns(["o_orderkey", "n_name"])
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount"])
+    rows = partitioned_join(li, orders, "l_orderkey", CFG,
+                            right_on="o_orderkey")
+
+    n_parts = CFG.resolved_partitions()
+
+    def _partial(t: pa.Table) -> pa.Table:
+        price_c = pc.round(pc.multiply(t["l_extendedprice"], 100.0), 0) \
+            .cast(pa.int64()).to_numpy()
+        disc = pc.round(pc.multiply(t["l_discount"], 100.0), 0) \
+            .cast(pa.int64()).to_numpy()
+        rev = price_c * (100 - disc)
+        name = t["n_name"].combine_chunks()
+        agg = pa.table({"n_name": name, "rev": pa.array(rev, pa.int64())}) \
+            .group_by("n_name").aggregate([("rev", "sum")])
+        nm = agg["n_name"].combine_chunks()
+        from ..functions.hashing import hash_utf8_array
+        pid = (hash_utf8_array(nm) % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({"n_name": nm,
+                         "revenue": agg["rev_sum"].cast(pa.int64()),
+                         "part": pa.array(pid, pa.int64())})
+
+    empty = pa.table({"n_name": pa.array([], pa.string()),
+                      "revenue": pa.array([], pa.int64())})
+
+    def _final(tab: pa.Table | None) -> pa.Table:
+        if tab is None or len(tab) == 0:
+            return empty
+        agg = tab.group_by("n_name").aggregate([("revenue", "sum")])
+        return pa.table({"n_name": agg["n_name"],
+                         "revenue": agg["revenue_sum"].cast(pa.int64())})
+
+    return hash_partition_map(rows, "part", _final, n_parts,
+                              map_fn=_partial)
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n_name,
+       sum(round(l_extendedprice * 100)::BIGINT
+           * (100 - round(l_discount * 100)::BIGINT))::BIGINT AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
 # -------------------------------------------------- cardinality sketch
 
 
@@ -2831,6 +2932,7 @@ QUERIES = {
     "pagerank_hosts": q_pagerank_hosts,
     "heavy_hitters": q_heavy_hitters,
     "approx_distinct_tokens": q_approx_distinct_tokens,
+    "revenue_by_nation": q_revenue_by_nation,
     "substring_spans": q_substring_spans,
     "substring_dedup_stats": q_substring_dedup_stats,
     "media_bytes": q_media_bytes,
@@ -2979,6 +3081,7 @@ ORACLES = {
     "host_links": SQL_HOST_LINKS,
     "pagerank_hosts": SQL_PAGERANK,
     "heavy_hitters": SQL_HEAVY_HITTERS,
+    "revenue_by_nation": SQL_REVENUE_BY_NATION,
     # rows-only (non-SQL-expressible): approx_distinct_tokens (HLL —
     # DuckDB's approx_count_distinct is a different sketch),
     # simhash_dup_pairs, ann_lsh_buckets,

@@ -101,3 +101,24 @@ def test_partitioned_semi_matches_broadcast(ray_session):
     b = _norm(partitioned_join(_left(), r, "k", CFG, right_on="rk",
                                how="semi").to_pandas()[["k", "lv"]])
     assert a.equals(b)
+
+
+def test_revenue_by_nation_matches_duckdb(ray_session):
+    """3-way join ladder + combiner rollup vs DuckDB on sf0.001."""
+    import duckdb
+
+    from raydedup.pipelines.queries import (SQL_REVENUE_BY_NATION,
+                                            q_revenue_by_nation)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_revenue_by_nation(sf).to_pandas().sort_values("n_name") \
+        .reset_index(drop=True)
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "nation", "region"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    want = con.execute(SQL_REVENUE_BY_NATION).df().sort_values("n_name") \
+        .reset_index(drop=True)
+    assert list(got["n_name"]) == list(want["n_name"])
+    assert [int(x) for x in got["revenue"]] == \
+        [int(x) for x in want["revenue"]]
