@@ -2710,6 +2710,43 @@ SELECT src, dst, count(*)::BIGINT AS n_docs FROM links GROUP BY src, dst
 """
 
 
+# -------------------------------------------------- inverted index
+
+
+def q_inverted_index(sf_dir):
+    """token → sorted posting list (the search-side corpus artifact).
+    The stage emits list<int64> postings; the query projects them to a
+    comma-joined string because the driver comparator sorts/equates
+    scalar cells only."""
+    from ..stages.vocab import inverted_index
+
+    idx = inverted_index(_docs(sf_dir, ["doc_id", "text"]), CFG)
+
+    def _proj(t: pa.Table) -> pa.Table:
+        lst = t["postings"].combine_chunks()
+        as_str = pa.ListArray.from_arrays(
+            lst.offsets, pc.cast(lst.values, pa.string()))
+        return pa.table({"token": t["token"],
+                         "postings": pc.binary_join(as_str, ","),
+                         "df": t["df"]})
+
+    return idx.map_batches(_proj, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+SQL_INVERTED_INDEX = """
+WITH pairs AS (
+  SELECT DISTINCT token, doc_id FROM (
+    SELECT unnest(string_split(text, ' ')) AS token, doc_id
+    FROM documents)
+  WHERE token <> '')
+SELECT token,
+       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings,
+       count(*)::BIGINT AS df
+FROM pairs GROUP BY token
+"""
+
+
 # -------------------------------------------------- multi-way analytics
 
 
@@ -2933,6 +2970,7 @@ QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "approx_distinct_tokens": q_approx_distinct_tokens,
     "revenue_by_nation": q_revenue_by_nation,
+    "inverted_index": q_inverted_index,
     "substring_spans": q_substring_spans,
     "substring_dedup_stats": q_substring_dedup_stats,
     "media_bytes": q_media_bytes,
@@ -3082,6 +3120,7 @@ ORACLES = {
     "pagerank_hosts": SQL_PAGERANK,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "inverted_index": SQL_INVERTED_INDEX,
     # rows-only (non-SQL-expressible): approx_distinct_tokens (HLL —
     # DuckDB's approx_count_distinct is a different sketch),
     # simhash_dup_pairs, ann_lsh_buckets,

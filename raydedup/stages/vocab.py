@@ -479,3 +479,97 @@ def heavy_hitters(docs_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
     return hash_partition_map(docs_ds, "part", _final, n_parts,
                               map_fn=_exact_partial,
                               map_chunk_rows=cfg.batch_size)
+
+
+def inverted_index(docs_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   sep: str = " ", max_df: int | None = None,
+                   counters=None):
+    """token → sorted posting list: the search-side artifact of a text
+    corpus (→ Dataset(token, postings:list<int64>, df:int64)).
+
+    Scale shape: each map chunk emits DISTINCT (token, doc_id) pairs
+    (per-doc dedup via one lexsort — a doc mentioning 'the' 50× sends
+    one row), the single hash exchange on token co-locates a token's
+    full posting set, and the reduce assembles sorted ListArrays
+    directly from offsets (no Python lists).  ``max_df`` drops
+    boilerplate tokens whose document frequency exceeds the cap —
+    applied exactly (the partition sees the token's complete set), it
+    bounds both output row width and the skew any mega-token would
+    otherwise concentrate in one partition.  Consume with
+    ``.write_parquet(path)`` for the persisted index.
+    """
+    n_parts = cfg.resolved_partitions()
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.fill_null(
+            t[text_col].combine_chunks(), ""), sep)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        offs = np.asarray(toks.offsets, dtype=np.int64)
+        offs = offs - offs[0]
+        ids = np.asarray(t[id_col], dtype=np.int64)
+        doc_of = np.repeat(ids, np.diff(offs))
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat, doc_of = flat.filter(pa.array(keep)), doc_of[keep]
+        # per-chunk distinct (token, doc_id): group by token hash+doc
+        th = hash_utf8_array(flat).view(np.int64)
+        order = np.lexsort((doc_of, th))
+        th_s, doc_s = th[order], doc_of[order]
+        first = np.empty(len(th_s), dtype=bool)
+        if len(th_s):
+            first[0] = True
+            first[1:] = (th_s[1:] != th_s[:-1]) | (doc_s[1:] != doc_s[:-1])
+        sel = np.sort(order[first])
+        flat = flat.take(pa.array(sel, pa.int64()))
+        doc_of = doc_of[sel]
+        pid = (hash_utf8_array(flat) % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({"token": flat,
+                         "doc_id": pa.array(doc_of, pa.int64()),
+                         "part": pa.array(pid, pa.int64())})
+
+    empty = pa.table({
+        "token": pa.array([], pa.string()),
+        "postings": pa.array([], pa.list_(pa.int64())),
+        "df": pa.array([], pa.int64())})
+
+    def _assemble(tab: pa.Table | None) -> pa.Table:
+        if tab is None or len(tab) == 0:
+            return empty
+        tok = tab["token"].combine_chunks()
+        doc = np.asarray(tab["doc_id"], dtype=np.int64)
+        # sort rows by (token, doc_id); token order via its dictionary
+        # encoding to avoid string comparisons in numpy
+        enc = pc.dictionary_encode(tok)
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        # dictionary order is first-appearance; map to lexicographic
+        dic = enc.dictionary
+        rank = np.empty(len(dic), dtype=np.int64)
+        rank[np.asarray(pc.sort_indices(dic), dtype=np.int64)] = \
+            np.arange(len(dic))
+        key = rank[codes]
+        order = np.lexsort((doc, key))
+        key_s, doc_s = key[order], doc[order]
+        first = np.empty(len(key_s), dtype=bool)
+        first[0] = True
+        first[1:] = (key_s[1:] != key_s[:-1]) | (doc_s[1:] != doc_s[:-1])
+        key_s, doc_s = key_s[first], doc_s[first]
+        starts = np.flatnonzero(np.concatenate(
+            [[True], key_s[1:] != key_s[:-1]]))
+        offsets = np.concatenate([starts, [len(key_s)]])
+        df = np.diff(offsets)
+        postings = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(doc_s, pa.int64()))
+        # argsort(rank) maps lexicographic rank -> dictionary index, so
+        # row i's token is the one with lexicographic rank key_s[starts][i]
+        out_tok = dic.take(pa.array(
+            np.argsort(rank, kind="stable")[key_s[starts]], pa.int64()))
+        out = pa.table({"token": out_tok, "postings": postings,
+                        "df": pa.array(df, pa.int64())})
+        if max_df is not None:
+            out = out.filter(pc.less_equal(out["df"], max_df))
+        return out
+
+    return hash_partition_map(docs_ds, "part", _assemble, n_parts,
+                              map_fn=_pairs, map_chunk_rows=cfg.batch_size)
