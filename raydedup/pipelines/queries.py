@@ -623,6 +623,100 @@ JOIN cnt ca ON ca.doc_id = p.a JOIN cnt cb ON cb.doc_id = p.b
 """
 
 
+def q_containment_adjacent(sf_dir):
+    """Asymmetric containment C(A,B)=|A∩B|/|A| (and /|B|) for (i, i+1)
+    doc pairs — catches quotes/subsets that symmetric Jaccard dilutes.
+    Intersections come from the same verify surface as pair_jaccard;
+    per-doc distinct-set sizes attach via two partitioned joins (each
+    side moves once per join — no broadcast of a corpus-sized table)."""
+    import ray.data as rd
+
+    from ..functions.hashing import hash_utf8_array
+    from ..stages.join import partitioned_join
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    cfg1 = CFG.with_(k_shingle=1)
+    sig = signatures(docs, cfg1).materialize()
+    max_id = docs.max("doc_id")
+    pairs = docs.select_columns(["doc_id"]).map_batches(
+        lambda t: (lambda ids: pa.table({
+            "a": pa.array(ids, pa.int64()),
+            "b": pa.array(ids + 1, pa.int64()),
+        }))(np.asarray(t["doc_id"], dtype=np.int64)),
+        batch_format="pyarrow",
+    ).map_batches(
+        lambda t, m=max_id: t.filter(pc.less_equal(t["b"], m)),
+        batch_format="pyarrow",
+    )
+    scored = verify_pairs(pairs, sig, cfg1, threshold=None) \
+        .select_columns(["a", "b", "intersection"])
+
+    def _sizes(key_out: str, n_out: str):
+        def _m(t: pa.Table) -> pa.Table:
+            toks = pc.split_pattern(pc.fill_null(
+                t["text"].combine_chunks(), ""), " ")
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            flat = toks.flatten()
+            offs = np.asarray(toks.offsets, dtype=np.int64)
+            offs = offs - offs[0]
+            keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+            doc = np.repeat(np.arange(len(t), dtype=np.int64),
+                            np.diff(offs))[keep]
+            th = hash_utf8_array(flat.filter(pa.array(keep))) \
+                .view(np.int64)
+            order = np.lexsort((th, doc))
+            doc_s, th_s = doc[order], th[order]
+            first = np.ones(len(doc_s), dtype=bool)
+            first[1:] = (doc_s[1:] != doc_s[:-1]) | (th_s[1:] != th_s[:-1])
+            n = np.zeros(len(t), dtype=np.int64)
+            np.add.at(n, doc_s[first], 1)
+            return pa.table({key_out: t["doc_id"],
+                             n_out: pa.array(n, pa.int64())})
+        return docs.map_batches(_m, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    j = partitioned_join(scored, _sizes("a_key", "n_a"), "a", CFG,
+                         right_on="a_key")
+    j = partitioned_join(j, _sizes("b_key", "n_b"), "b", CFG,
+                         right_on="b_key")
+
+    def _cont(t: pa.Table) -> pa.Table:
+        inter = np.asarray(t["intersection"], dtype=np.float64)
+        na = np.asarray(t["n_a"], dtype=np.float64)
+        nb = np.asarray(t["n_b"], dtype=np.float64)
+        return pa.table({
+            "a": t["a"], "b": t["b"], "intersection": t["intersection"],
+            "containment_a": pa.array(inter / na, pa.float64()),
+            "containment_b": pa.array(inter / nb, pa.float64()),
+        })
+
+    return j.map_batches(_cont, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
+SQL_CONTAINMENT_ADJACENT = """
+WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+             FROM documents),
+cnt AS (SELECT doc_id, count(*) FILTER (tok <> '') AS n
+        FROM tok GROUP BY doc_id),
+pairs AS (SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+          WHERE doc_id + 1 <= (SELECT max(doc_id) FROM documents)),
+inter AS (
+  SELECT p.a, p.b, count(*) AS c
+  FROM pairs p JOIN tok x ON x.doc_id = p.a AND x.tok <> ''
+               JOIN tok y ON y.doc_id = p.b AND y.tok = x.tok
+  GROUP BY 1, 2
+)
+SELECT p.a, p.b, coalesce(i.c, 0) AS intersection,
+       coalesce(i.c, 0)::DOUBLE / ca.n AS containment_a,
+       coalesce(i.c, 0)::DOUBLE / cb.n AS containment_b
+FROM pairs p
+LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+JOIN cnt ca ON ca.doc_id = p.a JOIN cnt cb ON cb.doc_id = p.b
+"""
+
+
 # ------------------------------------------------------------- aggregations
 
 def q_doc_stats_by_lang(sf_dir):
@@ -2710,6 +2804,40 @@ SELECT src, dst, count(*)::BIGINT AS n_docs FROM links GROUP BY src, dst
 """
 
 
+# -------------------------------------------------- bigram PMI
+
+
+def q_bigram_pmi(sf_dir):
+    """Collocation strength (PMI) for the top-30 bigrams — counts moved
+    by combiner exchanges, PMI math over ≤30 driver-side rows."""
+    from ..stages.vocab import bigram_pmi
+    return bigram_pmi(_docs(sf_dir, ["text"]), CFG, k=30)
+
+
+SQL_BIGRAM_PMI = """
+WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+uni AS (SELECT unnest(ws) AS tok FROM w),
+tu AS (SELECT count(*)::BIGINT AS n_uni FROM uni),
+b AS (SELECT unnest(list_transform(
+        generate_series(1, len(ws) - 1),
+        i -> ws[i] || ' ' || ws[i + 1])) AS ngram
+      FROM w),
+tb AS (SELECT count(*)::BIGINT AS n_bi FROM b),
+topb AS (SELECT ngram, count(*)::BIGINT AS n_xy FROM b
+         GROUP BY ngram ORDER BY n_xy DESC, ngram LIMIT 30),
+sp AS (SELECT string_split(ngram, ' ')[1] AS x,
+              string_split(ngram, ' ')[2] AS y, n_xy FROM topb),
+uc AS (SELECT tok, count(*)::BIGINT AS c FROM uni GROUP BY tok)
+SELECT s.x, s.y, s.n_xy,
+       round(ln((s.n_xy::DOUBLE / tb.n_bi)
+                / ((ux.c::DOUBLE / tu.n_uni)
+                   * (uy.c::DOUBLE / tu.n_uni))) * 1e6)::BIGINT AS pmi_e6
+FROM sp s, tb, tu
+JOIN uc ux ON ux.tok = s.x
+JOIN uc uy ON uy.tok = s.y
+"""
+
+
 # -------------------------------------------------- inverted index
 
 
@@ -2971,6 +3099,8 @@ QUERIES = {
     "approx_distinct_tokens": q_approx_distinct_tokens,
     "revenue_by_nation": q_revenue_by_nation,
     "inverted_index": q_inverted_index,
+    "containment_adjacent": q_containment_adjacent,
+    "bigram_pmi": q_bigram_pmi,
     "substring_spans": q_substring_spans,
     "substring_dedup_stats": q_substring_dedup_stats,
     "media_bytes": q_media_bytes,
@@ -3121,6 +3251,8 @@ ORACLES = {
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "inverted_index": SQL_INVERTED_INDEX,
+    "containment_adjacent": SQL_CONTAINMENT_ADJACENT,
+    "bigram_pmi": SQL_BIGRAM_PMI,
     # rows-only (non-SQL-expressible): approx_distinct_tokens (HLL —
     # DuckDB's approx_count_distinct is a different sketch),
     # simhash_dup_pairs, ann_lsh_buckets,

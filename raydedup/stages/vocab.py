@@ -573,3 +573,114 @@ def inverted_index(docs_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
 
     return hash_partition_map(docs_ds, "part", _assemble, n_parts,
                               map_fn=_pairs, map_chunk_rows=cfg.batch_size)
+
+
+def bigram_pmi(docs_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
+               text_col: str = "text", k: int = 30, sep: str = " ",
+               counters=None) -> pa.Table:
+    """Pointwise mutual information for the top-``k`` bigrams:
+    pmi(x,y) = ln( p(xy) / (p(x)·p(y)) ) — the collocation measure
+    ("new york" scores high, "of the" scores low) built on counts the
+    engine already knows how to move cheaply.
+
+    Two passes, neither shuffling the full vocabulary: top_k_ngrams
+    finds the k bigrams (combiner exchange), then ONE streaming pass
+    counts just the ≤2k member words (broadcast ``pc.is_in`` filter)
+    plus the unigram/bigram totals, reduced through a tiny exchange.
+    The PMI arithmetic runs driver-side over ≤k rows and mirrors the
+    SQL oracle expression term-for-term (each division/multiply is
+    IEEE-exact; ln's sub-ulp libm difference is absorbed by the
+    1e6-scaled rounding, the repo's float-compare convention).
+
+    Token/bigram definitions mirror SQL ``string_split`` exactly:
+    empties kept, bigrams never cross documents, every doc contributes
+    len(tokens)−1 bigrams (≥0).  → pa.Table(x, y, n_xy, pmi_e6).
+    """
+    import ray
+
+    n_parts = cfg.resolved_partitions()
+
+    top = pa.concat_tables([t for t in ray.get(list(
+        top_k_ngrams(docs_ds, cfg, text_col=text_col, k=k, n=2,
+                     sep=sep).to_arrow_refs())) if len(t)])
+    empty_out = pa.table({"x": pa.array([], pa.string()),
+                          "y": pa.array([], pa.string()),
+                          "n_xy": pa.array([], pa.int64()),
+                          "pmi_e6": pa.array([], pa.int64())})
+    if len(top) == 0:
+        return empty_out
+    grams = top["ngram"].to_pylist()
+    n_xy = np.asarray(top["n"], dtype=np.int64)
+    xs, ys = zip(*(g.split(sep) for g in grams))   # ≤k driver-side rows
+    words = pa.array(sorted({*xs, *ys}), pa.string())
+    words_ref = ray.put(words)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.fill_null(
+            t[text_col].combine_chunks(), ""), sep)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()          # empties KEPT (mirrors unnest)
+        lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        n_uni, n_bi = int(lens.sum()), int((lens - 1).sum())
+        w = ray.get(words_ref)
+        keep = pc.fill_null(pc.is_in(flat, value_set=w), False)
+        sel = flat.filter(keep)
+        agg = pa.table({"w": sel}).group_by("w") \
+            .aggregate([("w", "count")])
+        wc = agg["w"].combine_chunks()
+        pid = (hash_utf8_array(wc) % np.uint64(n_parts)).astype(np.int64)
+        rows = pa.table({
+            "w": wc, "kind": pa.array(np.zeros(len(wc), np.int8)),
+            "n": agg["w_count"].cast(pa.int64()),
+            "part": pa.array(pid, pa.int64())})
+        sent = pa.table({
+            "w": pa.array([""] * (2 * n_parts), pa.string()),
+            "kind": pa.array(np.repeat(np.array([1, 2], np.int8), n_parts)),
+            "n": pa.array(np.repeat(np.array([n_uni, n_bi], np.int64),
+                                    n_parts), pa.int64()),
+            "part": pa.array(np.tile(np.arange(n_parts, dtype=np.int64), 2)),
+        })
+        return pa.concat_tables([rows, sent])
+
+    empty = pa.table({"w": pa.array([], pa.string()),
+                      "kind": pa.array([], pa.int8()),
+                      "n": pa.array([], pa.int64())})
+
+    def _reduce(tab: pa.Table | None) -> pa.Table:
+        if tab is None or len(tab) == 0:
+            return empty
+        agg = tab.group_by(["w", "kind"]).aggregate([("n", "sum")])
+        return pa.table({"w": agg["w"], "kind": agg["kind"],
+                         "n": agg["n_sum"].cast(pa.int64())})
+
+    parts = [t for t in ray.get(list(
+        hash_partition_map(docs_ds, "part", _reduce, n_parts,
+                           map_fn=_partial,
+                           map_chunk_rows=cfg.batch_size)
+        .to_arrow_refs())) if len(t)]
+    merged = pa.concat_tables(parts) if parts else empty
+    kind = np.asarray(merged["kind"], dtype=np.int8)
+    n = np.asarray(merged["n"], dtype=np.int64)
+    # every non-empty partition received ALL batches' sentinel rows, so
+    # each already holds the GLOBAL total — take one, don't sum across
+    n_uni = int(n[kind == 1].max()) if (kind == 1).any() else 0
+    n_bi = int(n[kind == 2].max()) if (kind == 2).any() else 0
+    wtab = merged.filter(pa.array(kind == 0))
+    counts = dict(zip(wtab["w"].to_pylist(),
+                      np.asarray(wtab["n"], dtype=np.int64).tolist()))
+    if counters is not None:
+        counters.add.remote({"pmi_bigrams": len(grams)})
+    if n_bi == 0:
+        return empty_out
+    cx = np.array([counts[x] for x in xs], dtype=np.float64)
+    cy = np.array([counts[y] for y in ys], dtype=np.float64)
+    # mirrors the oracle expression term-for-term
+    pmi = np.log((n_xy.astype(np.float64) / float(n_bi))
+                 / ((cx / float(n_uni)) * (cy / float(n_uni))))
+    pmi_e6 = pc.round(pc.multiply(pa.array(pmi, pa.float64()), 1e6), 0) \
+        .cast(pa.int64())
+    return pa.table({"x": pa.array(list(xs), pa.string()),
+                     "y": pa.array(list(ys), pa.string()),
+                     "n_xy": pa.array(n_xy, pa.int64()),
+                     "pmi_e6": pmi_e6})

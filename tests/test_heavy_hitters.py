@@ -74,3 +74,40 @@ class TestHeavyHitters:
             t for s in texts for t in s.split(" ") if t)
         for tok, n in got.items():
             assert n == cnt[tok]
+
+
+class TestBigramPmi:
+    def test_matches_pure_python(self, ray_session):
+        import collections
+        import math
+
+        import ray.data as rd
+
+        from raydedup.stages.vocab import bigram_pmi
+
+        texts = (["new york city hall", "new york is big", "in new york"] * 7
+                 + ["the cat sat on the mat", "a b", ""] * 5)
+        tab = pa.table({"text": pa.array(texts, pa.string())})
+        out = bigram_pmi(rd.from_arrow(tab), CFG, k=10).to_pandas()
+        # pure-python truth (empties kept, bigrams never cross docs)
+        uni = collections.Counter()
+        bi = collections.Counter()
+        for t in texts:
+            ws = t.split(" ")
+            uni.update(ws)
+            bi.update(zip(ws, ws[1:]))
+        n_uni, n_bi = sum(uni.values()), sum(bi.values())
+        top = sorted(bi.items(),
+                     key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))[:10]
+        assert len(out) == 10
+        got = {(r["x"], r["y"]): (r["n_xy"], r["pmi_e6"])
+               for _, r in out.iterrows()}
+        for (x, y), c in top:
+            pmi = math.log((c / n_bi) / ((uni[x] / n_uni)
+                                         * (uni[y] / n_uni)))
+            n_got, pmi_got = got[(x, y)]
+            assert n_got == c
+            assert abs(pmi_got - round(pmi * 1e6)) <= 1
+        # perfect collocations (words appearing only in this pair)
+        # outrank "the cat"-style pairs with promiscuous member words
+        assert got[("city", "hall")][1] > got[("on", "the")][1]
