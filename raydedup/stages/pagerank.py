@@ -36,6 +36,17 @@ rule (c), raw tasks for iterative co-partitioned state):
     routed by hash(dst)) + P apply tasks; the only driver sync is the
     P dangling scalars (the global dangling term is inherently a
     barrier).  Per-round movement = partial-sum rows only, never edges.
+
+Partition-count guidance (measured, ROUND4_NOTES session 3): each round
+creates P×(P+1) small objects (every message task returns one shard per
+destination partition), so P should track the CORE count, not exceed it
+— at 32 CPUs / 20M edges, 5 rounds take ~7.5 s at P=32 but 20-60 s at
+P=64, the P² object overhead dominating compute.  On a multi-node
+cluster where P must be large, the message shards need a two-level
+merge (node-local combine, then cross-node) before _apply — the same
+tree shape hll/heavy_hitters already use — rather than P direct
+returns; the current flat fan is correct at any P but
+scheduler-bound above P ≈ cores.
 """
 
 from __future__ import annotations
@@ -61,16 +72,26 @@ def _empty_state() -> pa.Table:
                      "rank_fp": pa.array([], pa.int64())})
 
 
+FAN_TREE_MIN_PARTS = 48   # flat P² object fan is fine below this
+
+
 def pagerank(edges_ds, cfg: PipelineConfig, *, n_iter: int = 5,
              damping_num: int = DAMPING_NUM, damping_den: int = DAMPING_DEN,
              scale: int = RANK_SCALE, src_col: str = "src",
-             dst_col: str = "dst", counters=None):
+             dst_col: str = "dst", fan: str = "auto", counters=None):
     """edges(src:int64, dst:int64) → Dataset(node:int64, rank_fp:int64).
 
     ``rank_fp`` is the PageRank mass in units of ``1/scale``; ranks of
     all nodes sum to ≈ scale (floor-division remainders are dropped,
     identically on both engine and oracle sides).
-    """
+
+    ``fan``: message-shard topology per round — ``"flat"`` (each message
+    task returns one shard per destination partition: P² objects/round),
+    ``"tree"`` (shards travel via √P partition groups: message tasks
+    return G=⌈√P⌉ group shards, G combine tasks pre-sum per node and
+    re-split to their group's partitions — O(P^1.5) objects/round), or
+    ``"auto"`` (tree when P ≥ FAN_TREE_MIN_PARTS).  Results are
+    bit-identical either way (integer sums reassociate freely)."""
     import ray
     import ray.data as rd
 
@@ -220,14 +241,100 @@ def pagerank(edges_ds, cfg: PipelineConfig, *, n_iter: int = 5,
         return state_tab.set_column(2, "rank_fp",
                                     pa.array(new_rank, pa.int64()))
 
+    use_tree = (fan == "tree"
+                or (fan == "auto" and n_parts >= FAN_TREE_MIN_PARTS))
+    group_size = int(np.ceil(np.sqrt(n_parts)))
+    n_groups = (n_parts + group_size - 1) // group_size
+
+    @ray.remote(num_returns=n_groups + 1)
+    def _messages_grouped(edge_tab, state_tab):
+        """Like _messages, but shards are grouped by destination
+        partition GROUP (part // group_size) — G returns, not P."""
+        node = np.asarray(state_tab["node"], dtype=np.int64)
+        deg = np.asarray(state_tab["outdeg"], dtype=np.int64)
+        rank = np.asarray(state_tab["rank_fp"], dtype=np.int64)
+        dang = int(rank[deg == 0].sum())
+        src = np.asarray(edge_tab["src"], dtype=np.int64)
+        dst = np.asarray(edge_tab["dst"], dtype=np.int64)
+        empty = pa.table({"node": pa.array([], pa.int64()),
+                          "inc": pa.array([], pa.int64()),
+                          "part": pa.array([], pa.int64())})
+        if not len(src):
+            return (*[empty] * n_groups, dang)
+        pos = np.searchsorted(node, src)
+        contrib = rank[pos] // deg[pos]
+        udst, inv = np.unique(dst, return_inverse=True)
+        inc = np.zeros(len(udst), dtype=np.int64)
+        np.add.at(inc, inv, contrib)
+        part = _hash_part(udst)
+        order = np.argsort(part, kind="stable")
+        udst, inc, part = udst[order], inc[order], part[order]
+        bounds = np.searchsorted(part,
+                                 np.arange(n_groups + 1) * group_size)
+        outs = [pa.table({"node": pa.array(udst[bounds[g]:bounds[g + 1]],
+                                           pa.int64()),
+                          "inc": pa.array(inc[bounds[g]:bounds[g + 1]],
+                                          pa.int64()),
+                          "part": pa.array(part[bounds[g]:bounds[g + 1]],
+                                           pa.int64())})
+                for g in range(n_groups)]
+        return (*outs, dang)
+
+    @ray.remote(num_returns=group_size)
+    def _combine_group(g0, *shards):
+        """Merge this group's shards from every message task: pre-sum
+        per node, then re-split into the group's partitions."""
+        empty = pa.table({"node": pa.array([], pa.int64()),
+                          "inc": pa.array([], pa.int64())})
+        shards = [s for s in shards if len(s)]
+        if not shards:
+            return (*[empty] * group_size,) if group_size > 1 else empty
+        t = pa.concat_tables(shards)
+        node = np.asarray(t["node"], dtype=np.int64)
+        inc = np.asarray(t["inc"], dtype=np.int64)
+        part = np.asarray(t["part"], dtype=np.int64)
+        order = np.lexsort((node, part))
+        node, inc, part = node[order], inc[order], part[order]
+        first = np.ones(len(node), dtype=bool)
+        first[1:] = (node[1:] != node[:-1]) | (part[1:] != part[:-1])
+        starts = np.flatnonzero(first)
+        summed = np.add.reduceat(inc, starts)
+        node, part = node[starts], part[starts]
+        bounds = np.searchsorted(part, g0 + np.arange(group_size + 1))
+        outs = [pa.table({"node": pa.array(node[bounds[i]:bounds[i + 1]],
+                                           pa.int64()),
+                          "inc": pa.array(summed[bounds[i]:bounds[i + 1]],
+                                          pa.int64())})
+                for i in range(group_size)]
+        return (*outs,) if group_size > 1 else outs[0]
+
     for _ in range(n_iter):
-        msg = [_messages.remote(edge_blocks[p], state_blocks[p])
-               for p in range(n_parts)]
-        dang_total = sum(ray.get([m[n_parts] for m in msg]))
-        share = dang_total // n_nodes
-        state_blocks = [_apply.remote(state_blocks[q], share,
-                                      *[m[q] for m in msg])
-                        for q in range(n_parts)]
+        if use_tree:
+            msg = [_messages_grouped.remote(edge_blocks[p], state_blocks[p])
+                   for p in range(n_parts)]
+            dang_total = sum(ray.get([m[n_groups] for m in msg]))
+            share = dang_total // n_nodes
+            combined = [_combine_group.remote(g * group_size,
+                                              *[m[g] for m in msg])
+                        for g in range(n_groups)]
+            if group_size == 1:
+                state_blocks = [_apply.remote(state_blocks[q], share,
+                                              combined[q])
+                                for q in range(n_parts)]
+            else:
+                state_blocks = [
+                    _apply.remote(state_blocks[q], share,
+                                  combined[q // group_size]
+                                  [q % group_size])
+                    for q in range(n_parts)]
+        else:
+            msg = [_messages.remote(edge_blocks[p], state_blocks[p])
+                   for p in range(n_parts)]
+            dang_total = sum(ray.get([m[n_parts] for m in msg]))
+            share = dang_total // n_nodes
+            state_blocks = [_apply.remote(state_blocks[q], share,
+                                          *[m[q] for m in msg])
+                            for q in range(n_parts)]
 
     if counters is not None:
         counters.add.remote({"pagerank_rounds": n_iter,

@@ -87,3 +87,23 @@ class TestPagerank:
         ds = pagerank(rd.from_arrow(tab), CFG8)
         assert ds.count() == 0
         assert ds.schema().names == ["node", "rank_fp"]
+
+
+class TestMessageFan:
+    def test_tree_equals_flat(self, ray_session):
+        cfg = DEFAULT_CONFIG.with_(num_partitions=9)   # group_size=3
+        flat = _run(EDGES, cfg, fan="flat")
+        tree = _run(EDGES, cfg, fan="tree")
+        assert flat == tree == ref_pagerank(EDGES)
+
+    def test_tree_uneven_groups(self, ray_session):
+        # 11 partitions, group_size=4 -> groups of 4,4,3
+        cfg = DEFAULT_CONFIG.with_(num_partitions=11)
+        edges = [(i, (i * 3 + 1) % 40) for i in range(40)] + \
+                [(i, 7) for i in range(0, 40, 5)]
+        assert _run(edges, cfg, fan="tree") == ref_pagerank(edges)
+
+    def test_auto_threshold(self, ray_session):
+        from raydedup.stages.pagerank import FAN_TREE_MIN_PARTS
+        cfg = DEFAULT_CONFIG.with_(num_partitions=FAN_TREE_MIN_PARTS)
+        assert _run(EDGES, cfg, fan="auto") == ref_pagerank(EDGES)
