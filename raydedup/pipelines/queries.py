@@ -2804,6 +2804,35 @@ SELECT src, dst, count(*)::BIGINT AS n_docs FROM links GROUP BY src, dst
 """
 
 
+# -------------------------------------------------- unigram-LM surprisal
+
+
+def q_doc_surprisal(sf_dir):
+    """Per-doc mean −log₂ token probability under the exact
+    heavy-hitter head LM (support 1/1000, +0.5 OOV smoothing) — the
+    fluency/garbled-text quality signal, zero-shuffle scoring pass."""
+    from ..stages.vocab import doc_surprisal
+    return doc_surprisal(_docs(sf_dir, ["doc_id", "text"]), CFG,
+                         support_num=1, support_den=1000)
+
+
+SQL_DOC_SURPRISAL = """
+WITH tk AS (SELECT doc_id, t FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS t
+              FROM documents)
+            WHERE t <> ''),
+p AS (SELECT count(*)::BIGINT AS n FROM tk),
+uc AS (SELECT t, count(*)::BIGINT AS c FROM tk GROUP BY t),
+head AS (SELECT t, c FROM uc, p WHERE c >= (1 * n + 999) // 1000)
+SELECT tk.doc_id, count(*)::BIGINT AS n_tokens,
+       round(avg(-log2((CASE WHEN h.c IS NOT NULL
+                             THEN h.c::DOUBLE ELSE 0.5 END) / p.n))
+             * 1e6)::BIGINT AS surprisal_e6
+FROM tk LEFT JOIN head h ON h.t = tk.t, p
+GROUP BY tk.doc_id
+"""
+
+
 # -------------------------------------------------- bigram PMI
 
 
@@ -3101,6 +3130,7 @@ QUERIES = {
     "inverted_index": q_inverted_index,
     "containment_adjacent": q_containment_adjacent,
     "bigram_pmi": q_bigram_pmi,
+    "doc_surprisal": q_doc_surprisal,
     "substring_spans": q_substring_spans,
     "substring_dedup_stats": q_substring_dedup_stats,
     "media_bytes": q_media_bytes,
@@ -3253,6 +3283,7 @@ ORACLES = {
     "inverted_index": SQL_INVERTED_INDEX,
     "containment_adjacent": SQL_CONTAINMENT_ADJACENT,
     "bigram_pmi": SQL_BIGRAM_PMI,
+    "doc_surprisal": SQL_DOC_SURPRISAL,
     # rows-only (non-SQL-expressible): approx_distinct_tokens (HLL —
     # DuckDB's approx_count_distinct is a different sketch),
     # simhash_dup_pairs, ann_lsh_buckets,

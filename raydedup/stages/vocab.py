@@ -356,7 +356,8 @@ def common_token_stats(docs_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
 def heavy_hitters(docs_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
                   text_col: str = "text", sep: str = " ",
                   support_num: int = 1, support_den: int = 1000,
-                  summary_size: int | None = None, counters=None):
+                  summary_size: int | None = None, with_total: bool = False,
+                  counters=None):
     """EXACT heavy hitters: every token whose count ≥ ⌈support·N⌉
     (N = total non-empty tokens), **without ever shuffling the full
     distinct-token space** — the at-scale alternative to top_k_vocab.
@@ -383,6 +384,10 @@ def heavy_hitters(docs_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
     one sentinel row (token='', its chunk token total) to EVERY
     partition, so each reduce task knows N exactly and applies the
     threshold locally — no driver round-trip inside either pass.
+
+    ``with_total=True`` additionally emits one (token='', n=N) row per
+    non-empty partition (callers like doc_surprisal need N for
+    probabilities; dedupe by max, '' can never be a real token).
     """
     import ray
 
@@ -473,8 +478,13 @@ def heavy_hitters(docs_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
         is_sent = pc.equal(tok, "").to_numpy(zero_copy_only=False)
         n_total = int(n[is_sent].sum())
         keep = (~is_sent) & (n >= _thresh(n_total))
-        return pa.table({"token": tok.filter(pa.array(keep)),
-                         "n": pa.array(n[keep], pa.int64())})
+        out = pa.table({"token": tok.filter(pa.array(keep)),
+                        "n": pa.array(n[keep], pa.int64())})
+        if with_total:
+            out = pa.concat_tables([out, pa.table({
+                "token": pa.array([""], pa.string()),
+                "n": pa.array([n_total], pa.int64())})])
+        return out
 
     return hash_partition_map(docs_ds, "part", _final, n_parts,
                               map_fn=_exact_partial,
@@ -684,3 +694,83 @@ def bigram_pmi(docs_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
                      "y": pa.array(list(ys), pa.string()),
                      "n_xy": pa.array(n_xy, pa.int64()),
                      "pmi_e6": pmi_e6})
+
+
+def doc_surprisal(docs_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  sep: str = " ", support_num: int = 1,
+                  support_den: int = 1000):
+    """Unigram-LM surprisal quality score: per doc, the mean −log₂ of
+    each token's corpus probability — fluent boilerplate scores low,
+    lexically weird/garbled text scores high.  The LM head is the EXACT
+    ≥support heavy-hitter set (provably ≤2/support entries → safe to
+    broadcast at ANY corpus size); out-of-head tokens get the standard
+    +0.5 smoothing mass.  One heavy_hitters pass, then one ZERO-SHUFFLE
+    scoring map (broadcast head lookup via pc.index_in) — never a
+    full-vocabulary exchange, unlike a naive count-join.
+
+    Deterministic and SQL-oracle-comparable: the head set and all
+    probabilities derive from exact integer counts; only the final mean
+    is float (summation-order low bits absorbed by e6 rounding).
+    → Dataset(doc_id, n_tokens, surprisal_e6); docs with zero non-empty
+    tokens are omitted (mirrors the SQL group-by).
+    """
+    import ray
+
+    hh = heavy_hitters(docs_ds, cfg, text_col=text_col, sep=sep,
+                       support_num=support_num, support_den=support_den,
+                       summary_size=None, with_total=True)
+    tabs = [t for t in ray.get(list(hh.to_arrow_refs())) if len(t)]
+    merged = pa.concat_tables(tabs) if tabs else pa.table(
+        {"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+    tok = merged["token"].combine_chunks()
+    cnt = np.asarray(merged["n"], dtype=np.int64)
+    is_tot = pc.equal(tok, "").to_numpy(zero_copy_only=False)
+    n_total = int(cnt[is_tot].max()) if is_tot.any() else 0
+    head_tok = tok.filter(pa.array(~is_tot))
+    head_cnt = cnt[~is_tot]
+    head_ref = ray.put((head_tok, head_cnt, n_total))
+
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "n_tokens": pa.array([], pa.int64()),
+                      "surprisal_e6": pa.array([], pa.int64())})
+
+    def _score(t: pa.Table) -> pa.Table:
+        htok, hcnt, n_tot = ray.get(head_ref)
+        if n_tot == 0:
+            return empty
+        toks = pc.split_pattern(pc.fill_null(
+            t[text_col].combine_chunks(), ""), sep)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offs = np.asarray(toks.offsets, dtype=np.int64)
+        offs = offs - offs[0]
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        doc = np.repeat(np.arange(len(t), dtype=np.int64),
+                        np.diff(offs))[keep]
+        flat = flat.filter(pa.array(keep))
+        idx = pc.index_in(flat, value_set=htok)
+        miss = pc.is_null(idx).to_numpy(zero_copy_only=False)
+        if len(hcnt):
+            idx_np = np.asarray(pc.fill_null(idx, 0), dtype=np.int64)
+            c = np.where(miss, 0.5, hcnt[idx_np].astype(np.float64))
+        else:
+            c = np.full(len(miss), 0.5)
+        logp = -np.log2(c / float(n_tot))
+        n_per = np.zeros(len(t), dtype=np.int64)
+        np.add.at(n_per, doc, 1)
+        s_per = np.zeros(len(t), dtype=np.float64)
+        np.add.at(s_per, doc, logp)
+        nz = n_per > 0
+        ids = np.asarray(t[id_col], dtype=np.int64)[nz]
+        mean = s_per[nz] / n_per[nz]
+        e6 = pc.round(pc.multiply(pa.array(mean, pa.float64()), 1e6), 0) \
+            .cast(pa.int64())
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "n_tokens": pa.array(n_per[nz], pa.int64()),
+                         "surprisal_e6": e6})
+
+    return docs_ds.map_batches(_score, batch_format="pyarrow",
+                               zero_copy_batch=True)
+

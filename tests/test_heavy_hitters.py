@@ -111,3 +111,40 @@ class TestBigramPmi:
         # perfect collocations (words appearing only in this pair)
         # outrank "the cat"-style pairs with promiscuous member words
         assert got[("city", "hall")][1] > got[("on", "the")][1]
+
+
+class TestDocSurprisal:
+    def test_matches_pure_python(self, ray_session):
+        import math
+
+        import ray.data as rd
+
+        from raydedup.stages.vocab import doc_surprisal
+
+        texts = (["the cat sat on the mat"] * 20
+                 + ["zqxj vwpk bbfg"] * 2 + [""])
+        ids = np.arange(len(texts), dtype=np.int64)
+        tab = pa.table({"doc_id": pa.array(ids),
+                        "text": pa.array(texts, pa.string())})
+        out = doc_surprisal(rd.from_arrow(tab), CFG,
+                            support_num=1, support_den=10).to_pandas()
+        # truth
+        toks = [t.split(" ") for t in texts]
+        cnt = collections.Counter(w for ws in toks for w in ws if w)
+        n = sum(cnt.values())
+        thresh = (n + 9) // 10
+        head = {w: c for w, c in cnt.items() if c >= thresh}
+        got = {r["doc_id"]: (r["n_tokens"], r["surprisal_e6"])
+               for _, r in out.iterrows()}
+        assert len(ids) - 1 == len(got)          # empty doc omitted
+        for i, ws in enumerate(toks):
+            ws = [w for w in ws if w]
+            if not ws:
+                assert i not in got
+                continue
+            s = sum(-math.log2((head.get(w, 0.5)) / n) for w in ws) / len(ws)
+            n_got, s_got = got[i]
+            assert n_got == len(ws)
+            assert abs(s_got - round(s * 1e6)) <= 1
+        # garbled docs (all OOV) score strictly higher than boilerplate
+        assert got[20][1] > got[0][1]
