@@ -3038,6 +3038,15 @@ HAVING count(*) >= (SELECT (1 * n_total + 999) // 1000 FROM p)
 """
 
 
+def q_k_core_hosts(sf_dir):
+    """3-core of the (undirected) host link graph — dense-substructure
+    mining by distributed peeling.  Rows-only: iterated aggregation is
+    not SQL-expressible; pinned against a pure-python reference in
+    tests/test_kcore.py."""
+    from ..stages.kcore import k_core
+    return k_core(_host_links_ds(sf_dir), CFG, 3)
+
+
 _PR_ITERS = 5
 
 
@@ -3131,6 +3140,7 @@ QUERIES = {
     "containment_adjacent": q_containment_adjacent,
     "bigram_pmi": q_bigram_pmi,
     "doc_surprisal": q_doc_surprisal,
+    "k_core_hosts": q_k_core_hosts,
     "substring_spans": q_substring_spans,
     "substring_dedup_stats": q_substring_dedup_stats,
     "media_bytes": q_media_bytes,
@@ -3286,6 +3296,7 @@ ORACLES = {
     "doc_surprisal": SQL_DOC_SURPRISAL,
     # rows-only (non-SQL-expressible): approx_distinct_tokens (HLL —
     # DuckDB's approx_count_distinct is a different sketch),
-    # simhash_dup_pairs, ann_lsh_buckets,
+    # k_core_hosts (iterated aggregation; pure-python reference in
+    # tests/test_kcore.py), simhash_dup_pairs, ann_lsh_buckets,
     # lang_id
 }
