@@ -3038,6 +3038,49 @@ HAVING count(*) >= (SELECT (1 * n_total + 999) // 1000 FROM p)
 """
 
 
+_BFS_SEEDS = (1, 2, 3)
+_BFS_HOPS = 6
+
+
+def q_host_distances(sf_dir):
+    """Directed BFS hop distance from the trusted seed hosts {1,2,3}
+    over the host link graph, ≤6 hops — the TrustRank-style distance
+    signal.  Exact integers, so the frontier iteration hash-matches the
+    unrolled SQL min-recursion."""
+    from ..stages.bfs import bfs_distances
+    return bfs_distances(_host_links_ds(sf_dir), _BFS_SEEDS, CFG,
+                         max_hops=_BFS_HOPS)
+
+
+def _bfs_sql(seeds, k: int) -> str:
+    seed_list = ", ".join(str(s) for s in seeds)
+    parts = ["WITH " + _SQL_LINKS.strip() + ",",
+             "e AS (SELECT DISTINCT src, dst FROM links),",
+             "nodes AS (SELECT DISTINCT node FROM"
+             " (SELECT src AS node FROM e UNION ALL"
+             " SELECT dst AS node FROM e)),",
+             f"d0 AS (SELECT node, CASE WHEN node IN ({seed_list})"
+             f" THEN 0 ELSE NULL END AS dist FROM nodes),"]
+    for i in range(1, k + 1):
+        parts.append(
+            f"d{i} AS (SELECT d.node,"
+            f" CASE WHEN d.dist IS NULL"
+            f"        OR (m.md IS NOT NULL AND m.md < d.dist)"
+            f"      THEN m.md ELSE d.dist END AS dist"
+            f" FROM d{i-1} d LEFT JOIN"
+            f" (SELECT e.dst AS node, min(r.dist + 1) AS md"
+            f"  FROM e JOIN d{i-1} r ON r.node = e.src"
+            f"  AND r.dist IS NOT NULL GROUP BY e.dst) m"
+            f" ON m.node = d.node),")
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT node, dist::BIGINT AS dist FROM d{k}"
+                 f" WHERE dist IS NOT NULL")
+    return "\n".join(parts)
+
+
+SQL_HOST_DISTANCES = _bfs_sql(_BFS_SEEDS, _BFS_HOPS)
+
+
 def q_k_core_hosts(sf_dir):
     """3-core of the (undirected) host link graph — dense-substructure
     mining by distributed peeling.  Rows-only: iterated aggregation is
@@ -3141,6 +3184,7 @@ QUERIES = {
     "bigram_pmi": q_bigram_pmi,
     "doc_surprisal": q_doc_surprisal,
     "k_core_hosts": q_k_core_hosts,
+    "host_distances": q_host_distances,
     "substring_spans": q_substring_spans,
     "substring_dedup_stats": q_substring_dedup_stats,
     "media_bytes": q_media_bytes,
@@ -3294,6 +3338,7 @@ ORACLES = {
     "containment_adjacent": SQL_CONTAINMENT_ADJACENT,
     "bigram_pmi": SQL_BIGRAM_PMI,
     "doc_surprisal": SQL_DOC_SURPRISAL,
+    "host_distances": SQL_HOST_DISTANCES,
     # rows-only (non-SQL-expressible): approx_distinct_tokens (HLL —
     # DuckDB's approx_count_distinct is a different sketch),
     # k_core_hosts (iterated aggregation; pure-python reference in
