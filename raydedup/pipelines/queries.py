@@ -3102,33 +3102,58 @@ def q_pagerank_hosts(sf_dir):
     return pagerank(_host_links_ds(sf_dir), CFG, n_iter=_PR_ITERS)
 
 
-def _pagerank_sql(n_iter: int) -> str:
+def _pagerank_sql(n_iter: int, *, weighted: bool = False,
+                  seed_pred: str | None = None) -> str:
     """Unroll the integer PageRank recursion into n_iter chained CTEs —
-    every constant is generated from the same numbers the engine uses."""
+    every constant is generated from the same numbers the engine uses.
+    ``weighted``: edge weights = summed n_docs, contribution
+    (rank·w)//W(u).  ``seed_pred``: SQL predicate over ``node`` naming
+    the personalization seed set (teleport base + dangling share go
+    only to seeds, divided by |S|)."""
     from ..stages.pagerank import DAMPING_DEN, DAMPING_NUM, RANK_SCALE
     num, den, scale = DAMPING_NUM, DAMPING_DEN, RANK_SCALE
+    if weighted:
+        e_cte = ("e AS (SELECT src, dst, count(*)::BIGINT AS w"
+                 " FROM links GROUP BY src, dst),")
+        deg_cte = ("deg AS (SELECT n.node,"
+                   " COALESCE(sum(e.w), 0)::BIGINT AS outdeg"
+                   " FROM nodes n LEFT JOIN e ON e.src = n.node"
+                   " GROUP BY n.node),")
+        contrib = "(r.rank_fp * e.w) // r.outdeg"
+    else:
+        e_cte = "e AS (SELECT DISTINCT src, dst FROM links),"
+        deg_cte = ("deg AS (SELECT n.node, count(e.src)::BIGINT AS outdeg"
+                   " FROM nodes n LEFT JOIN e ON e.src = n.node"
+                   " GROUP BY n.node),")
+        contrib = "r.rank_fp // r.outdeg"
+    seed_expr = (f"CASE WHEN {seed_pred} THEN 1 ELSE 0 END"
+                 if seed_pred else "1")
+    nbase_sql = (f"SELECT count(*)::BIGINT FROM nodes WHERE {seed_pred}"
+                 if seed_pred else "SELECT n FROM p")
     parts = ["WITH " + _SQL_LINKS.strip() + ",",
-             "e AS (SELECT DISTINCT src, dst FROM links),",
+             e_cte,
              "nodes AS (SELECT DISTINCT node FROM"
              " (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),",
-             "deg AS (SELECT n.node, count(e.src)::BIGINT AS outdeg"
-             " FROM nodes n LEFT JOIN e ON e.src = n.node GROUP BY n.node),",
+             deg_cte,
              "p AS (SELECT count(*)::BIGINT AS n FROM nodes),",
              f"r0 AS (SELECT d.node, d.outdeg,"
-             f" ({scale} // p.n)::BIGINT AS rank_fp FROM deg d, p),"]
+             f" ({scale} // p.n)::BIGINT AS rank_fp,"
+             f" ({seed_expr.replace('node', 'd.node')})::BIGINT AS seed"
+             f" FROM deg d, p),"]
     for i in range(1, n_iter + 1):
         parts.append(
             f"d{i} AS (SELECT (COALESCE(sum(rank_fp), 0)::BIGINT"
-            f" // (SELECT n FROM p)) AS share FROM r{i-1} WHERE outdeg = 0),")
+            f" // ({nbase_sql})) AS share FROM r{i-1} WHERE outdeg = 0),")
         parts.append(
             f"inc{i} AS (SELECT e.dst AS node,"
-            f" sum(r.rank_fp // r.outdeg)::BIGINT AS inc"
+            f" sum({contrib})::BIGINT AS inc"
             f" FROM e JOIN r{i-1} r ON r.node = e.src GROUP BY e.dst),")
         parts.append(
             f"r{i} AS (SELECT r.node, r.outdeg,"
-            f" ((({scale} * {den - num}) // {den}) // (SELECT n FROM p)"
-            f" + ({num} * (COALESCE(i.inc, 0) + d.share)) // {den})::BIGINT"
-            f" AS rank_fp"
+            f" (r.seed * ((({scale} * {den - num}) // {den})"
+            f" // ({nbase_sql}))"
+            f" + ({num} * (COALESCE(i.inc, 0) + r.seed * d.share))"
+            f" // {den})::BIGINT AS rank_fp, r.seed"
             f" FROM r{i-1} r CROSS JOIN d{i} d"
             f" LEFT JOIN inc{i} i ON i.node = r.node),")
     parts[-1] = parts[-1].rstrip(",")
@@ -3137,6 +3162,41 @@ def _pagerank_sql(n_iter: int) -> str:
 
 
 SQL_PAGERANK = _pagerank_sql(_PR_ITERS)
+
+
+def q_pagerank_weighted(sf_dir):
+    """Weighted PageRank: edge weight = number of docs carrying the
+    link (host_links counts), contribution (rank·w)//W(u) — same exact
+    integer arithmetic, same unrolled-CTE oracle."""
+    import ray.data as rd
+
+    from ..stages.pagerank import pagerank
+
+    def _m(t: pa.Table) -> pa.Table:
+        src, dst = _host_link_rows(t)
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64()),
+                         "w": pa.array(np.ones(len(src), np.int64))})
+
+    links = _docs(sf_dir, ["doc_id"]).map_batches(
+        _m, batch_format="pyarrow", zero_copy_batch=True)
+    return pagerank(links, CFG, n_iter=_PR_ITERS, weight_col="w")
+
+
+SQL_PAGERANK_WEIGHTED = _pagerank_sql(_PR_ITERS, weighted=True)
+
+
+def q_pagerank_personalized(sf_dir):
+    """Personalized PageRank from trusted seed hosts {1,2,3}: teleport
+    mass (base + dangling share) flows only to the seeds — the
+    TrustRank companion to host_distances, bit-exact vs SQL."""
+    from ..stages.pagerank import pagerank
+    return pagerank(_host_links_ds(sf_dir), CFG, n_iter=_PR_ITERS,
+                    personalization=_BFS_SEEDS)
+
+
+SQL_PAGERANK_PERSONALIZED = _pagerank_sql(
+    _PR_ITERS, seed_pred="node IN (1, 2, 3)")
 
 
 QUERIES = {
@@ -3185,6 +3245,8 @@ QUERIES = {
     "doc_surprisal": q_doc_surprisal,
     "k_core_hosts": q_k_core_hosts,
     "host_distances": q_host_distances,
+    "pagerank_weighted": q_pagerank_weighted,
+    "pagerank_personalized": q_pagerank_personalized,
     "substring_spans": q_substring_spans,
     "substring_dedup_stats": q_substring_dedup_stats,
     "media_bytes": q_media_bytes,
@@ -3339,6 +3401,8 @@ ORACLES = {
     "bigram_pmi": SQL_BIGRAM_PMI,
     "doc_surprisal": SQL_DOC_SURPRISAL,
     "host_distances": SQL_HOST_DISTANCES,
+    "pagerank_weighted": SQL_PAGERANK_WEIGHTED,
+    "pagerank_personalized": SQL_PAGERANK_PERSONALIZED,
     # rows-only (non-SQL-expressible): approx_distinct_tokens (HLL —
     # DuckDB's approx_count_distinct is a different sketch),
     # k_core_hosts (iterated aggregation; pure-python reference in

@@ -53,6 +53,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..config import PipelineConfig
 
@@ -61,9 +62,12 @@ DAMPING_DEN = 100
 RANK_SCALE = 10 ** 12   # rank unit = 1e-12
 
 
-def _empty_edges() -> pa.Table:
-    return pa.table({"src": pa.array([], pa.int64()),
-                     "dst": pa.array([], pa.int64())})
+def _empty_edges(weighted: bool = False) -> pa.Table:
+    cols = {"src": pa.array([], pa.int64()),
+            "dst": pa.array([], pa.int64())}
+    if weighted:
+        cols["w"] = pa.array([], pa.int64())
+    return pa.table(cols)
 
 
 def _empty_state() -> pa.Table:
@@ -78,12 +82,24 @@ FAN_TREE_MIN_PARTS = 48   # flat P² object fan is fine below this
 def pagerank(edges_ds, cfg: PipelineConfig, *, n_iter: int = 5,
              damping_num: int = DAMPING_NUM, damping_den: int = DAMPING_DEN,
              scale: int = RANK_SCALE, src_col: str = "src",
-             dst_col: str = "dst", fan: str = "auto", counters=None):
+             dst_col: str = "dst", weight_col: str | None = None,
+             personalization=None, fan: str = "auto", counters=None):
     """edges(src:int64, dst:int64) → Dataset(node:int64, rank_fp:int64).
 
     ``rank_fp`` is the PageRank mass in units of ``1/scale``; ranks of
     all nodes sum to ≈ scale (floor-division remainders are dropped,
     identically on both engine and oracle sides).
+
+    ``weight_col``: integer edge weights — duplicate (src,dst) rows sum;
+    contribution becomes (rank·w)//W(u) with W(u)=Σ out-weights (exact
+    int64; requires scale·max_weight < 2⁶³, asserted).  ``weight_col=
+    None`` is the w≡1 special case of the same arithmetic.
+
+    ``personalization``: iterable of seed node ids — teleport mass
+    (the (1−d) base AND the dangling share) goes only to seeds present
+    in the graph, divided by |S|; uniform PageRank IS the S=V case, so
+    both run the same code path.  Initial rank stays scale//n uniform
+    (a fixed-iteration convention the oracle mirrors).
 
     ``fan``: message-shard topology per round — ``"flat"`` (each message
     task returns one shard per destination partition: P² objects/round),
@@ -104,26 +120,40 @@ def pagerank(edges_ds, cfg: PipelineConfig, *, n_iter: int = 5,
         return (splitmix64(x.view(np.uint64))
                 % np.uint64(n_parts)).astype(np.int64)
 
+    weighted = weight_col is not None
+
     def _tag(t: pa.Table) -> pa.Table:
         src = np.asarray(t[src_col], dtype=np.int64)
-        return pa.table({"src": t[src_col].combine_chunks(),
-                         "dst": t[dst_col].combine_chunks(),
-                         "part": pa.array(_hash_part(src), pa.int64())})
+        cols = {"src": t[src_col].combine_chunks(),
+                "dst": t[dst_col].combine_chunks(),
+                "part": pa.array(_hash_part(src), pa.int64())}
+        if weighted:
+            cols["w"] = pc.cast(t[weight_col].combine_chunks(), pa.int64())
+        return pa.table(cols)
 
     tagged = edges_ds.map_batches(_tag, batch_format="pyarrow",
                                   zero_copy_batch=True)
 
     def _dedup_sort(tab):
-        # distinct (src, dst), sorted by src — a (src,dst) pair always
-        # hashes to the same partition, so per-partition distinct IS
-        # global distinct.
+        # distinct (src, dst) [weights of duplicates sum], sorted by
+        # src — a (src,dst) pair always hashes to the same partition,
+        # so per-partition distinct/sum IS global.
         if tab is None or len(tab) == 0:
-            return _empty_edges()
+            return _empty_edges(weighted)
         src = np.asarray(tab["src"], dtype=np.int64)
         dst = np.asarray(tab["dst"], dtype=np.int64)
-        pk = np.unique(np.stack([src, dst], axis=1), axis=0)
+        if not weighted:
+            pk = np.unique(np.stack([src, dst], axis=1), axis=0)
+            return pa.table({"src": pa.array(pk[:, 0], pa.int64()),
+                             "dst": pa.array(pk[:, 1], pa.int64())})
+        w = np.asarray(tab["w"], dtype=np.int64)
+        pk, inv = np.unique(np.stack([src, dst], axis=1), axis=0,
+                            return_inverse=True)
+        ws = np.zeros(len(pk), dtype=np.int64)
+        np.add.at(ws, inv, w)
         return pa.table({"src": pa.array(pk[:, 0], pa.int64()),
-                         "dst": pa.array(pk[:, 1], pa.int64())})
+                         "dst": pa.array(pk[:, 1], pa.int64()),
+                         "w": pa.array(ws, pa.int64())})
 
     edge_blocks = hash_partition_map(
         tagged, "part", _dedup_sort, n_parts).to_arrow_refs()
@@ -134,9 +164,18 @@ def pagerank(edges_ds, cfg: PipelineConfig, *, n_iter: int = 5,
     def _node_splits(edge_tab):
         src = np.asarray(edge_tab["src"], dtype=np.int64)
         dst = np.asarray(edge_tab["dst"], dtype=np.int64)
-        # per-src distinct out-degree (edge_tab is globally deduped)
-        usrc, deg = (np.unique(src, return_counts=True) if len(src)
-                     else (src, src))
+        # per-src out-mass: distinct-edge count, or Σ weights (edge_tab
+        # is globally deduped / weight-summed)
+        if not weighted:
+            usrc, deg = (np.unique(src, return_counts=True) if len(src)
+                         else (src, src))
+        else:
+            usrc, inv = (np.unique(src, return_inverse=True) if len(src)
+                         else (src, src))
+            deg = np.zeros(len(usrc), dtype=np.int64)
+            if len(src):
+                np.add.at(deg, inv, np.asarray(edge_tab["w"],
+                                               dtype=np.int64))
         nodes = np.unique(np.concatenate([usrc, dst]))
         outdeg = np.zeros(len(nodes), dtype=np.int64)
         pos = np.searchsorted(nodes, usrc)
@@ -184,15 +223,28 @@ def pagerank(edges_ds, cfg: PipelineConfig, *, n_iter: int = 5,
         return rd.from_arrow([_empty_state().select(["node", "rank_fp"])])
 
     r0 = scale // n_nodes
-    base = ((scale * (damping_den - damping_num)) // damping_den) // n_nodes
+    seeds_ref = ray.put(
+        np.unique(np.asarray(list(personalization), dtype=np.int64))
+        if personalization is not None else None)
 
-    @ray.remote
+    @ray.remote(num_returns=2)
     def _set_rank(state_tab, r):
         n = len(state_tab)
-        return state_tab.set_column(
+        sd = ray.get(seeds_ref)
+        node = np.asarray(state_tab["node"], dtype=np.int64)
+        seed = (np.isin(node, sd).astype(np.int8) if sd is not None
+                else np.ones(n, dtype=np.int8))
+        t = state_tab.set_column(
             2, "rank_fp", pa.array(np.full(n, r, np.int64)))
+        return t.append_column("seed", pa.array(seed)), int(seed.sum())
 
-    state_blocks = [_set_rank.remote(s, r0) for s in state_blocks]
+    rs = [_set_rank.remote(s, r0) for s in state_blocks]
+    state_blocks = [r_[0] for r_ in rs]
+    n_base = int(sum(ray.get([r_[1] for r_ in rs])))   # |S ∩ V|
+    if n_base == 0:
+        raise ValueError("pagerank: no personalization seed is present "
+                         "in the graph")
+    base = ((scale * (damping_den - damping_num)) // damping_den) // n_base
 
     @ray.remote(num_returns=n_parts + 1)
     def _messages(edge_tab, state_tab):
@@ -210,7 +262,12 @@ def pagerank(edges_ds, cfg: PipelineConfig, *, n_iter: int = 5,
         if not len(src):
             return (*[empty] * n_parts, dang)
         pos = np.searchsorted(node, src)     # every src is present here
-        contrib = rank[pos] // deg[pos]      # deg>0 for every src
+        if weighted:                         # deg = W(u) > 0 for every src
+            contrib = (rank[pos]
+                       * np.asarray(edge_tab["w"], dtype=np.int64)) \
+                // deg[pos]
+        else:
+            contrib = rank[pos] // deg[pos]
         # local partial sums per dst (edge_tab sorted by src, not dst)
         udst, inv = np.unique(dst, return_inverse=True)
         inc = np.zeros(len(udst), dtype=np.int64)
@@ -237,7 +294,10 @@ def pagerank(edges_ds, cfg: PipelineConfig, *, n_iter: int = 5,
             mi = np.asarray(m["inc"], dtype=np.int64)
             pos = np.searchsorted(node, mn)
             inc[pos] += mi                    # every dst exists in state
-        new_rank = base + (damping_num * (inc + share)) // damping_den
+        seed = np.asarray(state_tab["seed"],
+                          dtype=np.int8).astype(np.int64)
+        new_rank = seed * base \
+            + (damping_num * (inc + seed * share)) // damping_den
         return state_tab.set_column(2, "rank_fp",
                                     pa.array(new_rank, pa.int64()))
 
@@ -262,7 +322,12 @@ def pagerank(edges_ds, cfg: PipelineConfig, *, n_iter: int = 5,
         if not len(src):
             return (*[empty] * n_groups, dang)
         pos = np.searchsorted(node, src)
-        contrib = rank[pos] // deg[pos]
+        if weighted:
+            contrib = (rank[pos]
+                       * np.asarray(edge_tab["w"], dtype=np.int64)) \
+                // deg[pos]
+        else:
+            contrib = rank[pos] // deg[pos]
         udst, inv = np.unique(dst, return_inverse=True)
         inc = np.zeros(len(udst), dtype=np.int64)
         np.add.at(inc, inv, contrib)
@@ -313,7 +378,7 @@ def pagerank(edges_ds, cfg: PipelineConfig, *, n_iter: int = 5,
             msg = [_messages_grouped.remote(edge_blocks[p], state_blocks[p])
                    for p in range(n_parts)]
             dang_total = sum(ray.get([m[n_groups] for m in msg]))
-            share = dang_total // n_nodes
+            share = dang_total // n_base
             combined = [_combine_group.remote(g * group_size,
                                               *[m[g] for m in msg])
                         for g in range(n_groups)]
@@ -331,7 +396,7 @@ def pagerank(edges_ds, cfg: PipelineConfig, *, n_iter: int = 5,
             msg = [_messages.remote(edge_blocks[p], state_blocks[p])
                    for p in range(n_parts)]
             dang_total = sum(ray.get([m[n_parts] for m in msg]))
-            share = dang_total // n_nodes
+            share = dang_total // n_base
             state_blocks = [_apply.remote(state_blocks[q], share,
                                           *[m[q] for m in msg])
                             for q in range(n_parts)]

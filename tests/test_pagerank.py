@@ -107,3 +107,65 @@ class TestMessageFan:
         from raydedup.stages.pagerank import FAN_TREE_MIN_PARTS
         cfg = DEFAULT_CONFIG.with_(num_partitions=FAN_TREE_MIN_PARTS)
         assert _run(EDGES, cfg, fan="auto") == ref_pagerank(EDGES)
+
+
+def ref_pagerank_ext(edges, n_iter=5, weights=None, seeds=None,
+                     num=DAMPING_NUM, den=DAMPING_DEN, scale=RANK_SCALE):
+    """Reference for the weighted/personalized generalization."""
+    if weights is None:
+        ew = {e: 1 for e in set(edges)}
+    else:
+        ew = {}
+        for e, w in zip(edges, weights):
+            ew[e] = ew.get(e, 0) + w
+    nodes = sorted({u for u, _ in ew} | {v for _, v in ew})
+    n = len(nodes)
+    seed = {v: (1 if (seeds is None or v in seeds) else 0) for v in nodes}
+    n_base = sum(seed.values())
+    wout = {v: 0 for v in nodes}
+    for (u, _), w in ew.items():
+        wout[u] += w
+    rank = {v: scale // n for v in nodes}
+    base = ((scale * (den - num)) // den) // n_base
+    for _ in range(n_iter):
+        share = sum(rank[v] for v in nodes if wout[v] == 0) // n_base
+        inc = {v: 0 for v in nodes}
+        for (u, v), w in ew.items():
+            inc[v] += (rank[u] * w) // wout[u]
+        rank = {v: seed[v] * base
+                + (num * (inc[v] + seed[v] * share)) // den
+                for v in nodes}
+    return rank
+
+
+class TestPagerankVariants:
+    def test_weighted_matches_reference(self, ray_session):
+        import ray.data as rd
+        edges = EDGES + [(1, 2), (10, 3)]          # duplicate rows sum
+        weights = [3, 1, 2, 5, 1, 4, 2, 1, 7, 2]
+        tab = pa.table({"src": pa.array([u for u, _ in edges], pa.int64()),
+                        "dst": pa.array([v for _, v in edges], pa.int64()),
+                        "w": pa.array(weights, pa.int64())})
+        out = pagerank(rd.from_arrow(tab), CFG8, weight_col="w").to_pandas()
+        got = dict(zip(out["node"], out["rank_fp"]))
+        assert got == ref_pagerank_ext(edges, weights=weights)
+
+    def test_unit_weights_equal_unweighted(self, ray_session):
+        import ray.data as rd
+        tab = pa.table({"src": pa.array([u for u, _ in EDGES], pa.int64()),
+                        "dst": pa.array([v for _, v in EDGES], pa.int64()),
+                        "w": pa.array([1] * len(EDGES), pa.int64())})
+        w = pagerank(rd.from_arrow(tab), CFG8, weight_col="w").to_pandas()
+        u = _run(EDGES, CFG8)
+        assert dict(zip(w["node"], w["rank_fp"])) == u
+
+    def test_personalized_matches_reference(self, ray_session):
+        got = _run(EDGES, CFG8, personalization=[1, 10])
+        assert got == ref_pagerank_ext(EDGES, seeds={1, 10})
+        # teleport mass concentrates near the seeds
+        uniform = _run(EDGES, CFG8)
+        assert got[1] > uniform[1]
+
+    def test_personalized_no_seed_in_graph_raises(self, ray_session):
+        with pytest.raises(ValueError):
+            _run(EDGES, CFG8, personalization=[999])
