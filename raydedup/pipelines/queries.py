@@ -3055,15 +3055,15 @@ def q_host_distances(sf_dir):
 def _bfs_sql(seeds, k: int) -> str:
     seed_list = ", ".join(str(s) for s in seeds)
     parts = ["WITH " + _SQL_LINKS.strip() + ",",
-             "e AS (SELECT DISTINCT src, dst FROM links),",
-             "nodes AS (SELECT DISTINCT node FROM"
+             "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM links),",
+             "nodes AS MATERIALIZED (SELECT DISTINCT node FROM"
              " (SELECT src AS node FROM e UNION ALL"
              " SELECT dst AS node FROM e)),",
-             f"d0 AS (SELECT node, CASE WHEN node IN ({seed_list})"
+             f"d0 AS MATERIALIZED (SELECT node, CASE WHEN node IN ({seed_list})"
              f" THEN 0 ELSE NULL END AS dist FROM nodes),"]
     for i in range(1, k + 1):
         parts.append(
-            f"d{i} AS (SELECT d.node,"
+            f"d{i} AS MATERIALIZED (SELECT d.node,"
             f" CASE WHEN d.dist IS NULL"
             f"        OR (m.md IS NOT NULL AND m.md < d.dist)"
             f"      THEN m.md ELSE d.dist END AS dist"
@@ -3113,16 +3113,16 @@ def _pagerank_sql(n_iter: int, *, weighted: bool = False,
     from ..stages.pagerank import DAMPING_DEN, DAMPING_NUM, RANK_SCALE
     num, den, scale = DAMPING_NUM, DAMPING_DEN, RANK_SCALE
     if weighted:
-        e_cte = ("e AS (SELECT src, dst, count(*)::BIGINT AS w"
+        e_cte = ("e AS MATERIALIZED (SELECT src, dst, count(*)::BIGINT AS w"
                  " FROM links GROUP BY src, dst),")
-        deg_cte = ("deg AS (SELECT n.node,"
+        deg_cte = ("deg AS MATERIALIZED (SELECT n.node,"
                    " COALESCE(sum(e.w), 0)::BIGINT AS outdeg"
                    " FROM nodes n LEFT JOIN e ON e.src = n.node"
                    " GROUP BY n.node),")
         contrib = "(r.rank_fp * e.w) // r.outdeg"
     else:
-        e_cte = "e AS (SELECT DISTINCT src, dst FROM links),"
-        deg_cte = ("deg AS (SELECT n.node, count(e.src)::BIGINT AS outdeg"
+        e_cte = "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM links),"
+        deg_cte = ("deg AS MATERIALIZED (SELECT n.node, count(e.src)::BIGINT AS outdeg"
                    " FROM nodes n LEFT JOIN e ON e.src = n.node"
                    " GROUP BY n.node),")
         contrib = "r.rank_fp // r.outdeg"
@@ -3132,24 +3132,24 @@ def _pagerank_sql(n_iter: int, *, weighted: bool = False,
                  if seed_pred else "SELECT n FROM p")
     parts = ["WITH " + _SQL_LINKS.strip() + ",",
              e_cte,
-             "nodes AS (SELECT DISTINCT node FROM"
+             "nodes AS MATERIALIZED (SELECT DISTINCT node FROM"
              " (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),",
              deg_cte,
-             "p AS (SELECT count(*)::BIGINT AS n FROM nodes),",
-             f"r0 AS (SELECT d.node, d.outdeg,"
+             "p AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM nodes),",
+             f"r0 AS MATERIALIZED (SELECT d.node, d.outdeg,"
              f" ({scale} // p.n)::BIGINT AS rank_fp,"
              f" ({seed_expr.replace('node', 'd.node')})::BIGINT AS seed"
              f" FROM deg d, p),"]
     for i in range(1, n_iter + 1):
         parts.append(
-            f"d{i} AS (SELECT (COALESCE(sum(rank_fp), 0)::BIGINT"
+            f"d{i} AS MATERIALIZED (SELECT (COALESCE(sum(rank_fp), 0)::BIGINT"
             f" // ({nbase_sql})) AS share FROM r{i-1} WHERE outdeg = 0),")
         parts.append(
-            f"inc{i} AS (SELECT e.dst AS node,"
+            f"inc{i} AS MATERIALIZED (SELECT e.dst AS node,"
             f" sum({contrib})::BIGINT AS inc"
             f" FROM e JOIN r{i-1} r ON r.node = e.src GROUP BY e.dst),")
         parts.append(
-            f"r{i} AS (SELECT r.node, r.outdeg,"
+            f"r{i} AS MATERIALIZED (SELECT r.node, r.outdeg,"
             f" (r.seed * ((({scale} * {den - num}) // {den})"
             f" // ({nbase_sql}))"
             f" + ({num} * (COALESCE(i.inc, 0) + r.seed * d.share))"
@@ -3162,6 +3162,64 @@ def _pagerank_sql(n_iter: int, *, weighted: bool = False,
 
 
 SQL_PAGERANK = _pagerank_sql(_PR_ITERS)
+
+
+_HITS_ITERS = 4
+
+
+def q_hits_hosts(sf_dir):
+    """Kleinberg HITS hubs & authorities over the host link graph —
+    exact integer L1-normalized fixed-point (scale 1e9), third
+    iterative operator with a bit-exact unrolled-CTE oracle."""
+    from ..stages.hits import hits
+    return hits(_host_links_ds(sf_dir), CFG, n_iter=_HITS_ITERS)
+
+
+def _hits_sql(n_iter: int) -> str:
+    from ..stages.hits import HITS_SCALE
+    scale = HITS_SCALE
+    # AS MATERIALIZED is load-bearing: the s{i}/sa{i} chain references
+    # each predecessor several times, and DuckDB's default CTE inlining
+    # re-executes the whole upstream per reference — exponentially many
+    # re-scans of documents.parquet (observed: >20k open fds at K=4).
+    parts = ["WITH " + _SQL_LINKS.strip() + ",",
+             "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM links),",
+             "nodes AS MATERIALIZED (SELECT DISTINCT node FROM"
+             " (SELECT src AS node FROM e UNION ALL"
+             " SELECT dst AS node FROM e)),",
+             f"s0 AS MATERIALIZED (SELECT node,"
+             f" ({scale} // (SELECT count(*) FROM nodes))::BIGINT AS h,"
+             f" ({scale} // (SELECT count(*) FROM nodes))::BIGINT AS a"
+             f" FROM nodes),"]
+    for i in range(1, n_iter + 1):
+        parts += [
+            f"ar{i} AS MATERIALIZED"
+            f" (SELECT e.dst AS node, sum(s.h)::BIGINT AS raw"
+            f" FROM e JOIN s{i-1} s ON s.node = e.src GROUP BY e.dst),",
+            f"at{i} AS MATERIALIZED (SELECT COALESCE(sum(raw), 0)::BIGINT AS t"
+            f" FROM ar{i}),",
+            f"sa{i} AS MATERIALIZED (SELECT n.node, n.h,"
+            f" (CASE WHEN t.t > 0"
+            f"  THEN ({scale} * COALESCE(r.raw, 0)) // t.t"
+            f"  ELSE 0 END)::BIGINT AS a"
+            f" FROM s{i-1} n CROSS JOIN at{i} t"
+            f" LEFT JOIN ar{i} r ON r.node = n.node),",
+            f"hr{i} AS MATERIALIZED (SELECT e.src AS node, sum(s.a)::BIGINT AS raw"
+            f" FROM e JOIN sa{i} s ON s.node = e.dst GROUP BY e.src),",
+            f"ht{i} AS MATERIALIZED (SELECT COALESCE(sum(raw), 0)::BIGINT AS t"
+            f" FROM hr{i}),",
+            f"s{i} AS MATERIALIZED (SELECT n.node,"
+            f" (CASE WHEN t.t > 0"
+            f"  THEN ({scale} * COALESCE(r.raw, 0)) // t.t"
+            f"  ELSE 0 END)::BIGINT AS h, n.a"
+            f" FROM sa{i} n CROSS JOIN ht{i} t"
+            f" LEFT JOIN hr{i} r ON r.node = n.node),"]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT node, h AS hub_fp, a AS auth_fp FROM s{n_iter}")
+    return "\n".join(parts)
+
+
+SQL_HITS = _hits_sql(_HITS_ITERS)
 
 
 def q_pagerank_weighted(sf_dir):
@@ -3247,6 +3305,7 @@ QUERIES = {
     "host_distances": q_host_distances,
     "pagerank_weighted": q_pagerank_weighted,
     "pagerank_personalized": q_pagerank_personalized,
+    "hits_hosts": q_hits_hosts,
     "substring_spans": q_substring_spans,
     "substring_dedup_stats": q_substring_dedup_stats,
     "media_bytes": q_media_bytes,
@@ -3403,6 +3462,7 @@ ORACLES = {
     "host_distances": SQL_HOST_DISTANCES,
     "pagerank_weighted": SQL_PAGERANK_WEIGHTED,
     "pagerank_personalized": SQL_PAGERANK_PERSONALIZED,
+    "hits_hosts": SQL_HITS,
     # rows-only (non-SQL-expressible): approx_distinct_tokens (HLL —
     # DuckDB's approx_count_distinct is a different sketch),
     # k_core_hosts (iterated aggregation; pure-python reference in

@@ -179,4 +179,6 @@ def bfs_distances(edges_ds, seeds, cfg: PipelineConfig, *,
         return pa.table({"node": state_tab.column("node").filter(keep),
                          "dist": state_tab.column("dist").filter(keep)})
 
-    return rd.from_arrow_refs([_emit.remote(s) for s in state_blocks])
+    out_refs = [_emit.remote(s) for s in state_blocks]
+    ray.wait(out_refs, num_returns=len(out_refs))   # see pagerank._emit note
+    return rd.from_arrow_refs(out_refs)

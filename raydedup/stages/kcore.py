@@ -204,4 +204,6 @@ def k_core(edges_ds, cfg: PipelineConfig, k: int, *,
         return pa.table({"node": state_tab.column("node").filter(
             pa.array(alive == 1))})
 
-    return rd.from_arrow_refs([_alive.remote(s) for s in state_blocks])
+    out_refs = [_alive.remote(s) for s in state_blocks]
+    ray.wait(out_refs, num_returns=len(out_refs))   # see pagerank._emit note
+    return rd.from_arrow_refs(out_refs)

@@ -409,4 +409,10 @@ def pagerank(edges_ds, cfg: PipelineConfig, *, n_iter: int = 5,
     def _emit(state_tab):
         return state_tab.select(["node", "rank_fp"])
 
-    return rd.from_arrow_refs([_emit.remote(s) for s in state_blocks])
+    out_refs = [_emit.remote(s) for s in state_blocks]
+    # Synchronize before handing refs to a Dataset: the caller may drop
+    # the Dataset while upstream rounds still have in-flight tasks, and
+    # Ray's cancel-vs-complete race on those tasks can crash the core
+    # worker (observed: task_manager.cc Check failed ... not pending).
+    ray.wait(out_refs, num_returns=len(out_refs))
+    return rd.from_arrow_refs(out_refs)
