@@ -717,6 +717,133 @@ JOIN cnt ca ON ca.doc_id = p.a JOIN cnt cb ON cb.doc_id = p.b
 """
 
 
+def q_weighted_jaccard_adjacent(sf_dir):
+    """Weighted (multiset) Jaccard Σmin(tf)/Σmax(tf) for (i, i+1) doc
+    pairs — the document-side analogue of the reference's weighted
+    edge kernel (jaccard.cpp's Jw = Wi/(Ws−Wi) recast over term
+    frequencies).  Physical plan: each doc's (token_hash, tf) rows are
+    emitted toward BOTH adjacent pairs inside the scan task (volume =
+    2× token rows), ONE hash exchange on the pair id co-locates a
+    pair's two tf vectors, and a vectorized sorted-run walk computes
+    Σmin over shared tokens; Σmax = n_a + n_b − Σmin (no full outer
+    join anywhere)."""
+    from ..functions.hashing import hash_utf8_array, splitmix64
+    from ..functions.shuffle import hash_partition_map
+
+    n_parts = CFG.resolved_partitions()
+
+    def _explode(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.fill_null(
+            t["text"].combine_chunks(), ""), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offs = np.asarray(toks.offsets, dtype=np.int64)
+        offs = offs - offs[0]
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        doc = np.repeat(ids, np.diff(offs))[keep]
+        th = hash_utf8_array(flat.filter(pa.array(keep))).view(np.int64)
+        # per-doc tf via one lexsort
+        order = np.lexsort((th, doc))
+        doc_s, th_s = doc[order], th[order]
+        first = np.ones(len(doc_s), dtype=bool)
+        first[1:] = (doc_s[1:] != doc_s[:-1]) | (th_s[1:] != th_s[:-1])
+        starts = np.flatnonzero(first)
+        tf = np.diff(np.append(starts, len(doc_s)))
+        doc_u, th_u = doc_s[starts], th_s[starts]
+        # each doc's vector feeds pair (doc-1, doc) as side 1 and pair
+        # (doc, doc+1) as side 0
+        pair = np.concatenate([doc_u, doc_u - 1])
+        side = np.concatenate([np.zeros(len(doc_u), np.int8),
+                               np.ones(len(doc_u), np.int8)])
+        th2 = np.concatenate([th_u, th_u])
+        tf2 = np.concatenate([tf, tf])
+        pid = (splitmix64(pair.view(np.uint64))
+               % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({"pair": pa.array(pair, pa.int64()),
+                         "side": pa.array(side),
+                         "th": pa.array(th2, pa.int64()),
+                         "tf": pa.array(tf2, pa.int64()),
+                         "part": pa.array(pid, pa.int64())})
+
+    def _pairs(tab: pa.Table | None) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "minsum": pa.array([], pa.int64()),
+                          "maxsum": pa.array([], pa.int64()),
+                          "wjaccard": pa.array([], pa.float64())})
+        if tab is None or len(tab) == 0:
+            return empty
+        pair = np.asarray(tab["pair"], dtype=np.int64)
+        side = np.asarray(tab["side"], dtype=np.int8)
+        th = np.asarray(tab["th"], dtype=np.int64)
+        tf = np.asarray(tab["tf"], dtype=np.int64)
+        order = np.lexsort((side, th, pair))
+        pair, side, th, tf = (pair[order], side[order], th[order],
+                              tf[order])
+        # run of (pair, th): [side0] or [side0, side1] or [side1]
+        first = np.ones(len(pair), dtype=bool)
+        first[1:] = (pair[1:] != pair[:-1]) | (th[1:] != th[:-1])
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.append(starts, len(pair)))
+        both = starts[lens == 2]
+        mins = np.minimum(tf[both], tf[both + 1]) if len(both) else \
+            np.empty(0, np.int64)
+        # per-pair aggregates
+        up, inv = np.unique(pair, return_inverse=True)
+        minsum = np.zeros(len(up), dtype=np.int64)
+        if len(both):
+            np.add.at(minsum, inv[both], mins)
+        tot_a = np.zeros(len(up), dtype=np.int64)
+        tot_b = np.zeros(len(up), dtype=np.int64)
+        np.add.at(tot_a, inv[side == 0], tf[side == 0])
+        np.add.at(tot_b, inv[side == 1], tf[side == 1])
+        # a pair is valid only if BOTH endpoint docs exist (interior
+        # pairs); boundary pair ids (min_id-1, max_id) have one side
+        keep = (tot_a > 0) & (tot_b > 0)
+        up, minsum = up[keep], minsum[keep]
+        tot_a, tot_b = tot_a[keep], tot_b[keep]
+        maxsum = tot_a + tot_b - minsum
+        return pa.table({
+            "a": pa.array(up, pa.int64()),
+            "b": pa.array(up + 1, pa.int64()),
+            "minsum": pa.array(minsum, pa.int64()),
+            "maxsum": pa.array(maxsum, pa.int64()),
+            "wjaccard": pa.array(minsum.astype(np.float64)
+                                 / maxsum.astype(np.float64), pa.float64()),
+        })
+
+    exploded = _docs(sf_dir, ["doc_id", "text"])
+    return hash_partition_map(exploded, "part", _pairs, n_parts,
+                              map_fn=_explode,
+                              map_chunk_rows=CFG.batch_size)
+
+
+SQL_WEIGHTED_JACCARD_ADJACENT = """
+WITH tf AS (SELECT doc_id, t AS tok, count(*)::BIGINT AS tf FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS t
+              FROM documents)
+            WHERE t <> '' GROUP BY doc_id, t),
+tot AS (SELECT doc_id, sum(tf)::BIGINT AS n FROM tf GROUP BY doc_id),
+pairs AS (SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+          WHERE doc_id + 1 <= (SELECT max(doc_id) FROM documents)),
+inter AS (SELECT p.a, p.b, sum(least(x.tf, y.tf))::BIGINT AS minsum
+          FROM pairs p
+          JOIN tf x ON x.doc_id = p.a
+          JOIN tf y ON y.doc_id = p.b AND y.tok = x.tok
+          GROUP BY 1, 2)
+SELECT p.a, p.b, coalesce(i.minsum, 0) AS minsum,
+       (na.n + nb.n - coalesce(i.minsum, 0)) AS maxsum,
+       coalesce(i.minsum, 0)::DOUBLE
+           / (na.n + nb.n - coalesce(i.minsum, 0)) AS wjaccard
+FROM pairs p
+LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+JOIN tot na ON na.doc_id = p.a
+JOIN tot nb ON nb.doc_id = p.b
+"""
+
+
 # ------------------------------------------------------------- aggregations
 
 def q_doc_stats_by_lang(sf_dir):
@@ -3306,6 +3433,7 @@ QUERIES = {
     "pagerank_weighted": q_pagerank_weighted,
     "pagerank_personalized": q_pagerank_personalized,
     "hits_hosts": q_hits_hosts,
+    "weighted_jaccard_adjacent": q_weighted_jaccard_adjacent,
     "substring_spans": q_substring_spans,
     "substring_dedup_stats": q_substring_dedup_stats,
     "media_bytes": q_media_bytes,
@@ -3463,6 +3591,7 @@ ORACLES = {
     "pagerank_weighted": SQL_PAGERANK_WEIGHTED,
     "pagerank_personalized": SQL_PAGERANK_PERSONALIZED,
     "hits_hosts": SQL_HITS,
+    "weighted_jaccard_adjacent": SQL_WEIGHTED_JACCARD_ADJACENT,
     # rows-only (non-SQL-expressible): approx_distinct_tokens (HLL —
     # DuckDB's approx_count_distinct is a different sketch),
     # k_core_hosts (iterated aggregation; pure-python reference in

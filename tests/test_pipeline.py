@@ -214,3 +214,38 @@ class TestNearDupDedup:
                         pages["text"].to_pylist()))
         got = dict(zip(out_p["doc_id"], out_p["text"]))
         assert all(got[i] == orig[i] for i in got)
+
+
+def test_weighted_jaccard_adjacent_reference(ray_session, tmp_path):
+    """Σmin/Σmax multiset Jaccard vs a pure-python reference over a
+    planted fixture with repeats, empties and a boundary doc."""
+    import collections
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raydedup.pipelines.queries import q_weighted_jaccard_adjacent
+
+    texts = ["a a a b", "a b b", "a b", "c c d", "", "x y"]
+    tab = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    pq.write_table(tab, tmp_path / "documents.parquet")
+    out = q_weighted_jaccard_adjacent(str(tmp_path)).to_pandas()
+    got = {(r["a"], r["b"]): (r["minsum"], r["maxsum"])
+           for _, r in out.iterrows()}
+    tf = [collections.Counter(t.split(" ")) - collections.Counter([""])
+          for t in texts]
+    want = {}
+    for a in range(len(texts) - 1):
+        ca, cb = tf[a], tf[a + 1]
+        if not ca or not cb:
+            continue                      # empty doc drops its pairs
+        mins = sum(min(ca[t], cb[t]) for t in set(ca) & set(cb))
+        maxs = sum(ca.values()) + sum(cb.values()) - mins
+        want[(a, a + 1)] = (mins, maxs)
+    assert got == want
+    # sanity on a known pair: "a a a b" vs "a b b" -> min 1+1=2? no:
+    # min(3,1)+min(1,2)=2, max = 4+3-2=5
+    assert got[(0, 1)] == (2, 5)
