@@ -296,6 +296,37 @@ def cmd_report(args):
     print(json.dumps(row, sort_keys=True))
 
 
+def cmd_graph(args):
+    """PageRank / personalized PageRank / BFS / k-core / HITS over an
+    edge-list parquet (src:int64, dst:int64[, w:int64])."""
+    _ray_session()
+    import ray.data as rd
+    from .config import DEFAULT_CONFIG
+
+    cfg = DEFAULT_CONFIG
+    edges = rd.read_parquet(args.input)
+    seeds = ([int(x) for x in args.seeds.split(",")]
+             if args.seeds else None)
+    if args.algo == "pagerank":
+        from .stages.pagerank import pagerank
+        out = pagerank(edges, cfg, n_iter=args.iters,
+                       weight_col=("w" if args.weighted else None),
+                       personalization=seeds)
+    elif args.algo == "bfs":
+        if not seeds:
+            raise SystemExit("bfs needs --seeds id,id,...")
+        from .stages.bfs import bfs_distances
+        out = bfs_distances(edges, seeds, cfg, max_hops=args.iters)
+    elif args.algo == "kcore":
+        from .stages.kcore import k_core
+        out = k_core(edges, cfg, args.k)
+    else:  # hits
+        from .stages.hits import hits
+        out = hits(edges, cfg, n_iter=args.iters)
+    out.write_parquet(args.output)
+    print(f"wrote {args.output}")
+
+
 def cmd_compare(args):
     _ray_session()
     import ray.data as rd
@@ -331,6 +362,21 @@ def main(argv=None):
                    help="similarity = overlap/Sørensen/cosine per edge; "
                         "triangles = per-vertex counts + clustering coeff")
     s.set_defaults(fn=cmd_jaccard)
+
+    s = sub.add_parser("graph", help="link-graph analytics: pagerank / "
+                                     "bfs / kcore / hits over an edge list")
+    s.add_argument("algo", choices=["pagerank", "bfs", "kcore", "hits"])
+    s.add_argument("input")
+    s.add_argument("output")
+    s.add_argument("--iters", type=int, default=5,
+                   help="iterations (pagerank/hits) or max hops (bfs)")
+    s.add_argument("--k", type=int, default=3, help="k for kcore")
+    s.add_argument("--seeds", default=None,
+                   help="comma-separated node ids (bfs seeds / "
+                        "personalized-pagerank teleport set)")
+    s.add_argument("--weighted", action="store_true",
+                   help="pagerank: use the 'w' column as edge weights")
+    s.set_defaults(fn=cmd_graph)
 
     s = sub.add_parser("compare", help="golden-output tolerance compare "
                                        "(exit code = warning count)")

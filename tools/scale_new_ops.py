@@ -103,6 +103,28 @@ def run(which: str):
             "nodes_out": n_out, "sec": round(dt, 2),
             "edges_per_sec_per_iter": round(n_edges * 5 / dt, 0)}
 
+    if which in ("graph2", "all"):
+        from raydedup.stages.bfs import bfs_distances
+        from raydedup.stages.hits import hits
+        from raydedup.stages.kcore import k_core
+        n_nodes, n_edges = 2_000_000, 20_000_000
+        cfg = DEFAULT_CONFIG.with_(num_partitions=32)
+        edges = _edges_ds(n_nodes, n_edges).materialize()
+        t0 = time.perf_counter()
+        nb = bfs_distances(edges, range(1000), cfg, max_hops=8).count()
+        dt_b = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        nh = hits(edges, cfg, n_iter=4).count()
+        dt_h = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        nk = k_core(edges, cfg, 15).count()
+        dt_k = time.perf_counter() - t0
+        out["graph2"] = {
+            "n_nodes": n_nodes, "n_edges": n_edges,
+            "bfs": {"reached": nb, "hops": 8, "sec": round(dt_b, 2)},
+            "hits": {"nodes": nh, "iters": 4, "sec": round(dt_h, 2)},
+            "kcore": {"k": 15, "core_size": nk, "sec": round(dt_k, 2)}}
+
     if which in ("hh", "all"):
         from raydedup.stages.vocab import heavy_hitters, top_k_vocab
         docs = _zipf_docs_ds(2_000_000).materialize()
