@@ -651,34 +651,42 @@ def q_containment_adjacent(sf_dir):
     scored = verify_pairs(pairs, sig, cfg1, threshold=None) \
         .select_columns(["a", "b", "intersection"])
 
-    def _sizes(key_out: str, n_out: str):
-        def _m(t: pa.Table) -> pa.Table:
-            toks = pc.split_pattern(pc.fill_null(
-                t["text"].combine_chunks(), ""), " ")
-            if isinstance(toks, pa.ChunkedArray):
-                toks = toks.combine_chunks()
-            flat = toks.flatten()
-            offs = np.asarray(toks.offsets, dtype=np.int64)
-            offs = offs - offs[0]
-            keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-            doc = np.repeat(np.arange(len(t), dtype=np.int64),
-                            np.diff(offs))[keep]
-            th = hash_utf8_array(flat.filter(pa.array(keep))) \
-                .view(np.int64)
-            order = np.lexsort((th, doc))
-            doc_s, th_s = doc[order], th[order]
-            first = np.ones(len(doc_s), dtype=bool)
-            first[1:] = (doc_s[1:] != doc_s[:-1]) | (th_s[1:] != th_s[:-1])
-            n = np.zeros(len(t), dtype=np.int64)
-            np.add.at(n, doc_s[first], 1)
-            return pa.table({key_out: t["doc_id"],
-                             n_out: pa.array(n, pa.int64())})
-        return docs.map_batches(_m, batch_format="pyarrow",
-                                zero_copy_batch=True)
+    def _size_batch(t: pa.Table) -> pa.Table:
+        # distinct-token-hash count per doc, EMPTY TOKENS INCLUDED —
+        # the k=1 shingle sets verify_pairs intersects include the
+        # empty token (see SQL_PAIR_JACCARD_ADJACENT, which likewise
+        # has no tok <> '' filter), so the denominator must too or
+        # containment could exceed 1.0.
+        toks = pc.split_pattern(pc.fill_null(
+            t["text"].combine_chunks(), ""), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offs = np.asarray(toks.offsets, dtype=np.int64)
+        offs = offs - offs[0]
+        doc = np.repeat(np.arange(len(t), dtype=np.int64), np.diff(offs))
+        th = hash_utf8_array(flat).view(np.int64)
+        order = np.lexsort((th, doc))
+        doc_s, th_s = doc[order], th[order]
+        first = np.ones(len(doc_s), dtype=bool)
+        first[1:] = (doc_s[1:] != doc_s[:-1]) | (th_s[1:] != th_s[:-1])
+        n = np.zeros(len(t), dtype=np.int64)
+        np.add.at(n, doc_s[first], 1)
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_set": pa.array(n, pa.int64())})
 
-    j = partitioned_join(scored, _sizes("a_key", "n_a"), "a", CFG,
+    # tokenize ONCE; each join just renames the two columns
+    sizes = docs.map_batches(_size_batch, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+
+    def _renamed(key_out, n_out):
+        return sizes.map_batches(
+            lambda t, k=key_out, n=n_out: t.rename_columns([k, n]),
+            batch_format="pyarrow")
+
+    j = partitioned_join(scored, _renamed("a_key", "n_a"), "a", CFG,
                          right_on="a_key")
-    j = partitioned_join(j, _sizes("b_key", "n_b"), "b", CFG,
+    j = partitioned_join(j, _renamed("b_key", "n_b"), "b", CFG,
                          right_on="b_key")
 
     def _cont(t: pa.Table) -> pa.Table:
@@ -698,13 +706,12 @@ def q_containment_adjacent(sf_dir):
 SQL_CONTAINMENT_ADJACENT = """
 WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
              FROM documents),
-cnt AS (SELECT doc_id, count(*) FILTER (tok <> '') AS n
-        FROM tok GROUP BY doc_id),
+cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
 pairs AS (SELECT doc_id AS a, doc_id + 1 AS b FROM documents
           WHERE doc_id + 1 <= (SELECT max(doc_id) FROM documents)),
 inter AS (
   SELECT p.a, p.b, count(*) AS c
-  FROM pairs p JOIN tok x ON x.doc_id = p.a AND x.tok <> ''
+  FROM pairs p JOIN tok x ON x.doc_id = p.a
                JOIN tok y ON y.doc_id = p.b AND y.tok = x.tok
   GROUP BY 1, 2
 )
@@ -3008,7 +3015,7 @@ def q_inverted_index(sf_dir):
 
     def _proj(t: pa.Table) -> pa.Table:
         lst = t["postings"].combine_chunks()
-        as_str = pa.ListArray.from_arrays(
+        as_str = pa.LargeListArray.from_arrays(
             lst.offsets, pc.cast(lst.values, pa.string()))
         return pa.table({"token": t["token"],
                          "postings": pc.binary_join(as_str, ","),

@@ -40,16 +40,14 @@ def bfs_distances(edges_ds, seeds, cfg: PipelineConfig, *,
     import ray
     import ray.data as rd
 
-    from ..functions.hashing import splitmix64
-    from ..functions.shuffle import hash_partition_map
+    from ..functions.shuffle import hash_partition_map, part_of
 
     n_parts = cfg.resolved_partitions()
     seeds_arr = np.unique(np.asarray(list(seeds), dtype=np.int64))
     seeds_ref = ray.put(seeds_arr)
 
     def _hash_part(x: np.ndarray) -> np.ndarray:
-        return (splitmix64(x.view(np.uint64))
-                % np.uint64(n_parts)).astype(np.int64)
+        return part_of(x, n_parts)      # THE repo partition key
 
     def _tag(t: pa.Table) -> pa.Table:
         s = np.asarray(t[src_col], dtype=np.int64)

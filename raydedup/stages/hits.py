@@ -45,14 +45,12 @@ def hits(edges_ds, cfg: PipelineConfig, *, n_iter: int = 4,
     import ray
     import ray.data as rd
 
-    from ..functions.hashing import splitmix64
-    from ..functions.shuffle import hash_partition_map
+    from ..functions.shuffle import hash_partition_map, part_of
 
     n_parts = cfg.resolved_partitions()
 
     def _hash_part(x: np.ndarray) -> np.ndarray:
-        return (splitmix64(x.view(np.uint64))
-                % np.uint64(n_parts)).astype(np.int64)
+        return part_of(x, n_parts)      # THE repo partition key
 
     def _tag(key_col):
         def _m(t: pa.Table) -> pa.Table:

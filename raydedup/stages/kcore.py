@@ -42,14 +42,12 @@ def k_core(edges_ds, cfg: PipelineConfig, k: int, *,
     import ray
     import ray.data as rd
 
-    from ..functions.hashing import splitmix64
-    from ..functions.shuffle import hash_partition_map
+    from ..functions.shuffle import hash_partition_map, part_of
 
     n_parts = cfg.resolved_partitions()
 
     def _hash_part(x: np.ndarray) -> np.ndarray:
-        return (splitmix64(x.view(np.uint64))
-                % np.uint64(n_parts)).astype(np.int64)
+        return part_of(x, n_parts)      # THE repo partition key
 
     def _tag(t: pa.Table) -> pa.Table:
         s = np.asarray(t[src_col], dtype=np.int64)

@@ -92,7 +92,8 @@ def pagerank(edges_ds, cfg: PipelineConfig, *, n_iter: int = 5,
 
     ``weight_col``: integer edge weights — duplicate (src,dst) rows sum;
     contribution becomes (rank·w)//W(u) with W(u)=Σ out-weights (exact
-    int64; requires scale·max_weight < 2⁶³, asserted).  ``weight_col=
+    int64; scale·max_weight < 2⁶³ is checked at edge build and
+    raises ValueError on overflow).  ``weight_col=
     None`` is the w≡1 special case of the same arithmetic.
 
     ``personalization``: iterable of seed node ids — teleport mass
@@ -111,14 +112,12 @@ def pagerank(edges_ds, cfg: PipelineConfig, *, n_iter: int = 5,
     import ray
     import ray.data as rd
 
-    from ..functions.hashing import splitmix64
-    from ..functions.shuffle import hash_partition_map
+    from ..functions.shuffle import hash_partition_map, part_of
 
     n_parts = cfg.resolved_partitions()
 
     def _hash_part(x: np.ndarray) -> np.ndarray:
-        return (splitmix64(x.view(np.uint64))
-                % np.uint64(n_parts)).astype(np.int64)
+        return part_of(x, n_parts)      # THE repo partition key
 
     weighted = weight_col is not None
 
@@ -151,6 +150,11 @@ def pagerank(edges_ds, cfg: PipelineConfig, *, n_iter: int = 5,
                             return_inverse=True)
         ws = np.zeros(len(pk), dtype=np.int64)
         np.add.at(ws, inv, w)
+        if len(ws) and int(ws.max()) > (2 ** 63 - 1) // scale:
+            raise ValueError(
+                f"pagerank: summed edge weight {int(ws.max())} overflows "
+                f"rank*w at scale={scale} (max {(2**63 - 1) // scale}); "
+                f"lower scale= or pre-scale the weights")
         return pa.table({"src": pa.array(pk[:, 0], pa.int64()),
                          "dst": pa.array(pk[:, 1], pa.int64()),
                          "w": pa.array(ws, pa.int64())})

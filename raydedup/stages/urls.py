@@ -156,7 +156,9 @@ def crawl_diff(old_ds, new_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
                 pc.equal(urls.slice(1), urls.slice(0, n - 1)))
         starts = np.flatnonzero(first)
         lens = np.diff(np.append(starts, n))
-        status = np.empty(n, dtype=np.int8)          # 0 add 1 rm 2 chg 3 same
+        # init to 3 ('same'): a url violating the url-unique
+        # precondition (run length > 2) then drops deterministically
+        status = np.full(n, 3, dtype=np.int8)        # 0 add 1 rm 2 chg 3 same
         solo = starts[lens == 1]
         status[solo] = np.where(side[solo] == 1, 0, 1)
         both = starts[lens == 2]                     # side 0 then side 1

@@ -392,9 +392,14 @@ def heavy_hitters(docs_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
     import ray
 
     n_parts = cfg.resolved_partitions()
+    min_summary = (2 * support_den + support_num - 1) // support_num
     if summary_size is None:
-        summary_size = max(64, (2 * support_den + support_num - 1)
-                           // support_num)
+        summary_size = max(64, min_summary)
+    elif summary_size < min_summary:
+        raise ValueError(
+            f"heavy_hitters: summary_size={summary_size} breaks the "
+            f"no-false-negative guarantee for support "
+            f"{support_num}/{support_den}; need >= {min_summary}")
 
     def _tok_counts(t: pa.Table):
         toks = pc.list_flatten(pc.split_pattern(
@@ -541,7 +546,7 @@ def inverted_index(docs_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
 
     empty = pa.table({
         "token": pa.array([], pa.string()),
-        "postings": pa.array([], pa.list_(pa.int64())),
+        "postings": pa.array([], pa.large_list(pa.int64())),
         "df": pa.array([], pa.int64())})
 
     def _assemble(tab: pa.Table | None) -> pa.Table:
@@ -569,8 +574,10 @@ def inverted_index(docs_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
             [[True], key_s[1:] != key_s[:-1]]))
         offsets = np.concatenate([starts, [len(key_s)]])
         df = np.diff(offsets)
-        postings = pa.ListArray.from_arrays(
-            pa.array(offsets, pa.int32()), pa.array(doc_s, pa.int64()))
+        # int64 offsets: a reduce partition can exceed 2^31 pairs at
+        # the web scale this module targets
+        postings = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), pa.array(doc_s, pa.int64()))
         # argsort(rank) maps lexicographic rank -> dictionary index, so
         # row i's token is the one with lexicographic rank key_s[starts][i]
         out_tok = dic.take(pa.array(

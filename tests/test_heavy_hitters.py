@@ -69,11 +69,16 @@ class TestHeavyHitters:
 
     def test_counts_are_exact_not_lower_bounds(self, ray_session):
         texts = _zipf_docs(n_docs=100, seed=3)
-        got = _run(texts, 1, 100, summary_size=64)
+        got = _run(texts, 1, 32, summary_size=64)   # 64 = the 2/support floor
         cnt = collections.Counter(
             t for s in texts for t in s.split(" ") if t)
+        assert got == _truth(texts, 1, 32)
         for tok, n in got.items():
             assert n == cnt[tok]
+
+    def test_sub_guarantee_summary_size_rejected(self, ray_session):
+        with pytest.raises(ValueError):
+            _run(_zipf_docs(n_docs=20), 1, 100, summary_size=64)
 
 
 class TestBigramPmi:
