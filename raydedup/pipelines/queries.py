@@ -3186,29 +3186,39 @@ def q_host_distances(sf_dir):
                          max_hops=_BFS_HOPS)
 
 
-def _bfs_sql(seeds, k: int) -> str:
+def _bfs_sql(seeds, k: int, *, pre: str = "",
+             with_links: bool = True) -> str:
+    """``pre`` prefixes every CTE name (so the body can be spliced next
+    to the pagerank body, which defines its own e/nodes over the same
+    ``links``); ``with_links=False`` omits the WITH header + links CTE
+    and returns just the body (caller provides both)."""
     seed_list = ", ".join(str(s) for s in seeds)
-    parts = ["WITH " + _SQL_LINKS.strip() + ",",
-             "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM links),",
-             "nodes AS MATERIALIZED (SELECT DISTINCT node FROM"
-             " (SELECT src AS node FROM e UNION ALL"
-             " SELECT dst AS node FROM e)),",
-             f"d0 AS MATERIALIZED (SELECT node, CASE WHEN node IN ({seed_list})"
-             f" THEN 0 ELSE NULL END AS dist FROM nodes),"]
+    parts = []
+    if with_links:
+        parts.append("WITH " + _SQL_LINKS.strip() + ",")
+    parts += [f"{pre}e AS MATERIALIZED"
+              " (SELECT DISTINCT src, dst FROM links),",
+              f"{pre}nodes AS MATERIALIZED (SELECT DISTINCT node FROM"
+              f" (SELECT src AS node FROM {pre}e UNION ALL"
+              f" SELECT dst AS node FROM {pre}e)),",
+              f"{pre}d0 AS MATERIALIZED (SELECT node,"
+              f" CASE WHEN node IN ({seed_list})"
+              f" THEN 0 ELSE NULL END AS dist FROM {pre}nodes),"]
     for i in range(1, k + 1):
         parts.append(
-            f"d{i} AS MATERIALIZED (SELECT d.node,"
+            f"{pre}d{i} AS MATERIALIZED (SELECT d.node,"
             f" CASE WHEN d.dist IS NULL"
             f"        OR (m.md IS NOT NULL AND m.md < d.dist)"
             f"      THEN m.md ELSE d.dist END AS dist"
-            f" FROM d{i-1} d LEFT JOIN"
+            f" FROM {pre}d{i-1} d LEFT JOIN"
             f" (SELECT e.dst AS node, min(r.dist + 1) AS md"
-            f"  FROM e JOIN d{i-1} r ON r.node = e.src"
+            f"  FROM {pre}e e JOIN {pre}d{i-1} r ON r.node = e.src"
             f"  AND r.dist IS NOT NULL GROUP BY e.dst) m"
             f" ON m.node = d.node),")
     parts[-1] = parts[-1].rstrip(",")
-    parts.append(f"SELECT node, dist::BIGINT AS dist FROM d{k}"
-                 f" WHERE dist IS NOT NULL")
+    if with_links:
+        parts.append(f"SELECT node, dist::BIGINT AS dist FROM {pre}d{k}"
+                     f" WHERE dist IS NOT NULL")
     return "\n".join(parts)
 
 
@@ -3296,6 +3306,61 @@ def _pagerank_sql(n_iter: int, *, weighted: bool = False,
 
 
 SQL_PAGERANK = _pagerank_sql(_PR_ITERS)
+
+
+def q_crawl_priority(sf_dir):
+    """Crawl-frontier priority: hosts ranked by PageRank mass decayed by
+    hop distance from the trusted seeds — priority = rank_fp >> dist
+    (exact integer decay).  A composition of two iterative operators'
+    outputs joined by one partitioned equi-join; unreached hosts get
+    the max-hops+1 decay.  Oracled: both inputs are themselves
+    bit-exact, and the composition is pure integer arithmetic, so the
+    whole thing unrolls into one SQL statement reusing the generated
+    pagerank + BFS CTE bodies."""
+    from ..stages.join import partitioned_join
+
+    pr = q_pagerank_hosts(sf_dir)
+    dist = q_host_distances(sf_dir).map_batches(
+        lambda t: t.rename_columns(["node_d", "dist"]),
+        batch_format="pyarrow")
+    j = partitioned_join(pr, dist, "node", CFG, right_on="node_d",
+                         how="left")
+
+    def _prio(t: pa.Table) -> pa.Table:
+        rank = np.asarray(t["rank_fp"], dtype=np.int64)
+        dist_np = np.asarray(pc.fill_null(t["dist"].combine_chunks(),
+                                          _BFS_HOPS + 1), dtype=np.int64)
+        return pa.table({
+            "node": t["node"], "rank_fp": t["rank_fp"],
+            "dist": pa.array(dist_np, pa.int64()),
+            "priority": pa.array(rank >> dist_np, pa.int64()),
+        })
+
+    return j.map_batches(_prio, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
+def _crawl_priority_sql() -> str:
+    """One statement: the generated pagerank body + a b_-prefixed BFS
+    body (sharing the same links CTE) + the integer decay join."""
+    pr_sql = _pagerank_sql(_PR_ITERS)
+    pr_body = pr_sql[:pr_sql.rindex("\nSELECT ")]
+    bfs_body = _bfs_sql(_BFS_SEEDS, _BFS_HOPS, pre="b_",
+                        with_links=False)
+    return (pr_body + ",\n" + bfs_body + ",\n"
+            + f"pr_out AS (SELECT node, rank_fp FROM r{_PR_ITERS}),\n"
+            + f"bfs_out AS (SELECT node, dist::BIGINT AS dist"
+            + f" FROM b_d{_BFS_HOPS} WHERE dist IS NOT NULL)"
+            + f"""
+SELECT p.node, p.rank_fp,
+       coalesce(b.dist, {_BFS_HOPS + 1}) AS dist,
+       (p.rank_fp >> coalesce(b.dist, {_BFS_HOPS + 1}))::BIGINT
+           AS priority
+FROM pr_out p LEFT JOIN bfs_out b ON b.node = p.node
+""")
+
+
+SQL_CRAWL_PRIORITY = _crawl_priority_sql()
 
 
 _HITS_ITERS = 4
@@ -3441,6 +3506,7 @@ QUERIES = {
     "pagerank_personalized": q_pagerank_personalized,
     "hits_hosts": q_hits_hosts,
     "weighted_jaccard_adjacent": q_weighted_jaccard_adjacent,
+    "crawl_priority": q_crawl_priority,
     "substring_spans": q_substring_spans,
     "substring_dedup_stats": q_substring_dedup_stats,
     "media_bytes": q_media_bytes,
@@ -3599,6 +3665,7 @@ ORACLES = {
     "pagerank_personalized": SQL_PAGERANK_PERSONALIZED,
     "hits_hosts": SQL_HITS,
     "weighted_jaccard_adjacent": SQL_WEIGHTED_JACCARD_ADJACENT,
+    "crawl_priority": SQL_CRAWL_PRIORITY,
     # rows-only (non-SQL-expressible): approx_distinct_tokens (HLL —
     # DuckDB's approx_count_distinct is a different sketch),
     # k_core_hosts (iterated aggregation; pure-python reference in
