@@ -87,3 +87,34 @@ class TestCrawlDiff:
         out = crawl_diff(rd.from_arrow(empty), rd.from_arrow(one), CFG) \
             .to_pandas()
         assert dict(zip(out["url"], out["status"])) == {"u/x": "added"}
+
+
+def test_crawl_diff_duplicate_url_deterministic(ray_session):
+    """A url violating the url-unique precondition (3+ rows across the
+    sides) must drop deterministically — never emit a garbage status
+    (regression: status array was np.empty)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydedup.config import DEFAULT_CONFIG
+    from raydedup.stages.urls import crawl_diff
+
+    cfg = DEFAULT_CONFIG.with_(num_partitions=8)
+    old = rd.from_arrow(pa.table({
+        "url": pa.array(["u/dup", "u/dup", "u/gone"], pa.string()),
+        "text": pa.array(["a", "b", "c"], pa.string())}))
+    new = rd.from_arrow(pa.table({
+        "url": pa.array(["u/dup", "u/new"], pa.string()),
+        "text": pa.array(["a", "n"], pa.string())}))
+    outs = []
+    for _ in range(3):
+        df = crawl_diff(old, new, cfg).to_pandas()
+        outs.append(df.sort_values(["url", "status"])
+                    .reset_index(drop=True))
+    # identical across runs, and the dup url never appears
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    pd.testing.assert_frame_equal(outs[0], outs[2])
+    assert "u/dup" not in set(outs[0]["url"])
+    got = dict(zip(outs[0]["url"], outs[0]["status"]))
+    assert got == {"u/gone": "removed", "u/new": "added"}
