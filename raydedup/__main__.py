@@ -82,11 +82,19 @@ def cmd_neardup(args):
     from .pipelines.checkpoint import near_dup_pipeline_checkpointed
     from .pipelines.neardup import near_dup_clusters
 
-    cfg = DEFAULT_CONFIG.with_(
-        **({"k_shingle": args.k} if args.k is not None else {}),
-        **({"verify_threshold": args.threshold}
-           if args.threshold is not None else {}),
-    )
+    overrides = {}
+    if args.k is not None:
+        overrides["k_shingle"] = args.k
+    if args.threshold is not None:
+        overrides["verify_threshold"] = args.threshold
+        if getattr(args, "auto_bands", False):
+            # retune the LSH S-curve to the requested threshold so the
+            # candidate stage's recall/precision follows the verify bar
+            from .functions.lsh_tuning import choose_bands
+            b, r = choose_bands(args.threshold, DEFAULT_CONFIG.num_perms)
+            overrides["bands"], overrides["rows_per_band"] = b, r
+            print(f"auto bands: {b}x{r} for tau={args.threshold}")
+    cfg = DEFAULT_CONFIG.with_(**overrides)
     docs = rd.read_parquet(args.input)
     if args.ckpt:
         labels, mgr = near_dup_pipeline_checkpointed(docs, cfg, args.ckpt)
@@ -474,6 +482,9 @@ def main(argv=None):
     s.add_argument("output")
     s.add_argument("--ckpt", default=None)
     s.add_argument("--threshold", type=float, default=None)
+    s.add_argument("--auto-bands", action="store_true",
+                   help="retune LSH band geometry to --threshold "
+                        "(functions/lsh_tuning.choose_bands)")
     s.add_argument("--k", type=int, default=None)
     s.set_defaults(fn=cmd_neardup)
 
