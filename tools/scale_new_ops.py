@@ -1,7 +1,7 @@
 """Scale artifacts for the round-4 session-3 operators: PageRank,
 heavy hitters, HLL — run at deliberately larger-than-test scale and
 record throughput + host window.  Usage:
-    python tools/scale_new_ops.py [pagerank|hh|hll|all]
+    python tools/scale_new_ops.py [pagerank|graph2|hh|hll|all]
 """
 
 from __future__ import annotations
