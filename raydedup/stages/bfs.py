@@ -106,10 +106,28 @@ def bfs_distances(edges_ds, seeds, cfg: PipelineConfig, *,
     state_blocks = [_init_state.remote(*[s[p] for s in splits])
                     for p in range(n_parts)]
 
+    @ray.remote
+    def _prep_segments(edge_tab):
+        """Per-src segment index over the (src-sorted) edge block, so a
+        round's compute is proportional to the FRONTIER's out-edges,
+        not the whole block (the block itself never changes)."""
+        src = np.asarray(edge_tab["src"], dtype=np.int64)
+        if not len(src):
+            return (src, src, src)
+        first = np.ones(len(src), dtype=bool)
+        first[1:] = src[1:] != src[:-1]
+        starts = np.flatnonzero(first)
+        usrc = src[starts]
+        lens = np.diff(np.append(starts, len(src)))
+        return usrc, starts, lens
+
+    seg_refs = [_prep_segments.remote(b) for b in edge_blocks]
+
     @ray.remote(num_returns=n_parts)
-    def _frontier(edge_tab, state_tab):
+    def _frontier(edge_tab, seg, state_tab):
         """Changed nodes propagate dist+1 along their out-edges; partials
-        min-reduced per dst, routed by hash(dst)."""
+        min-reduced per dst, routed by hash(dst).  Only the frontier's
+        segments of the edge block are touched."""
         empty = pa.table({"node": pa.array([], pa.int64()),
                           "dist": pa.array([], pa.int64())})
         ch = np.asarray(state_tab["changed"], dtype=np.int8) == 1
@@ -117,12 +135,23 @@ def bfs_distances(edges_ds, seeds, cfg: PipelineConfig, *,
             return (*[empty] * n_parts,) if n_parts > 1 else empty
         node = np.asarray(state_tab["node"], dtype=np.int64)
         dist = np.asarray(state_tab["dist"], dtype=np.int64)
-        src = np.asarray(edge_tab["src"], dtype=np.int64)
         dst = np.asarray(edge_tab["dst"], dtype=np.int64)
-        pos = np.searchsorted(node, src)
-        on_frontier = ch[pos]
-        cand_dst = dst[on_frontier]
-        cand_d = dist[pos[on_frontier]] + 1
+        usrc, starts, lens = seg
+        ch_nodes = node[ch]
+        spos = np.searchsorted(usrc, ch_nodes)
+        spos = np.clip(spos, 0, max(len(usrc) - 1, 0))
+        present = (usrc[spos] == ch_nodes) if len(usrc) else \
+            np.zeros(len(ch_nodes), bool)
+        sel = spos[present]
+        if not len(sel):
+            return (*[empty] * n_parts,) if n_parts > 1 else empty
+        sel_starts, sel_lens = starts[sel], lens[sel]
+        total = int(sel_lens.sum())
+        base_rep = np.repeat(np.cumsum(sel_lens) - sel_lens, sel_lens)
+        idx = np.repeat(sel_starts, sel_lens) \
+            + (np.arange(total, dtype=np.int64) - base_rep)
+        cand_dst = dst[idx]
+        cand_d = np.repeat(dist[ch][present] + 1, sel_lens)
         ud, inv = np.unique(cand_dst, return_inverse=True)
         best = np.full(len(ud), UNREACHED, dtype=np.int64)
         np.minimum.at(best, inv, cand_d)
@@ -159,7 +188,8 @@ def bfs_distances(edges_ds, seeds, cfg: PipelineConfig, *,
     hops = 0
     n_changed = [1]
     while sum(n_changed) > 0 and hops < max_hops:
-        msgs = [_frontier.remote(edge_blocks[p], state_blocks[p])
+        msgs = [_frontier.remote(edge_blocks[p], seg_refs[p],
+                                 state_blocks[p])
                 for p in range(n_parts)]
         merged = [_min_merge.remote(state_blocks[q], *[m[q] for m in msgs])
                   for q in range(n_parts)]

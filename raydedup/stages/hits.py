@@ -47,16 +47,22 @@ def hits(edges_ds, cfg: PipelineConfig, *, n_iter: int = 4,
 
     from ..functions.shuffle import hash_partition_map, part_of
 
+    if scale * scale > 2 ** 63 - 1:
+        raise ValueError(
+            f"hits: scale={scale} breaks the scale² < 2⁶³ invariant "
+            f"(normalized raw sums reach scale, so scale·raw wraps "
+            f"int64); max ≈ 3.03e9")
     n_parts = cfg.resolved_partitions()
 
     def _hash_part(x: np.ndarray) -> np.ndarray:
         return part_of(x, n_parts)      # THE repo partition key
 
-    def _tag(key_col):
+    def _tag(key_col, s_col=None, d_col=None):
+        s_col, d_col = s_col or src_col, d_col or dst_col
         def _m(t: pa.Table) -> pa.Table:
             k = np.asarray(t[key_col], dtype=np.int64)
-            return pa.table({"src": t[src_col].combine_chunks(),
-                             "dst": t[dst_col].combine_chunks(),
+            return pa.table({"src": t[s_col].combine_chunks(),
+                             "dst": t[d_col].combine_chunks(),
                              "part": pa.array(_hash_part(k), pa.int64())})
         return _m
 
@@ -75,13 +81,18 @@ def hits(edges_ds, cfg: PipelineConfig, *, n_iter: int = 4,
                              "dst": pa.array(d2, pa.int64())})
         return _d
 
-    by_src = hash_partition_map(
+    by_src_ds = hash_partition_map(
         edges_ds.map_batches(_tag(src_col), batch_format="pyarrow",
                              zero_copy_batch=True),
-        "part", _dedup("src"), n_parts).to_arrow_refs()
+        "part", _dedup("src"), n_parts)
+    by_src = by_src_ds.to_arrow_refs()
+    # the by-dst copy re-exchanges the ALREADY-DEDUPED src blocks (the
+    # distinct edge set is direction-independent), so the upstream
+    # edges_ds pipeline executes exactly once
     by_dst = hash_partition_map(
-        edges_ds.map_batches(_tag(dst_col), batch_format="pyarrow",
-                             zero_copy_batch=True),
+        rd.from_arrow_refs(list(by_src)).map_batches(
+            _tag("dst", "src", "dst"), batch_format="pyarrow",
+            zero_copy_batch=True),
         "part", _dedup("dst"), n_parts).to_arrow_refs()
 
     @ray.remote(num_returns=n_parts)
@@ -132,30 +143,43 @@ def hits(edges_ds, cfg: PipelineConfig, *, n_iter: int = 4,
 
     state_blocks = [_seed.remote(s, scale // n_nodes) for s in state_blocks]
 
+    @ray.remote
+    def _prep(edge_tab, out_col):
+        """Round-invariant routing for the block's OUT column (the
+        grouping/sort is identical every half-step — compute once)."""
+        out = np.asarray(edge_tab[out_col], dtype=np.int64)
+        uo, inv = (np.unique(out, return_inverse=True) if len(out)
+                   else (out, out))
+        part = _hash_part(uo)
+        order = np.argsort(part, kind="stable")
+        slot = np.empty(len(uo), dtype=np.int64)
+        slot[order] = np.arange(len(uo))
+        inv2 = slot[inv] if len(out) else inv
+        bounds = np.searchsorted(part[order], np.arange(n_parts + 1))
+        return uo[order], inv2, bounds
+
+    prep_src = [_prep.remote(b, "dst") for b in by_src]   # h → a routes dst
+    prep_dst = [_prep.remote(b, "src") for b in by_dst]   # a → h routes src
+
     # direction: "fwd" reads hub at src (edge blocks by_src, co-located
     # with state) and routes to dst; "rev" reads auth at dst (by_dst)
     # and routes to src.
     @ray.remote(num_returns=n_parts + 1)
-    def _messages(edge_tab, state_tab, read_col, key_col, out_col):
+    def _messages(edge_tab, prep, state_tab, read_col, key_col):
         node = np.asarray(state_tab["node"], dtype=np.int64)
         val = np.asarray(state_tab[read_col], dtype=np.int64)
         key = np.asarray(edge_tab[key_col], dtype=np.int64)
-        out = np.asarray(edge_tab[out_col], dtype=np.int64)
         empty = pa.table({"node": pa.array([], pa.int64()),
                           "inc": pa.array([], pa.int64())})
         if not len(key):
             return (*[empty] * n_parts, 0)
+        uo_s, inv2, bounds = prep
         pos = np.searchsorted(node, key)      # key is local by layout
         contrib = val[pos]
-        uo, inv = np.unique(out, return_inverse=True)
-        inc = np.zeros(len(uo), dtype=np.int64)
-        np.add.at(inc, inv, contrib)
+        inc = np.zeros(len(uo_s), dtype=np.int64)
+        np.add.at(inc, inv2, contrib)
         total = int(inc.sum())
-        part = _hash_part(uo)
-        order = np.argsort(part, kind="stable")
-        uo, inc, part = uo[order], inc[order], part[order]
-        bounds = np.searchsorted(part, np.arange(n_parts + 1))
-        outs = [pa.table({"node": pa.array(uo[bounds[p]:bounds[p + 1]],
+        outs = [pa.table({"node": pa.array(uo_s[bounds[p]:bounds[p + 1]],
                                            pa.int64()),
                           "inc": pa.array(inc[bounds[p]:bounds[p + 1]],
                                           pa.int64())})
@@ -180,16 +204,16 @@ def hits(edges_ds, cfg: PipelineConfig, *, n_iter: int = 4,
 
     for _ in range(n_iter):
         # h → a (authority update)
-        msg = [_messages.remote(by_src[p], state_blocks[p],
-                                "hub_fp", "src", "dst")
+        msg = [_messages.remote(by_src[p], prep_src[p], state_blocks[p],
+                                "hub_fp", "src")
                for p in range(n_parts)]
         total = sum(ray.get([m[n_parts] for m in msg]))
         state_blocks = [_normalize_merge.remote(
             state_blocks[q], total, 2, "auth_fp", *[m[q] for m in msg])
             for q in range(n_parts)]
         # a → h (hub update)
-        msg = [_messages.remote(by_dst[p], state_blocks[p],
-                                "auth_fp", "dst", "src")
+        msg = [_messages.remote(by_dst[p], prep_dst[p], state_blocks[p],
+                                "auth_fp", "dst")
                for p in range(n_parts)]
         total = sum(ray.get([m[n_parts] for m in msg]))
         state_blocks = [_normalize_merge.remote(

@@ -193,8 +193,16 @@ def k_core(edges_ds, cfg: PipelineConfig, k: int, *,
         n_dead = ray.get([a[1] for a in applied])
         rounds += 1
 
+    if sum(n_dead) > 0:
+        import warnings
+        warnings.warn(
+            f"k_core: peeling did not converge within max_rounds="
+            f"{max_rounds} ({sum(n_dead)} nodes still dying) — the "
+            f"returned set is a SUPERSET of the true {k}-core; raise "
+            f"max_rounds", RuntimeWarning)
     if counters is not None:
-        counters.add.remote({"kcore_rounds": rounds})
+        counters.add.remote({"kcore_rounds": rounds,
+                             "kcore_converged": int(sum(n_dead) == 0)})
 
     @ray.remote
     def _alive(state_tab):

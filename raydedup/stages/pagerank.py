@@ -114,6 +114,8 @@ def pagerank(edges_ds, cfg: PipelineConfig, *, n_iter: int = 5,
 
     from ..functions.shuffle import hash_partition_map, part_of
 
+    if fan not in ("flat", "tree", "auto"):
+        raise ValueError(f"fan={fan!r} not in {{'flat', 'tree', 'auto'}}")
     n_parts = cfg.resolved_partitions()
 
     def _hash_part(x: np.ndarray) -> np.ndarray:
@@ -146,6 +148,11 @@ def pagerank(edges_ds, cfg: PipelineConfig, *, n_iter: int = 5,
             return pa.table({"src": pa.array(pk[:, 0], pa.int64()),
                              "dst": pa.array(pk[:, 1], pa.int64())})
         w = np.asarray(tab["w"], dtype=np.int64)
+        if (w <= 0).any():
+            raise ValueError(
+                "pagerank: edge weights must be positive (zero/negative "
+                "weights would silently corrupt W(u) and the dangling "
+                "classification)")
         pk, inv = np.unique(np.stack([src, dst], axis=1), axis=0,
                             return_inverse=True)
         ws = np.zeros(len(pk), dtype=np.int64)
@@ -250,8 +257,35 @@ def pagerank(edges_ds, cfg: PipelineConfig, *, n_iter: int = 5,
                          "in the graph")
     base = ((scale * (damping_den - damping_num)) // damping_den) // n_base
 
+    use_tree = (fan == "tree"
+                or (fan == "auto" and n_parts >= FAN_TREE_MIN_PARTS))
+    group_size = int(np.ceil(np.sqrt(n_parts)))
+    n_groups = (n_parts + group_size - 1) // group_size
+
+    @ray.remote
+    def _prep_edges(edge_tab):
+        """Round-invariant routing for this (static) edge block: the
+        dst grouping + its part-sorted layout + shard bounds, computed
+        ONCE instead of re-sorted every round (was a dominant share of
+        per-round compute at 20M edges)."""
+        dst = np.asarray(edge_tab["dst"], dtype=np.int64)
+        udst, inv = (np.unique(dst, return_inverse=True) if len(dst)
+                     else (dst, dst.astype(np.int64)))
+        part = _hash_part(udst)
+        order = np.argsort(part, kind="stable")
+        slot = np.empty(len(udst), dtype=np.int64)
+        slot[order] = np.arange(len(udst))
+        inv2 = slot[inv] if len(dst) else inv   # edge → final slot
+        udst_s, part_s = udst[order], part[order]
+        bounds = np.searchsorted(part_s, np.arange(n_parts + 1))
+        gbounds = np.searchsorted(part_s,
+                                  np.arange(n_groups + 1) * group_size)
+        return udst_s, inv2, part_s, bounds, gbounds
+
+    prep_refs = [_prep_edges.remote(b) for b in edge_blocks]
+
     @ray.remote(num_returns=n_parts + 1)
-    def _messages(edge_tab, state_tab):
+    def _messages(edge_tab, prep, state_tab):
         """Edge partition p + state partition p → per-destination-partition
         (node, inc) partial sums; extra return = this partition's
         dangling rank mass (Σ rank where outdeg==0)."""
@@ -260,11 +294,11 @@ def pagerank(edges_ds, cfg: PipelineConfig, *, n_iter: int = 5,
         rank = np.asarray(state_tab["rank_fp"], dtype=np.int64)
         dang = int(rank[deg == 0].sum())
         src = np.asarray(edge_tab["src"], dtype=np.int64)
-        dst = np.asarray(edge_tab["dst"], dtype=np.int64)
         empty = pa.table({"node": pa.array([], pa.int64()),
                           "inc": pa.array([], pa.int64())})
         if not len(src):
             return (*[empty] * n_parts, dang)
+        udst_s, inv2, _part_s, bounds, _g = prep
         pos = np.searchsorted(node, src)     # every src is present here
         if weighted:                         # deg = W(u) > 0 for every src
             contrib = (rank[pos]
@@ -272,15 +306,9 @@ def pagerank(edges_ds, cfg: PipelineConfig, *, n_iter: int = 5,
                 // deg[pos]
         else:
             contrib = rank[pos] // deg[pos]
-        # local partial sums per dst (edge_tab sorted by src, not dst)
-        udst, inv = np.unique(dst, return_inverse=True)
-        inc = np.zeros(len(udst), dtype=np.int64)
-        np.add.at(inc, inv, contrib)
-        part = _hash_part(udst)
-        order = np.argsort(part, kind="stable")
-        udst, inc, part = udst[order], inc[order], part[order]
-        bounds = np.searchsorted(part, np.arange(n_parts + 1))
-        outs = [pa.table({"node": pa.array(udst[bounds[p]:bounds[p + 1]],
+        inc = np.zeros(len(udst_s), dtype=np.int64)
+        np.add.at(inc, inv2, contrib)
+        outs = [pa.table({"node": pa.array(udst_s[bounds[p]:bounds[p + 1]],
                                            pa.int64()),
                           "inc": pa.array(inc[bounds[p]:bounds[p + 1]],
                                           pa.int64())})
@@ -305,13 +333,8 @@ def pagerank(edges_ds, cfg: PipelineConfig, *, n_iter: int = 5,
         return state_tab.set_column(2, "rank_fp",
                                     pa.array(new_rank, pa.int64()))
 
-    use_tree = (fan == "tree"
-                or (fan == "auto" and n_parts >= FAN_TREE_MIN_PARTS))
-    group_size = int(np.ceil(np.sqrt(n_parts)))
-    n_groups = (n_parts + group_size - 1) // group_size
-
     @ray.remote(num_returns=n_groups + 1)
-    def _messages_grouped(edge_tab, state_tab):
+    def _messages_grouped(edge_tab, prep, state_tab):
         """Like _messages, but shards are grouped by destination
         partition GROUP (part // group_size) — G returns, not P."""
         node = np.asarray(state_tab["node"], dtype=np.int64)
@@ -319,12 +342,12 @@ def pagerank(edges_ds, cfg: PipelineConfig, *, n_iter: int = 5,
         rank = np.asarray(state_tab["rank_fp"], dtype=np.int64)
         dang = int(rank[deg == 0].sum())
         src = np.asarray(edge_tab["src"], dtype=np.int64)
-        dst = np.asarray(edge_tab["dst"], dtype=np.int64)
         empty = pa.table({"node": pa.array([], pa.int64()),
                           "inc": pa.array([], pa.int64()),
                           "part": pa.array([], pa.int64())})
         if not len(src):
             return (*[empty] * n_groups, dang)
+        udst_s, inv2, part_s, _b, gbounds = prep
         pos = np.searchsorted(node, src)
         if weighted:
             contrib = (rank[pos]
@@ -332,19 +355,13 @@ def pagerank(edges_ds, cfg: PipelineConfig, *, n_iter: int = 5,
                 // deg[pos]
         else:
             contrib = rank[pos] // deg[pos]
-        udst, inv = np.unique(dst, return_inverse=True)
-        inc = np.zeros(len(udst), dtype=np.int64)
-        np.add.at(inc, inv, contrib)
-        part = _hash_part(udst)
-        order = np.argsort(part, kind="stable")
-        udst, inc, part = udst[order], inc[order], part[order]
-        bounds = np.searchsorted(part,
-                                 np.arange(n_groups + 1) * group_size)
-        outs = [pa.table({"node": pa.array(udst[bounds[g]:bounds[g + 1]],
+        inc = np.zeros(len(udst_s), dtype=np.int64)
+        np.add.at(inc, inv2, contrib)
+        outs = [pa.table({"node": pa.array(udst_s[gbounds[g]:gbounds[g + 1]],
                                            pa.int64()),
-                          "inc": pa.array(inc[bounds[g]:bounds[g + 1]],
+                          "inc": pa.array(inc[gbounds[g]:gbounds[g + 1]],
                                           pa.int64()),
-                          "part": pa.array(part[bounds[g]:bounds[g + 1]],
+                          "part": pa.array(part_s[gbounds[g]:gbounds[g + 1]],
                                            pa.int64())})
                 for g in range(n_groups)]
         return (*outs, dang)
@@ -379,7 +396,8 @@ def pagerank(edges_ds, cfg: PipelineConfig, *, n_iter: int = 5,
 
     for _ in range(n_iter):
         if use_tree:
-            msg = [_messages_grouped.remote(edge_blocks[p], state_blocks[p])
+            msg = [_messages_grouped.remote(edge_blocks[p], prep_refs[p],
+                                            state_blocks[p])
                    for p in range(n_parts)]
             dang_total = sum(ray.get([m[n_groups] for m in msg]))
             share = dang_total // n_base
@@ -397,7 +415,8 @@ def pagerank(edges_ds, cfg: PipelineConfig, *, n_iter: int = 5,
                                   [q % group_size])
                     for q in range(n_parts)]
         else:
-            msg = [_messages.remote(edge_blocks[p], state_blocks[p])
+            msg = [_messages.remote(edge_blocks[p], prep_refs[p],
+                                    state_blocks[p])
                    for p in range(n_parts)]
             dang_total = sum(ray.get([m[n_parts] for m in msg]))
             share = dang_total // n_base

@@ -69,3 +69,11 @@ class TestHits:
         # one-way chain: every score well-defined, matches reference
         edges = [(1, 2), (2, 3)]
         assert _run(edges) == ref_hits(edges)
+
+
+def test_scale_guard(ray_session):
+    import ray.data as rd
+    tab = pa.table({"src": pa.array([1], pa.int64()),
+                    "dst": pa.array([2], pa.int64())})
+    with pytest.raises(ValueError):
+        hits(rd.from_arrow(tab), CFG, scale=10**10)

@@ -71,3 +71,17 @@ class TestKCore:
     def test_self_loops_and_dupes_ignored(self, ray_session):
         edges = [(1, 2), (2, 3), (3, 1), (1, 1), (2, 2), (1, 2), (2, 1)]
         assert _run(edges, 2) == {1, 2, 3}
+
+
+def test_non_convergence_warns(ray_session):
+    """max_rounds too small → RuntimeWarning, superset returned."""
+    import warnings
+    edges = [(i, i + 1) for i in range(60)]   # long path, k=2 peels ends
+    import ray.data as rd
+    tab = pa.table({"src": pa.array([u for u, _ in edges], pa.int64()),
+                    "dst": pa.array([v for _, v in edges], pa.int64())})
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = k_core(rd.from_arrow(tab), CFG, 2, max_rounds=3).to_pandas()
+    assert any("did not converge" in str(x.message) for x in w)
+    assert len(out) > 0          # superset, not the (empty) true 2-core

@@ -169,3 +169,22 @@ class TestPagerankVariants:
     def test_personalized_no_seed_in_graph_raises(self, ray_session):
         with pytest.raises(ValueError):
             _run(EDGES, CFG8, personalization=[999])
+
+
+def test_fan_validation(ray_session):
+    import ray.data as rd
+    tab = pa.table({"src": pa.array([1], pa.int64()),
+                    "dst": pa.array([2], pa.int64())})
+    with pytest.raises(ValueError):
+        pagerank(rd.from_arrow(tab), CFG8, fan="Tree")
+
+
+def test_nonpositive_weight_rejected(ray_session):
+    import ray
+    import ray.data as rd
+    tab = pa.table({"src": pa.array([1, 1], pa.int64()),
+                    "dst": pa.array([2, 3], pa.int64()),
+                    "w": pa.array([3, -3], pa.int64())})
+    with pytest.raises(Exception) as ei:
+        pagerank(rd.from_arrow(tab), CFG8, weight_col="w").count()
+    assert "positive" in str(ei.value)
