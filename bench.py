@@ -208,8 +208,29 @@ def run_bench() -> dict:
     # stays in the artifact so the gate is auditable.
     reps = int(os.environ.get("GRAFT_BENCH_REPS", "3"))
     steal_gate = float(os.environ.get("GRAFT_BENCH_STEAL_GATE", "5.0"))
-    max_attempts = max(1, int(os.environ.get("GRAFT_BENCH_ATTEMPTS", "3")))
+    # r4 post-mortem: 3 attempts back-to-back all landed in the same
+    # dirty hypervisor window (22.8/5.7/5.5% steal) and the official
+    # artifact carried a 2x-inflated number the repo's own later capture
+    # contradicted.  Two fixes: double the attempt budget, and WAIT FOR
+    # QUIET between attempts — retrying immediately just re-samples the
+    # same noisy neighbor.
+    max_attempts = max(1, int(os.environ.get("GRAFT_BENCH_ATTEMPTS", "6")))
+    # max seconds to wait (polling steal in 20 s probes) before retrying
+    wait_budget = float(os.environ.get("GRAFT_BENCH_WAIT_QUIET", "300"))
     n_pairs = 0
+
+    def _wait_for_quiet(budget: float) -> None:
+        """Poll /proc/stat steal in 20 s windows until one reads under
+        the gate or the budget runs out — attempts then start in a
+        plausibly-clean window instead of re-sampling the dirty one."""
+        t_end = time.time() + budget
+        while time.time() < t_end:
+            st0, tot0 = _steal_jiffies()
+            time.sleep(20)
+            st1, tot1 = _steal_jiffies()
+            pct = 100.0 * (st1 - st0) / max(tot1 - tot0, 1)
+            if pct < steal_gate:
+                return
 
     def _suite_reps(raw):
         nonlocal n_pairs
@@ -222,7 +243,9 @@ def run_bench() -> dict:
                     n_pairs = int(out)
 
     attempts: list[tuple[dict, dict]] = []
-    for _ in range(max_attempts):
+    for i in range(max_attempts):
+        if i and attempts[-1][1]["steal_pct"] >= steal_gate:
+            _wait_for_quiet(wait_budget)
         raw: dict[str, list[float]] = {name: [] for name, _ in suite}
         _, window = _host_window(lambda: _suite_reps(raw))
         attempts.append((raw, window))
@@ -292,7 +315,7 @@ def run_scaling() -> dict:
     # the cleanest session is reported, every session's windows are
     # kept in the artifact.
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
-    max_sessions = max(1, int(os.environ.get("GRAFT_SCALING_ATTEMPTS", "2")))
+    max_sessions = max(1, int(os.environ.get("GRAFT_SCALING_ATTEMPTS", "3")))
     gate = float(os.environ.get("GRAFT_BENCH_STEAL_GATE", "5.0"))
     # a session is "settled" when its clean reps also agree with each
     # other: round-4 session A was all-reps-clean (<5% steal) yet its
@@ -309,8 +332,22 @@ def run_scaling() -> dict:
               if (r.get("host_window") or {}).get("steal_pct", 0.0) <= gate]
         return (max(ts) / min(ts)) if ts else float("inf")
 
+    def _wait_for_quiet(budget: float = 300.0) -> None:
+        """Same wait-for-quiet as the bench suite: don't start a retry
+        session inside the SAME dirty hypervisor window the failed one
+        measured."""
+        t_end = time.time() + budget
+        while time.time() < t_end:
+            st0, tot0 = _steal_jiffies()
+            time.sleep(20)
+            st1, tot1 = _steal_jiffies()
+            if 100.0 * (st1 - st0) / max(tot1 - tot0, 1) < gate:
+                return
+
     sessions = []
-    for _ in range(max_sessions):
+    for s_i in range(max_sessions):
+        if s_i and sessions[-1][0] > gate:
+            _wait_for_quiet()
         s_runs_lo, s_runs_hi = [], []
         for _ in range(reps):
             s_runs_lo.append(once(lo))

@@ -87,13 +87,20 @@ def cmd_neardup(args):
         overrides["k_shingle"] = args.k
     if args.threshold is not None:
         overrides["verify_threshold"] = args.threshold
-        if getattr(args, "auto_bands", False):
-            # retune the LSH S-curve to the requested threshold so the
-            # candidate stage's recall/precision follows the verify bar
-            from .functions.lsh_tuning import choose_bands
-            b, r = choose_bands(args.threshold, DEFAULT_CONFIG.num_perms)
-            overrides["bands"], overrides["rows_per_band"] = b, r
-            print(f"auto bands: {b}x{r} for tau={args.threshold}")
+    if getattr(args, "auto_bands", False):
+        # retune the LSH S-curve to the verify threshold (the explicit
+        # --threshold, else the config default — previously the retune
+        # was silently skipped without --threshold, ADVICE r4) so the
+        # candidate stage's recall/precision follows the verify bar
+        from .functions.lsh_tuning import choose_bands
+        tau = args.threshold if args.threshold is not None \
+            else DEFAULT_CONFIG.verify_threshold
+        if args.threshold is None:
+            print(f"auto bands: no --threshold given; tuning to the "
+                  f"config default tau={tau}")
+        b, r = choose_bands(tau, DEFAULT_CONFIG.num_perms)
+        overrides["bands"], overrides["rows_per_band"] = b, r
+        print(f"auto bands: {b}x{r} for tau={tau}")
     cfg = DEFAULT_CONFIG.with_(**overrides)
     docs = rd.read_parquet(args.input)
     if args.ckpt:
@@ -231,19 +238,25 @@ def cmd_bandstore(args):
     from .stages.incremental import corpus_band_table, corpus_hash_table
 
     docs = rd.read_parquet(args.input)
-    corpus_band_table(docs, DEFAULT_CONFIG).write_parquet(
-        f"{args.output}/bands")
+    bands = corpus_band_table(docs, DEFAULT_CONFIG).materialize()
+    bands.write_parquet(f"{args.output}/bands")
     hashes = corpus_hash_table(docs, DEFAULT_CONFIG).materialize()
     hashes.write_parquet(f"{args.output}/hashes")
-    from .stages.incremental import build_hash_bloom
+    from .stages.incremental import build_band_bloom, build_hash_bloom
     build_hash_bloom(None, DEFAULT_CONFIG,
                      corpus_hashes=hashes).write_parquet(
         f"{args.output}/bloom")
+    # band-key Bloom: lets each increment prune the corpus band store
+    # BEFORE the exchange (lsh.incremental_candidate_pairs)
+    build_band_bloom(bands, DEFAULT_CONFIG).write_parquet(
+        f"{args.output}/band_bloom")
     n_bands = rd.read_parquet(f"{args.output}/bands").count()
     n_hashes = rd.read_parquet(f"{args.output}/hashes").count()
     n_bloom = rd.read_parquet(f"{args.output}/bloom").count()
+    n_bbloom = rd.read_parquet(f"{args.output}/band_bloom").count()
     print(json.dumps({"bands": n_bands, "hashes": n_hashes,
                       "bloom_filters": n_bloom,
+                      "band_bloom_filters": n_bbloom,
                       "out": args.output}, sort_keys=True))
 
 
@@ -260,13 +273,15 @@ def cmd_incremental(args):
     )
     inc = rd.read_parquet(args.increment)
     corpus = rd.read_parquet(args.corpus)
-    bands = hashes = bloom = None
+    bands = hashes = bloom = band_bloom = None
     if args.store:
         import os as _os
         bands = rd.read_parquet(f"{args.store}/bands")
         hashes = rd.read_parquet(f"{args.store}/hashes")
         if _os.path.isdir(f"{args.store}/bloom"):
             bloom = rd.read_parquet(f"{args.store}/bloom")
+        if _os.path.isdir(f"{args.store}/band_bloom"):
+            band_bloom = rd.read_parquet(f"{args.store}/band_bloom")
     # tier 1: exact vs corpus (prebuilt hash store skips corpus re-hash;
     # a persisted bloom store collapses the corpus-side exchange to a
     # membership probe + zero-shuffle confirm scan)
@@ -282,6 +297,7 @@ def cmd_incremental(args):
         # one band exchange serves both outputs
         kept, matches = incremental_near_dup(kept, corpus, cfg,
                                              corpus_bands=bands,
+                                             corpus_band_bloom=band_bloom,
                                              with_matches=True)
         matches.write_parquet(f"{args.output}/matches")
     kept.write_parquet(f"{args.output}/kept")

@@ -536,9 +536,9 @@ def q_edge_jaccard_weighted(sf_dir):
     return out.map_batches(
         lambda t: pa.table({
             "a": t["a"], "b": t["b"],
-            "wi_e6": pc.round(pc.multiply(t["weight_i"], 1e6), 0).cast(pa.int64()),
-            "wu_e6": pc.round(pc.multiply(t["weight_u"], 1e6), 0).cast(pa.int64()),
-            "j_e6": pc.round(pc.multiply(t["jaccard"], 1e6), 0).cast(pa.int64()),
+            "wi_e6": pc.round(pc.multiply(t["weight_i"], 1e6), 0, round_mode="half_towards_infinity").cast(pa.int64()),
+            "wu_e6": pc.round(pc.multiply(t["weight_u"], 1e6), 0, round_mode="half_towards_infinity").cast(pa.int64()),
+            "j_e6": pc.round(pc.multiply(t["jaccard"], 1e6), 0, round_mode="half_towards_infinity").cast(pa.int64()),
         }),
         batch_format="pyarrow",
     )
@@ -628,7 +628,15 @@ def q_containment_adjacent(sf_dir):
     doc pairs — catches quotes/subsets that symmetric Jaccard dilutes.
     Intersections come from the same verify surface as pair_jaccard;
     per-doc distinct-set sizes attach via two partitioned joins (each
-    side moves once per join — no broadcast of a corpus-sized table)."""
+    side moves once per join — no broadcast of a corpus-sized table).
+
+    Hash-equality convention (same caveat as the 128-bit content hash):
+    ``n_set`` counts distinct 64-bit token HASHES while the SQL oracle
+    counts distinct token strings — a within-doc 64-bit collision would
+    undercount the denominator and inflate containment.  At ~2⁻⁶⁴ per
+    token pair this is the repo-wide accepted risk; dedup on strings
+    (doc_keywords' Arrow group_by) is the escape hatch if a corpus ever
+    trips it."""
     import ray.data as rd
 
     from ..functions.hashing import hash_utf8_array
@@ -974,7 +982,7 @@ def q_events_hourly(sf_dir):
             "event_type": t["event_type"],
             "n_events": t["n_events"],
             "sum_value_cents": pc.round(
-                pc.multiply(t["sum_value_raw"], 100.0), 0).cast(pa.int64()),
+                pc.multiply(t["sum_value_raw"], 100.0), 0, round_mode="half_towards_infinity").cast(pa.int64()),
         }),
         batch_format="pyarrow",
     )
@@ -1058,7 +1066,7 @@ def q_ann_topk(sf_dir):
             "query_id": t["query_id"],
             "vec_id": t["vec_id"],
             "cosine_e6": pc.round(
-                pc.multiply(t["cosine"], 1e6), 0).cast(pa.int64()),
+                pc.multiply(t["cosine"], 1e6), 0, round_mode="half_towards_infinity").cast(pa.int64()),
         }),
         batch_format="pyarrow",
     )
@@ -1080,12 +1088,69 @@ FROM r WHERE rn <= 10
 
 def q_ann_ivf_topk(sf_dir):
     """IVF approximate top-k (rows-only: k-means routing is not
-    SQL-expressible; recall vs brute force is gated in tests)."""
+    SQL-expressible; recall vs brute force is gated in tests — the
+    routing/probe/finisher machinery itself is hash-checked by
+    ``ann_ivf_scored``)."""
     import ray.data as rd
     from ..stages.ann import ann_ivf_topk
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
     return ann_ivf_topk(emb, query_ids=[0, 1, 2], k=10, cfg=CFG)
+
+
+def q_ann_ivf_scored(sf_dir):
+    """The IVF physical plan (cell routing → probed-cell-only matmuls →
+    per-query top-k finisher) under the deterministic SQL-expressible
+    quantizer (cell = argmax embedding dimension; a query probes its
+    nprobe largest dims) — the same trick that oracled the semantic
+    surface (semantic_pairs_scored), so every emitted cosine AND the
+    probe-routing itself hash-check against DuckDB.  k-means recall
+    stays a pytest gate on ``ann_ivf_topk``."""
+    import ray.data as rd
+    from ..stages.ann import ann_ivf_topk
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    out = ann_ivf_topk(emb, query_ids=[0, 1, 2], k=10, nprobe=4, cfg=CFG,
+                       quantizer="argmax")
+    return out.map_batches(
+        lambda t: pa.table({
+            "query_id": t["query_id"],
+            "vec_id": t["vec_id"],
+            "cosine_e6": pc.round(
+                pc.multiply(t["cosine"], 1e6), 0,
+                round_mode="half_towards_infinity").cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+SQL_ANN_IVF_SCORED = """
+WITH b AS (
+  SELECT vec_id, embedding,
+         list_position(embedding, list_max(embedding)) - 1 AS cell
+  FROM embeddings),
+q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      WHERE vec_id IN (0, 1, 2)),
+qd AS (SELECT qid, qe, unnest(qe) AS val,
+              unnest(range(0, len(qe))) AS cell
+       FROM q),
+probed AS (
+  SELECT qid, qe, cell FROM (
+    SELECT qid, qe, cell,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY val DESC, cell ASC) AS rn
+    FROM qd) WHERE rn <= 4),
+s AS (SELECT p.qid AS query_id, e.vec_id,
+             list_cosine_similarity(p.qe::DOUBLE[],
+                                    e.embedding::DOUBLE[]) AS cosine
+      FROM probed p JOIN b e ON e.cell = p.cell
+      WHERE e.vec_id <> p.qid),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id ASC) AS rn
+      FROM s)
+SELECT query_id, vec_id, round(cosine * 1e6)::BIGINT AS cosine_e6
+FROM r WHERE rn <= 10
+"""
 
 
 def q_bpe_token_count(sf_dir):
@@ -1602,7 +1667,8 @@ def q_events_asof(sf_dir):
     purchases = purchases.map_batches(
         lambda t: pa.table({
             "user_id": t["user_id"], "ts": t["ts"],
-            "v_cents": pc.round(pc.multiply(t["value"], 100.0), 0)
+            "v_cents": pc.round(pc.multiply(t["value"], 100.0), 0,
+                                round_mode="half_towards_infinity")
                          .cast(pa.int64()),
         }), batch_format="pyarrow")
     return asof_join(clicks, purchases, CFG, value_col="v_cents",
@@ -1628,7 +1694,8 @@ def q_events_window(sf_dir):
     ev = ev.map_batches(
         lambda t: pa.table({
             "event_id": t["event_id"], "user_id": t["user_id"], "ts": t["ts"],
-            "cents": pc.round(pc.multiply(t["value"], 100.0), 0)
+            "cents": pc.round(pc.multiply(t["value"], 100.0), 0,
+                              round_mode="half_towards_infinity")
                        .cast(pa.int64()),
         }), batch_format="pyarrow")
     return windowed_agg(ev, CFG, cents_col="cents", window_minutes=60)
@@ -2405,6 +2472,28 @@ def q_incremental_near_dup(sf_dir):
     return out
 
 
+def q_incremental_near_dup_bloom(sf_dir):
+    """``incremental_near_dup`` through the persisted band store + its
+    band-key Bloom filter (stages/incremental.build_band_bloom): corpus
+    band rows whose key misses the increment's bloom-surviving key set
+    never enter the exchange.  Output is IDENTICAL to
+    ``incremental_near_dup`` — same oracle — because every pruned row
+    sat in a bucket the in-exchange corpus-only-bucket drop would have
+    discarded anyway."""
+    from ..stages.incremental import (build_band_bloom, corpus_band_table,
+                                      incremental_near_dup)
+    corpus = _inc_nd_split(sf_dir, True)
+    bands = corpus_band_table(corpus, CFG).materialize()
+    bloom = build_band_bloom(bands, CFG).materialize()
+    out = incremental_near_dup(
+        _inc_nd_split(sf_dir, False), corpus, CFG,
+        corpus_bands=bands, corpus_band_bloom=bloom) \
+        .select_columns(["doc_id"]).materialize()
+    if out.count() == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    return out
+
+
 SQL_INCREMENTAL_NEAR_DUP = "WITH RECURSIVE " + _INC_ND_CTES + """,
 matched AS (
   SELECT DISTINCT CASE WHEN a % 3 = 0 THEN b ELSE a END AS doc_id
@@ -2484,7 +2573,8 @@ def q_price_quantiles(sf_dir):
                          columns=["l_extendedprice"])
     cents = li.map_batches(
         lambda t: pa.table({"cents": pc.round(
-            pc.multiply(t["l_extendedprice"], 100.0)).cast(pa.int64())}),
+            pc.multiply(t["l_extendedprice"], 100.0),
+            round_mode="half_towards_infinity").cast(pa.int64())}),
         batch_format="pyarrow")
     return cont_quantiles(cents, "cents",
                           qs=(0.25, 0.5, 0.75, 0.9, 0.99), cfg=CFG)
@@ -3094,9 +3184,11 @@ def q_revenue_by_nation(sf_dir):
     n_parts = CFG.resolved_partitions()
 
     def _partial(t: pa.Table) -> pa.Table:
-        price_c = pc.round(pc.multiply(t["l_extendedprice"], 100.0), 0) \
+        price_c = pc.round(pc.multiply(t["l_extendedprice"], 100.0), 0,
+                           round_mode="half_towards_infinity") \
             .cast(pa.int64()).to_numpy()
-        disc = pc.round(pc.multiply(t["l_discount"], 100.0), 0) \
+        disc = pc.round(pc.multiply(t["l_discount"], 100.0), 0,
+                        round_mode="half_towards_infinity") \
             .cast(pa.int64()).to_numpy()
         rev = price_c * (100 - disc)
         name = t["n_name"].combine_chunks()
@@ -3229,9 +3321,68 @@ def q_k_core_hosts(sf_dir):
     """3-core of the (undirected) host link graph — dense-substructure
     mining by distributed peeling.  Rows-only: iterated aggregation is
     not SQL-expressible; pinned against a pure-python reference in
-    tests/test_kcore.py."""
+    tests/test_kcore.py (the per-round peel schedule is hash-checked by
+    ``k_core_trace``)."""
     from ..stages.kcore import k_core
     return k_core(_host_links_ds(sf_dir), CFG, 3)
+
+
+_KCORE_TRACE_ROUNDS = 8     # ≥ peeling depth of the fixture (5) + margin
+
+
+def q_k_core_trace(sf_dir):
+    """Per-round peel trace of the 3-core run — round 0 = nodes below k
+    initially, round i = nodes peeled in round i, zero-padded to a
+    fixed _KCORE_TRACE_ROUNDS.  This is the driver-checkable leg of the k-core
+    surface: the counts are the SAME per-round P-scalar sync the
+    distributed peel already does (stages/kcore.py), and the first R
+    rounds unroll into SQL recomputed-degree peeling — so a wrong
+    decrement, a missed cascade, or a phantom extra round all
+    hash-mismatch.  (Membership stays pinned by the pure-python
+    reference in tests.)"""
+    import ray.data as rd
+
+    from ..stages.kcore import k_core
+
+    _, trace = k_core(_host_links_ds(sf_dir), CFG, 3, return_trace=True)
+    padded = (trace + [0] * (_KCORE_TRACE_ROUNDS + 1))[:_KCORE_TRACE_ROUNDS + 1]
+    return rd.from_arrow(pa.table({
+        "round": pa.array(np.arange(_KCORE_TRACE_ROUNDS + 1,
+                                    dtype=np.int64)),
+        "n_dead": pa.array(np.asarray(padded, dtype=np.int64)),
+    }))
+
+
+def _kcore_trace_sql(k: int, n_rounds: int) -> str:
+    """Unroll recomputed-degree peeling into n_rounds chained CTEs:
+    a_i = nodes whose degree within the a_{i-1}-induced subgraph is
+    still ≥ k; n_dead_i = |a_{i-1}| − |a_i|.  Equivalent to the
+    engine's decrement form (deg − edges-to-dead = deg within alive)."""
+    parts = [f"""
+WITH {_SQL_LINKS.strip()},
+e AS MATERIALIZED (SELECT DISTINCT node, nbr FROM (
+  SELECT src AS node, dst AS nbr FROM links WHERE src <> dst
+  UNION ALL SELECT dst AS node, src AS nbr FROM links WHERE src <> dst)),
+a0 AS MATERIALIZED (SELECT node FROM (
+  SELECT node, count(*) AS deg FROM e GROUP BY node) WHERE deg >= {k}),
+n0 AS (SELECT (SELECT count(DISTINCT node) FROM e)
+              - (SELECT count(*) FROM a0) AS d)"""]
+    for i in range(1, n_rounds + 1):
+        parts.append(f""",
+a{i} AS MATERIALIZED (SELECT node FROM (
+  SELECT e.node, count(*) AS deg FROM e
+  JOIN a{i - 1} x ON x.node = e.node
+  JOIN a{i - 1} y ON y.node = e.nbr
+  GROUP BY e.node) WHERE deg >= {k}),
+n{i} AS (SELECT (SELECT count(*) FROM a{i - 1})
+                - (SELECT count(*) FROM a{i}) AS d)""")
+    sel = "\nUNION ALL ".join(
+        f"SELECT {i}::BIGINT AS round, d::BIGINT AS n_dead FROM n{i}"
+        for i in range(n_rounds + 1))
+    return "".join(parts) + "\n" + sel
+
+
+SQL_K_CORE_TRACE = _kcore_trace_sql(3, _KCORE_TRACE_ROUNDS)
 
 
 _PR_ITERS = 5
@@ -3456,7 +3607,76 @@ SQL_PAGERANK_PERSONALIZED = _pagerank_sql(
     _PR_ITERS, seed_pred="node IN (1, 2, 3)")
 
 
+# ---------------------------------------------------------------- registry
+#
+# QUERY-ORDER ROTATION CONTRACT: the driver's CORRECTNESS artifact
+# records only the FIRST 50 dict entries, so the order below is a
+# deliberate per-round rotation, not aesthetics.  Rule: new/changed
+# queries first, then every query with no driver record in the last
+# round, then the oldest driver-green records; anything hash-green in
+# the PREVIOUS round's artifact rotates to the back.  Every query must
+# re-enter the window at least every other round.  The full surface is
+# swept every round regardless (tools/check_contract.py -> docs/
+# sweep_r{N}.log).
+#   r5 window: 3 new (k_core_trace, ann_ivf_scored,
+#   incremental_near_dup_bloom) + the 33 never-driver-checked + 14
+#   r3-green-only rows (events_window first among equals - its r4 fix
+#   never made a driver artifact).  Left out (all r3-driver-green,
+#   code untouched): substring_spans, substring_dedup_stats,
+#   media_bytes, edge_jaccard_nonzero, edge_jaccard_weighted,
+#   char_ngram_adjacent, repetition_stats, pii_scrub, quota_sample,
+#   mix_sample + the 50 r4-green rows.
 QUERIES = {
+    "k_core_trace": q_k_core_trace,
+    "ann_ivf_scored": q_ann_ivf_scored,
+    "incremental_near_dup_bloom": q_incremental_near_dup_bloom,
+    "media_resize": q_media_resize,
+    "edge_similarity": q_edge_similarity,
+    "triangle_counts": q_triangle_counts,
+    "corpus_report": q_corpus_report,
+    "quality_filter": q_quality_filter,
+    "corpus_split": q_corpus_split,
+    "cluster_sizes": q_cluster_sizes,
+    "pack_sequences": q_pack_sequences,
+    "canonical_urls": q_canonical_urls,
+    "url_dedup": q_url_dedup,
+    "normalize_text": q_normalize_text,
+    "dup_lines": q_dup_lines,
+    "line_dedup": q_line_dedup,
+    "paragraph_dedup": q_paragraph_dedup,
+    "semantic_dup_pairs": q_semantic_dup_pairs,
+    "semantic_dedup": q_semantic_dedup,
+    "semantic_pairs_scored": q_semantic_pairs_scored,
+    "domain_stats": q_domain_stats,
+    "domain_filter": q_domain_filter,
+    "orders_customer": q_orders_customer,
+    "lineitem_orders": q_lineitem_orders,
+    "token_quantiles": q_token_quantiles,
+    "price_quantiles": q_price_quantiles,
+    "top_bigrams": q_top_bigrams,
+    "doc_keywords": q_doc_keywords,
+    "tfidf_keywords": q_tfidf_keywords,
+    "host_top_docs": q_host_top_docs,
+    "user_gap_stats": q_user_gap_stats,
+    "common_token_stats": q_common_token_stats,
+    "incremental_dedup": q_incremental_dedup,
+    "incremental_dedup_bloom": q_incremental_dedup_bloom,
+    "incremental_near_dup": q_incremental_near_dup,
+    "incremental_near_dup_matches": q_incremental_near_dup_matches,
+    "events_window": q_events_window,
+    "events_asof": q_events_asof,
+    "decontam_kept": q_decontam_kept,
+    "decontam_matches": q_decontam_matches,
+    "decontam_exact_kept": q_decontam_exact_kept,
+    "decontam_ngram_kept": q_decontam_ngram_kept,
+    "ngram_contamination": q_ngram_contamination,
+    "tiered_disposition": q_tiered_disposition,
+    "tiered_stats": q_tiered_stats,
+    "tiered_trim_stats": q_tiered_trim_stats,
+    "top_vocab": q_top_vocab,
+    "near_dup_canonical": q_near_dup_canonical,
+    "token_df": q_token_df,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
     "token_count": q_token_count,
     "shingle_count": q_shingle_count,
     "fingerprint": q_fingerprint,
@@ -3510,63 +3730,19 @@ QUERIES = {
     "substring_spans": q_substring_spans,
     "substring_dedup_stats": q_substring_dedup_stats,
     "media_bytes": q_media_bytes,
-    "media_resize": q_media_resize,
     "edge_jaccard_nonzero": q_edge_jaccard_nonzero,
     "edge_jaccard_weighted": q_edge_jaccard_weighted,
-    "edge_similarity": q_edge_similarity,
-    "triangle_counts": q_triangle_counts,
     "char_ngram_adjacent": q_char_ngram_adjacent,
-    "embedding_dup_pairs": q_embedding_dup_pairs,
-    "decontam_kept": q_decontam_kept,
-    "decontam_matches": q_decontam_matches,
-    "decontam_exact_kept": q_decontam_exact_kept,
-    "decontam_ngram_kept": q_decontam_ngram_kept,
-    "ngram_contamination": q_ngram_contamination,
     "repetition_stats": q_repetition_stats,
     "pii_scrub": q_pii_scrub,
-    "events_asof": q_events_asof,
-    "events_window": q_events_window,
-    "top_vocab": q_top_vocab,
-    "near_dup_canonical": q_near_dup_canonical,
     "quota_sample": q_quota_sample,
-    "token_df": q_token_df,
-    "tiered_disposition": q_tiered_disposition,
-    "tiered_stats": q_tiered_stats,
-    "tiered_trim_stats": q_tiered_trim_stats,
     "mix_sample": q_mix_sample,
-    "corpus_report": q_corpus_report,
-    "quality_filter": q_quality_filter,
-    "corpus_split": q_corpus_split,
-    "cluster_sizes": q_cluster_sizes,
-    "pack_sequences": q_pack_sequences,
-    "canonical_urls": q_canonical_urls,
-    "url_dedup": q_url_dedup,
-    "normalize_text": q_normalize_text,
-    "dup_lines": q_dup_lines,
-    "line_dedup": q_line_dedup,
-    "paragraph_dedup": q_paragraph_dedup,
-    "semantic_dup_pairs": q_semantic_dup_pairs,
-    "semantic_dedup": q_semantic_dedup,
-    "semantic_pairs_scored": q_semantic_pairs_scored,
-    "domain_stats": q_domain_stats,
-    "domain_filter": q_domain_filter,
-    "orders_customer": q_orders_customer,
-    "lineitem_orders": q_lineitem_orders,
-    "token_quantiles": q_token_quantiles,
-    "price_quantiles": q_price_quantiles,
-    "top_bigrams": q_top_bigrams,
-    "doc_keywords": q_doc_keywords,
-    "tfidf_keywords": q_tfidf_keywords,
-    "host_top_docs": q_host_top_docs,
-    "user_gap_stats": q_user_gap_stats,
-    "common_token_stats": q_common_token_stats,
-    "incremental_dedup": q_incremental_dedup,
-    "incremental_dedup_bloom": q_incremental_dedup_bloom,
-    "incremental_near_dup": q_incremental_near_dup,
-    "incremental_near_dup_matches": q_incremental_near_dup_matches,
 }
 
 ORACLES = {
+    "k_core_trace": SQL_K_CORE_TRACE,
+    "ann_ivf_scored": SQL_ANN_IVF_SCORED,
+    "incremental_near_dup_bloom": SQL_INCREMENTAL_NEAR_DUP,
     "token_count": SQL_TOKEN_COUNT,
     "shingle_count": SQL_SHINGLE_COUNT,
     "fingerprint": SQL_FINGERPRINT,

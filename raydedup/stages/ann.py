@@ -18,6 +18,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..functions.numeric import round_half_away
 from ..config import DEFAULT_CONFIG, PipelineConfig
 
 
@@ -199,7 +200,8 @@ def _kmeans(mat: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
 def ann_ivf_topk(ds, query_ids, k: int = 10, *, n_clusters: int | None = None,
                  nprobe: int = 4, train_sample: int = 20000,
                  cfg: PipelineConfig = DEFAULT_CONFIG,
-                 id_col: str = "vec_id", emb_col: str = "embedding"):
+                 id_col: str = "vec_id", emb_col: str = "embedding",
+                 quantizer: str = "kmeans"):
     """IVF approximate top-k: a coarse quantizer (spherical k-means,
     trained on a driver-side sample, centroids broadcast) routes every
     vector to its nearest centroid; each query probes only its
@@ -213,39 +215,69 @@ def ann_ivf_topk(ds, query_ids, k: int = 10, *, n_clusters: int | None = None,
     ~``train_sample`` rows and the query vectors are pulled by a
     filtered pass — the driver only ever holds the sample + the queries,
     never the corpus (the full-table collect this replaced was the
-    classic driver-materialization anti-pattern)."""
+    classic driver-materialization anti-pattern).
+
+    ``quantizer="argmax"``: replace k-means with the deterministic
+    SQL-expressible coarse cell the semantic surface already uses
+    (semdedup.semantic_pairs_scored) — cell = argmax embedding
+    dimension; a query probes its ``nprobe`` LARGEST dimensions (value
+    desc, dim asc on ties, both sides).  Same probe/top-k machinery,
+    zero training — so the whole IVF routing + probe + finisher path is
+    hash-checkable against DuckDB (queries.SQL_ANN_IVF_SCORED); k-means
+    recall stays a pytest gate."""
     import ray
     import pyarrow.compute as pc_
 
     from ..functions.hashing import splitmix64
 
-    n = ds.count()
-    if n_clusters is None:
-        n_clusters = max(2, int(np.sqrt(n)))
-    frac = min(1.0, train_sample / max(n, 1))
-    cut = np.uint64(min(int(frac * (2**64 - 1)), 2**64 - 1))
-    salt = np.uint64((cfg.seed * 0x9E3779B97F4A7C15) & (2**64 - 1))
+    if quantizer not in ("kmeans", "argmax"):
+        raise ValueError(f"quantizer={quantizer!r} not in"
+                         f" {{'kmeans', 'argmax'}}")
     qset = np.asarray(sorted(set(query_ids)), dtype=np.int64)
+    salt = np.uint64((cfg.seed * 0x9E3779B97F4A7C15) & (2**64 - 1))
 
-    def _pick(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t[id_col], dtype=np.int64)
-        keep = splitmix64(ids.view(np.uint64) ^ salt) <= cut
-        keep |= np.isin(ids, qset)
-        return t.filter(pa.array(keep))
+    if quantizer == "argmax":
+        # no training: pull ONLY the query vectors
+        qtab = pa.concat_tables([t for t in ray.get(ds.map_batches(
+            lambda t: t.filter(pa.array(np.isin(
+                np.asarray(t[id_col], dtype=np.int64), qset))),
+            batch_format="pyarrow").to_arrow_refs()) if len(t)])
+        q_ids = np.asarray(qtab[id_col], dtype=np.int64)
+        q_raw = _embedding_matrix(qtab, emb_col)
+        q_mat = _normalize(q_raw)
+        # top-nprobe dims, value desc / dim asc (stable argsort keeps
+        # dim order for equal values — DuckDB mirrors with rn over
+        # (val DESC, cell ASC))
+        q_clusters = np.argsort(-q_raw, axis=1, kind="stable")[:, :nprobe]
+        cents_ref = ray.put(None)
+    else:
+        n = ds.count()
+        if n_clusters is None:
+            n_clusters = max(2, int(np.sqrt(n)))
+        frac = min(1.0, train_sample / max(n, 1))
+        cut = np.uint64(min(int(frac * (2**64 - 1)), 2**64 - 1))
 
-    picked = pa.concat_tables(
-        [t for t in ray.get(ds.map_batches(
-            _pick, batch_format="pyarrow").to_arrow_refs()) if len(t)])
-    ids_p = np.asarray(picked[id_col], dtype=np.int64)
-    mat_p = _normalize(_embedding_matrix(picked, emb_col))
-    train_mask = splitmix64(ids_p.view(np.uint64) ^ salt) <= cut
-    cents = _kmeans(mat_p[train_mask], n_clusters, iters=10, seed=cfg.seed)
-    cents_ref = ray.put(cents)
+        def _pick(t: pa.Table) -> pa.Table:
+            ids = np.asarray(t[id_col], dtype=np.int64)
+            keep = splitmix64(ids.view(np.uint64) ^ salt) <= cut
+            keep |= np.isin(ids, qset)
+            return t.filter(pa.array(keep))
 
-    q_mask = np.isin(ids_p, qset)
-    q_mat = mat_p[q_mask]
-    q_ids = ids_p[q_mask]
-    q_clusters = np.argsort(-(q_mat @ cents.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+        picked = pa.concat_tables(
+            [t for t in ray.get(ds.map_batches(
+                _pick, batch_format="pyarrow").to_arrow_refs()) if len(t)])
+        ids_p = np.asarray(picked[id_col], dtype=np.int64)
+        mat_p = _normalize(_embedding_matrix(picked, emb_col))
+        train_mask = splitmix64(ids_p.view(np.uint64) ^ salt) <= cut
+        cents = _kmeans(mat_p[train_mask], n_clusters, iters=10,
+                        seed=cfg.seed)
+        cents_ref = ray.put(cents)
+
+        q_mask = np.isin(ids_p, qset)
+        q_mat = mat_p[q_mask]
+        q_ids = ids_p[q_mask]
+        q_clusters = np.argsort(-(q_mat @ cents.T),
+                                axis=1)[:, :nprobe]  # (Q, nprobe)
     probed = np.unique(q_clusters)
     # invert once on the driver: cluster -> indices of queries probing it,
     # so the probe tasks do one matmul per (cluster, its queries) instead
@@ -259,12 +291,17 @@ def ann_ivf_topk(ds, query_ids, k: int = 10, *, n_clusters: int | None = None,
         c = ray.get(cents_ref)
         q = ray.get(q_ref)
         ids = np.asarray(batch[id_col], dtype=np.int64)
-        mat = _normalize(_embedding_matrix(batch, emb_col))
+        raw = _embedding_matrix(batch, emb_col)
+        mat = _normalize(raw)
         if len(ids) == 0:
             return pa.table({"query_id": pa.array([], pa.int64()),
                              "vec_id": pa.array([], pa.int64()),
                              "cosine": pa.array([], pa.float64())})
-        assign = np.argmax(mat @ c.T, axis=1)
+        # argmax quantizer assigns on the RAW matrix (mirrors DuckDB
+        # list_position(emb, list_max(emb)); positive scaling preserves
+        # argmax but raw keeps both sides literally identical)
+        assign = (np.argmax(raw, axis=1) if c is None
+                  else np.argmax(mat @ c.T, axis=1))
         keep = np.isin(assign, q["probed"])
         ids, mat, assign = ids[keep], mat[keep], assign[keep]
         # group the batch's rows by assigned cluster (radix-friendly
@@ -365,7 +402,7 @@ def embedding_dup_pairs(ds, threshold: float = 0.4,
             return pa.table({
                 "a": pa.array(a[keep], pa.int64()),
                 "b": pa.array(b[keep], pa.int64()),
-                "cosine_e6": pa.array(np.round(cos * 1e6).astype(np.int64),
+                "cosine_e6": pa.array(round_half_away(cos * 1e6).astype(np.int64),
                                       pa.int64()),
             })
 
@@ -440,7 +477,7 @@ def embedding_dup_pairs(ds, threshold: float = 0.4,
         return pa.table({
             "a": pa.array(a[keep], pa.int64()),
             "b": pa.array(b[keep], pa.int64()),
-            "cosine_e6": pa.array(np.round(cos[keep] * 1e6).astype(np.int64),
+            "cosine_e6": pa.array(round_half_away(cos[keep] * 1e6).astype(np.int64),
                                   pa.int64()),
         })
 

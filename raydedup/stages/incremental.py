@@ -404,6 +404,103 @@ def incremental_exact_dedup_bloom(new_ds, corpus_ds,
 
 # --------------------------------------------------------- near-dup variant
 
+def build_band_bloom(corpus_bands, cfg: PipelineConfig = DEFAULT_CONFIG, *,
+                     bits_per_key: int = BLOOM_BITS_PER_KEY):
+    """Per-partition Bloom filters over a corpus band store's DISTINCT
+    band keys → Dataset(part, n_parts, m, k, bits) — the near-dup
+    analogue of ``build_hash_bloom`` (persist next to the band table;
+    ~``bits_per_key`` bits per distinct corpus band key instead of the
+    12-byte band rows).
+
+    Partition = ``band_key % n_parts`` — the SAME routing every band
+    exchange uses (lsh.incremental_candidate_pairs), and the rows carry
+    the build-time ``n_parts`` so probes route by the STORE's count
+    under any later config.  Probe hash family: h1 = the band key
+    itself (already a 64-bit mix), h2 = splitmix64(key) —
+    Kirsch–Mitzenmacher double hashing like the content-hash filter."""
+    n_parts = cfg.resolved_partitions()
+    k = _bloom_k(bits_per_key)
+
+    def _keys(t: pa.Table) -> pa.Table:
+        bk = np.unique(np.asarray(t["band_key"], dtype=np.int64)) \
+            if len(t) else np.empty(0, np.int64)
+        part = (bk.view(np.uint64) % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({"band_key": pa.array(bk, pa.int64()),
+                         "_part": pa.array(part, pa.int64())})
+
+    _EMPTY = pa.table({"part": pa.array([], pa.int64()),
+                       "n_parts": pa.array([], pa.int64()),
+                       "m": pa.array([], pa.int64()),
+                       "k": pa.array([], pa.int64()),
+                       "bits": pa.array([], pa.large_binary())})
+
+    def _pack(tab: pa.Table | None) -> pa.Table:
+        if tab is None or tab.num_columns == 0 or not len(tab):
+            return _EMPTY
+        bk = np.unique(np.asarray(tab["band_key"], dtype=np.int64))
+        part = int(bk[:1].view(np.uint64)[0] % np.uint64(n_parts))
+        h2 = np.asarray(splitmix64(bk.view(np.uint64))).view(np.int64)
+        m = max(64, int(bits_per_key) * len(bk))
+        m += (-m) % 8                      # whole bytes for packbits
+        bools = np.zeros(m, dtype=bool)
+        bools[_bloom_positions(bk, h2, m, k).ravel()] = True
+        bits = np.packbits(bools, bitorder="little").tobytes()
+        return pa.table({"part": pa.array([part], pa.int64()),
+                         "n_parts": pa.array([n_parts], pa.int64()),
+                         "m": pa.array([m], pa.int64()),
+                         "k": pa.array([k], pa.int64()),
+                         "bits": pa.array([bits], pa.large_binary())})
+
+    return hash_partition_map(corpus_bands.select_columns(["band_key"]),
+                              "_part", _pack, n_parts, map_fn=_keys,
+                              map_chunk_rows=cfg.batch_size)
+
+
+def load_band_bloom(bloom_ds):
+    """Collect a band-bloom Dataset into the broadcastable
+    ``(blooms: dict[part → (m, k, uint8 bits)], store_n_parts)`` form
+    probes consume — total driver/object-store footprint is the store's
+    own size (bits_per_key/8 bytes per distinct corpus band key)."""
+    import ray
+    blooms: dict[int, tuple] = {}
+    store_n_parts = None
+    for t in (ray.get(r) for r in bloom_ds.to_arrow_refs()):
+        if t.num_columns == 0:
+            continue
+        for i in range(len(t)):
+            blooms[int(t["part"][i].as_py())] = (
+                int(t["m"][i].as_py()), int(t["k"][i].as_py()),
+                np.frombuffer(t["bits"][i].as_py(), dtype=np.uint8))
+            store_n_parts = int(t["n_parts"][i].as_py())
+    return blooms, store_n_parts
+
+
+def probe_band_bloom(keys: np.ndarray, blooms: dict,
+                     store_n_parts: int) -> np.ndarray:
+    """Membership mask over int64 band keys: True ⇒ the key MAY be in
+    the corpus store (no false negatives — every true member hits)."""
+    hit = np.zeros(len(keys), dtype=bool)
+    if not len(keys) or not blooms:
+        return hit
+    part = (keys.view(np.uint64)
+            % np.uint64(store_n_parts)).astype(np.int64)
+    h2a = np.asarray(splitmix64(keys.view(np.uint64))).view(np.int64)
+    for p in np.unique(part):
+        bl = blooms.get(int(p))
+        if bl is None:
+            continue                       # empty corpus partition
+        m, k, bits = bl
+        sel = np.flatnonzero(part == p)
+        pos = _bloom_positions(keys[sel], h2a[sel], m, k)
+        ok = np.ones(len(sel), dtype=bool)
+        for row in pos:                    # k probes, vectorized each
+            b = (bits[(row >> np.uint64(3)).astype(np.int64)]
+                 >> (row & np.uint64(7)).astype(np.uint8))
+            ok &= (b & 1).astype(bool)
+        hit[sel] = ok
+    return hit
+
+
 def corpus_band_table(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
                       id_col: str = "doc_id", text_col: str = "text"):
     """(band_key, id) rows for a corpus — the persistable signature
@@ -419,7 +516,7 @@ def corpus_band_table(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
 
 def incremental_near_dup_matches(new_ds, corpus_ds,
                                  cfg: PipelineConfig = DEFAULT_CONFIG, *,
-                                 corpus_bands=None,
+                                 corpus_bands=None, corpus_band_bloom=None,
                                  threshold: float | None = ...,
                                  id_col: str = "doc_id",
                                  text_col: str = "text", counters=None):
@@ -434,7 +531,8 @@ def incremental_near_dup_matches(new_ds, corpus_ds,
     from .lsh import incremental_candidate_pairs
 
     cands = incremental_candidate_pairs(
-        new_ds, corpus_ds, cfg, corpus_bands=corpus_bands, id_col=id_col,
+        new_ds, corpus_ds, cfg, corpus_bands=corpus_bands,
+        corpus_band_bloom=corpus_band_bloom, id_col=id_col,
         text_col=text_col, counters=counters).materialize()
 
     def _cross_only(t: pa.Table) -> pa.Table:
@@ -451,7 +549,8 @@ def incremental_near_dup_matches(new_ds, corpus_ds,
 
 def incremental_near_dup(new_ds, corpus_ds,
                          cfg: PipelineConfig = DEFAULT_CONFIG, *,
-                         corpus_bands=None, threshold: float | None = ...,
+                         corpus_bands=None, corpus_band_bloom=None,
+                         threshold: float | None = ...,
                          id_col: str = "doc_id", text_col: str = "text",
                          counters=None, with_matches: bool = False):
     """Near-dup dedup of an increment against an existing corpus: an
@@ -483,7 +582,8 @@ def incremental_near_dup(new_ds, corpus_ds,
     from .lsh import incremental_candidate_pairs
 
     cands = incremental_candidate_pairs(
-        new_ds, corpus_ds, cfg, corpus_bands=corpus_bands, id_col=id_col,
+        new_ds, corpus_ds, cfg, corpus_bands=corpus_bands,
+        corpus_band_bloom=corpus_band_bloom, id_col=id_col,
         text_col=text_col, counters=counters).materialize()
 
     def _split(flag):

@@ -36,9 +36,22 @@ from ..config import PipelineConfig
 
 def k_core(edges_ds, cfg: PipelineConfig, k: int, *,
            src_col: str = "src", dst_col: str = "dst",
-           max_rounds: int = 10_000, counters=None):
+           max_rounds: int = 10_000, counters=None,
+           strict: bool = False, return_trace: bool = False):
     """edges(src,dst) (directionless; dupes/self-loops dropped) →
-    Dataset(node:int64) — the members of the k-core."""
+    Dataset(node:int64) — the members of the k-core.
+
+    ``strict=True``: raise ``RuntimeError`` on ``max_rounds``
+    exhaustion instead of warning — without it a pipeline consuming the
+    returned Dataset has no in-band signal that the result is a
+    SUPERSET of the true k-core (ADVICE r4).
+
+    ``return_trace=True``: also return the per-round peel trace as a
+    list of newly-dead node counts (``trace[0]`` = nodes below ``k``
+    initially, ``trace[i]`` = nodes peeled in round ``i``) — the
+    driver-checkable leg of an otherwise rows-only iterated
+    aggregation: the first R entries unroll into SQL (see
+    queries.SQL_K_CORE_TRACE)."""
     import ray
     import ray.data as rd
 
@@ -182,6 +195,7 @@ def k_core(edges_ds, cfg: PipelineConfig, k: int, *,
                 int(newly.sum()))
 
     rounds = 0
+    trace = [int(sum(n_dead))]          # round 0: initially below k
     while sum(n_dead) > 0 and rounds < max_rounds:
         dead = [_fresh_dead.remote(s) for s in state_blocks]
         peeled = [_peel.remote(edge_blocks[p], dead[p])
@@ -191,15 +205,18 @@ def k_core(edges_ds, cfg: PipelineConfig, k: int, *,
                    for q in range(n_parts)]
         state_blocks = [a[0] for a in applied]
         n_dead = ray.get([a[1] for a in applied])
+        trace.append(int(sum(n_dead)))
         rounds += 1
 
     if sum(n_dead) > 0:
+        msg = (f"k_core: peeling did not converge within max_rounds="
+               f"{max_rounds} ({sum(n_dead)} nodes still dying) — the "
+               f"returned set is a SUPERSET of the true {k}-core; raise "
+               f"max_rounds")
+        if strict:
+            raise RuntimeError(msg)
         import warnings
-        warnings.warn(
-            f"k_core: peeling did not converge within max_rounds="
-            f"{max_rounds} ({sum(n_dead)} nodes still dying) — the "
-            f"returned set is a SUPERSET of the true {k}-core; raise "
-            f"max_rounds", RuntimeWarning)
+        warnings.warn(msg, RuntimeWarning)
     if counters is not None:
         counters.add.remote({"kcore_rounds": rounds,
                              "kcore_converged": int(sum(n_dead) == 0)})
@@ -212,4 +229,5 @@ def k_core(edges_ds, cfg: PipelineConfig, k: int, *,
 
     out_refs = [_alive.remote(s) for s in state_blocks]
     ray.wait(out_refs, num_returns=len(out_refs))   # see pagerank._emit note
-    return rd.from_arrow_refs(out_refs)
+    out = rd.from_arrow_refs(out_refs)
+    return (out, trace) if return_trace else out

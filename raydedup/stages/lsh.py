@@ -380,7 +380,8 @@ def candidate_pairs_from_docs(docs, cfg: PipelineConfig, *,
 
 
 def incremental_candidate_pairs(inc_docs, corpus_docs, cfg: PipelineConfig, *,
-                                corpus_bands=None, id_col: str = "doc_id",
+                                corpus_bands=None, corpus_band_bloom=None,
+                                id_col: str = "doc_id",
                                 text_col: str = "text", counters=None):
     """LSH candidates for an increment arriving NEXT TO an existing
     corpus: every emitted pair touches at least one increment doc —
@@ -401,11 +402,28 @@ def incremental_candidate_pairs(inc_docs, corpus_docs, cfg: PipelineConfig, *,
     so the daily run never re-hashes corpus text; without it the corpus
     is banded in-stream like the increment.
 
+    ``corpus_band_bloom``: optional persisted band-key Bloom store
+    (``incremental.build_band_bloom`` over ``corpus_bands``; requires
+    ``corpus_bands``).  The increment is banded first and its DISTINCT
+    band keys are probed against the filter; corpus band rows whose key
+    misses the surviving-key broadcast are dropped BEFORE the exchange.
+    Output is IDENTICAL — a corpus row pruned here sat in a bucket with
+    no increment member, which the in-exchange bucket drop would have
+    discarded anyway (Bloom false positives only let through keys the
+    corpus filter then finds no rows for); what changes is that the
+    corpus-side exchange volume falls from |corpus band store| to the
+    increment's bucket footprint + the FP tail.  Driver/broadcast
+    state: the increment's distinct band keys (bands·|increment| × 8 B
+    worst case) — increment-scale, the same bound the exact tier's
+    candidate set carries.
+
     Output columns: ``a`` int64, ``b`` int64, ``cross`` int8 — cross=1
     pairs are oriented a=increment doc, b=corpus doc; cross=0 pairs are
     both-increment with a<b.  Globally distinct."""
+    import ray
+
     from ..functions.hashing import splitmix64
-    from ..stages.signatures import SignatureStage
+    from ..stages.signatures import SignatureStage, signatures
 
     n_parts = cfg.resolved_partitions()
     cap = cfg.band_bucket_cap
@@ -417,15 +435,70 @@ def incremental_candidate_pairs(inc_docs, corpus_docs, cfg: PipelineConfig, *,
                 "src", pa.array(np.full(len(t), val, np.int8), pa.int8()))
         return _f
 
-    inc_in = inc_docs.select_columns([id_col, text_col]).map_batches(
-        _with_src(1), batch_format="pyarrow")
-    if corpus_bands is not None:
+    if corpus_band_bloom is not None:
+        if corpus_bands is None:
+            raise ValueError("corpus_band_bloom requires corpus_bands "
+                             "(the filter only prunes the persisted "
+                             "band store)")
+        from ..stages.incremental import load_band_bloom, probe_band_bloom
+
+        # band the increment ONCE (the same signatures→explode_bands
+        # path that built the corpus store, so keys are identical) and
+        # keep the materialized increment-scale table for the exchange
+        inc_bands = explode_bands(
+            signatures(inc_docs, cfg, id_col=id_col, text_col=text_col,
+                       keep_shingles=False, keep_minhash=False,
+                       with_simhash=False),
+            cfg, id_col=id_col).materialize()
+
+        key_tabs = [t for t in ray.get(inc_bands.map_batches(
+            lambda t: pa.table({"band_key": pa.array(
+                np.unique(np.asarray(t["band_key"], dtype=np.int64)),
+                pa.int64())}),
+            batch_format="pyarrow").to_arrow_refs()) if len(t)]
+        inc_keys = (np.unique(np.concatenate(
+            [np.asarray(t["band_key"], dtype=np.int64)
+             for t in key_tabs])) if key_tabs else np.empty(0, np.int64))
+        blooms, store_np = load_band_bloom(corpus_band_bloom)
+        hit_keys = inc_keys[probe_band_bloom(inc_keys, blooms, store_np)] \
+            if store_np else inc_keys
+        if counters is not None:
+            counters.add.remote({
+                "band_bloom_inc_keys": int(len(inc_keys)),
+                "band_bloom_hit_keys": int(len(hit_keys))})
+        hit_ref = ray.put(hit_keys)        # sorted (np.unique order)
+
+        def _corp_filter(t: pa.Table) -> pa.Table:
+            hk = ray.get(hit_ref)
+            bk = np.asarray(t["band_key"], dtype=np.int64)
+            if not len(hk) or not len(bk):
+                keep = np.zeros(len(bk), dtype=bool)
+            else:
+                pos = np.clip(np.searchsorted(hk, bk), 0, len(hk) - 1)
+                keep = hk[pos] == bk
+            if counters is not None and len(bk):
+                counters.add.remote({
+                    "band_bloom_corpus_rows_seen": int(len(bk)),
+                    "band_bloom_corpus_rows_shipped": int(keep.sum())})
+            return t.filter(pa.array(keep))
+
+        inc_in = inc_bands.map_batches(_with_src(1),
+                                       batch_format="pyarrow")
         corp_in = corpus_bands.select_columns(["band_key", id_col]) \
+            .map_batches(_corp_filter, batch_format="pyarrow",
+                         zero_copy_batch=True) \
             .map_batches(_with_src(0), batch_format="pyarrow")
+        both = inc_in.union(corp_in)
     else:
-        corp_in = corpus_docs.select_columns([id_col, text_col]) \
-            .map_batches(_with_src(0), batch_format="pyarrow")
-    both = inc_in.union(corp_in)
+        inc_in = inc_docs.select_columns([id_col, text_col]).map_batches(
+            _with_src(1), batch_format="pyarrow")
+        if corpus_bands is not None:
+            corp_in = corpus_bands.select_columns(["band_key", id_col]) \
+                .map_batches(_with_src(0), batch_format="pyarrow")
+        else:
+            corp_in = corpus_docs.select_columns([id_col, text_col]) \
+                .map_batches(_with_src(0), batch_format="pyarrow")
+        both = inc_in.union(corp_in)
 
     _EMPTY_BANDS = pa.table({
         "band_key": pa.array([], pa.int64()),

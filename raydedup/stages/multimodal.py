@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..functions.numeric import round_half_away
 from ..config import DEFAULT_CONFIG, PipelineConfig
 from ..functions.hashing import hash_strings
 
@@ -121,7 +122,7 @@ def resize_stage(ds, max_width: int, max_height: int,
                 .append_column("out_width", pa.array(out_w, pa.int64()))
                 .append_column("out_height", pa.array(out_h, pa.int64()))
                 .append_column("scale_e6", pa.array(
-                    np.round(scale * 1e6).astype(np.int64), pa.int64())))
+                    round_half_away(scale * 1e6).astype(np.int64), pa.int64())))
 
     return ds.map_batches(_resize, batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=64)

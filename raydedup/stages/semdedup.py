@@ -35,6 +35,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..functions.numeric import round_half_away
 from ..config import DEFAULT_CONFIG, PipelineConfig
 from ..functions.hashing import splitmix64
 from ..functions.shuffle import hash_partition_map
@@ -226,7 +227,7 @@ def _pairs_over_clusters(assigned, threshold: float, cfg: PipelineConfig, *,
             "a": pa.array(pk[:, 0].copy(), pa.int64()),
             "b": pa.array(pk[:, 1].copy(), pa.int64()),
             "cosine_e6": pa.array(
-                np.round(cos[first] * 1e6).astype(np.int64), pa.int64()),
+                round_half_away(cos[first] * 1e6).astype(np.int64), pa.int64()),
         })
 
     return hash_partition_map(assigned, "_part", _emit_pairs, n_parts,

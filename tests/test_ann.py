@@ -103,3 +103,38 @@ class TestEmbeddingDupPairs:
         brute = ann.embedding_dup_pairs(ds, threshold=0.8, cfg=CFG,
                                         force="brute").to_pandas()
         assert len(out) == len(brute)
+
+
+class TestIVFArgmaxQuantizer:
+    """quantizer="argmax": the oracle-checkable IVF path — routing must
+    match a numpy reference of the same deterministic rule."""
+
+    def _ref(self, vecs, qid, k=10, nprobe=4):
+        cells = np.argmax(vecs, axis=1)
+        probe = np.argsort(-vecs[qid], kind="stable")[:nprobe]
+        cand = np.flatnonzero(np.isin(cells, probe))
+        cand = cand[cand != qid]
+        m = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        sims = m[cand] @ m[qid]
+        order = np.lexsort((cand, -sims))[:k]
+        return [(int(cand[i]), float(sims[i])) for i in order]
+
+    def test_matches_numpy_reference(self, emb_ds):
+        from raydedup.stages.ann import ann_ivf_topk
+        ds, vecs = emb_ds
+        v64 = vecs.astype(np.float64)
+        out = ann_ivf_topk(ds, query_ids=[0, 5, 17], k=10, nprobe=4,
+                           cfg=CFG, quantizer="argmax").to_pandas()
+        for qid in (0, 5, 17):
+            got = out[out["query_id"] == qid].sort_values(
+                ["cosine", "vec_id"], ascending=[False, True])
+            ref = self._ref(v64, qid)
+            assert list(got["vec_id"]) == [v for v, _ in ref]
+            assert np.allclose(list(got["cosine"]), [c for _, c in ref],
+                               atol=1e-12)
+
+    def test_bad_quantizer_rejected(self, emb_ds):
+        from raydedup.stages.ann import ann_ivf_topk
+        ds, _ = emb_ds
+        with pytest.raises(ValueError, match="quantizer"):
+            ann_ivf_topk(ds, query_ids=[0], quantizer="pq")

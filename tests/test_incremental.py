@@ -232,3 +232,103 @@ class TestBloomPrefilter:
         out = incremental_exact_dedup_bloom(
             inc, corpus, probe_cfg, corpus_bloom=bl).to_pandas()
         assert sorted(out["doc_id"]) == [900]
+
+
+class TestBandBloom:
+    """Band-key Bloom store: prunes the corpus band table before the
+    exchange; output IDENTICAL to the plain band-store path."""
+
+    def _bigger_fixture(self, n_corpus=40, n_inc=15):
+        corpus = _ds([(i, _sent(i)) for i in range(n_corpus)])
+        inc_rows = [(100 + i, _near(_sent(i * 3)))      # some hit corpus
+                    for i in range(n_inc // 3)]
+        # fresh seeds 50+i: _sent is periodic mod 97 (word = f(seed %
+        # 97, pos)), so seeds must not collide with corpus 0..39 mod 97
+        inc_rows += [(200 + i, _sent(50 + i))
+                     for i in range(n_inc - len(inc_rows))]
+        return corpus, _ds(inc_rows)
+
+    def test_matches_plain_band_store(self, ray_session):
+        from raydedup.state import RunCounters
+        from raydedup.stages.incremental import (build_band_bloom,
+                                                 corpus_band_table,
+                                                 incremental_near_dup)
+        corpus, inc = self._bigger_fixture()
+        bands = corpus_band_table(corpus, CFG).materialize()
+        bloom = build_band_bloom(bands, CFG).materialize()
+        plain = incremental_near_dup(inc, corpus, CFG,
+                                     corpus_bands=bands).to_pandas()
+        rc = RunCounters()
+        bl = incremental_near_dup(inc, corpus, CFG, corpus_bands=bands,
+                                  corpus_band_bloom=bloom,
+                                  counters=rc.actor).to_pandas()
+        assert sorted(plain["doc_id"]) == sorted(bl["doc_id"])
+        got = rc.get()
+        # the filter actually pruned: shipped < seen corpus band rows
+        assert got["band_bloom_corpus_rows_shipped"] \
+            < got["band_bloom_corpus_rows_seen"]
+        assert got["band_bloom_hit_keys"] <= got["band_bloom_inc_keys"]
+
+    def test_fp_stress_output_identical(self, ray_session):
+        """1 bit/key forces a huge false-positive rate: output must
+        stay identical (FPs only ship corpus rows the in-exchange
+        bucket drop then discards)."""
+        from raydedup.stages.incremental import (build_band_bloom,
+                                                 corpus_band_table,
+                                                 incremental_near_dup)
+        corpus, inc = self._bigger_fixture()
+        bands = corpus_band_table(corpus, CFG).materialize()
+        tiny = build_band_bloom(bands, CFG, bits_per_key=1).materialize()
+        plain = incremental_near_dup(inc, corpus, CFG,
+                                     corpus_bands=bands).to_pandas()
+        bl = incremental_near_dup(inc, corpus, CFG, corpus_bands=bands,
+                                  corpus_band_bloom=tiny).to_pandas()
+        assert sorted(plain["doc_id"]) == sorted(bl["doc_id"])
+
+    def test_matches_variant_and_store_roundtrip(self, ray_session, tmp_path):
+        import ray.data as rd
+        from raydedup.stages.incremental import (build_band_bloom,
+                                                 corpus_band_table,
+                                                 incremental_near_dup_matches)
+        corpus, inc = _nd_fixture()
+        bands = corpus_band_table(corpus, CFG).materialize()
+        build_band_bloom(bands, CFG).write_parquet(str(tmp_path / "bb"))
+        bloom = rd.read_parquet(str(tmp_path / "bb"))
+        m = incremental_near_dup_matches(
+            inc, corpus, CFG, corpus_bands=bands,
+            corpus_band_bloom=bloom).to_pandas()
+        assert sorted(zip(m["a"], m["b"])) == [(100, 0)]
+
+    def test_no_false_negatives(self, ray_session):
+        """Every key actually in the store must hit the filter."""
+        import numpy as np
+        import ray
+        from raydedup.stages.incremental import (build_band_bloom,
+                                                 corpus_band_table,
+                                                 load_band_bloom,
+                                                 probe_band_bloom)
+        corpus, _ = self._bigger_fixture()
+        bands = corpus_band_table(corpus, CFG).materialize()
+        keys = np.unique(np.concatenate(
+            [np.asarray(t["band_key"], np.int64)
+             for t in ray.get(bands.to_arrow_refs()) if len(t)]))
+        blooms, store_np = load_band_bloom(
+            build_band_bloom(bands, CFG).materialize())
+        assert probe_band_bloom(keys, blooms, store_np).all()
+        # absent keys mostly miss at the default 16 bits/key
+        absent = keys[: 200] + np.int64(0x5DEECE66D)
+        absent = absent[~np.isin(absent, keys)]
+        fp = probe_band_bloom(absent, blooms, store_np).mean()
+        assert fp < 0.05
+
+    def test_bloom_requires_bands(self, ray_session):
+        import pytest as _pytest
+        from raydedup.stages.incremental import (build_band_bloom,
+                                                 corpus_band_table,
+                                                 incremental_near_dup)
+        corpus, inc = _nd_fixture()
+        bloom = build_band_bloom(
+            corpus_band_table(corpus, CFG).materialize(), CFG).materialize()
+        with _pytest.raises(ValueError, match="corpus_bands"):
+            incremental_near_dup(inc, corpus, CFG,
+                                 corpus_band_bloom=bloom).to_pandas()
