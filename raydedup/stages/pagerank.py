@@ -83,7 +83,8 @@ def pagerank(edges_ds, cfg: PipelineConfig, *, n_iter: int = 5,
              damping_num: int = DAMPING_NUM, damping_den: int = DAMPING_DEN,
              scale: int = RANK_SCALE, src_col: str = "src",
              dst_col: str = "dst", weight_col: str | None = None,
-             personalization=None, fan: str = "auto", counters=None):
+             personalization=None, fan: str = "auto",
+             node_groups: int | None = None, counters=None):
     """edges(src:int64, dst:int64) → Dataset(node:int64, rank_fp:int64).
 
     ``rank_fp`` is the PageRank mass in units of ``1/scale``; ranks of
@@ -106,16 +107,28 @@ def pagerank(edges_ds, cfg: PipelineConfig, *, n_iter: int = 5,
     task returns one shard per destination partition: P² objects/round),
     ``"tree"`` (shards travel via √P partition groups: message tasks
     return G=⌈√P⌉ group shards, G combine tasks pre-sum per node and
-    re-split to their group's partitions — O(P^1.5) objects/round), or
+    re-split to their group's partitions — O(P^1.5) objects/round),
+    ``"nodes"`` (the multi-node shape: partitions are grouped into M
+    NODE groups — ``node_groups``, default the live Ray node count, or
+    ⌈√P⌉ single-node — and shards take two hops: an M-way first fan
+    (one shard per destination node group), an (M_src × M_dst)
+    node-LOCAL combine that pre-sums each source node's shards for one
+    destination node, then a per-destination-node merge+split.  Only
+    the M² level-1 outputs cross the network; the P·M first-fan objects
+    and the P final splits stay node-local, pinned there with soft
+    NodeAffinity scheduling hints keyed by group — at P=8192/M=64 the
+    cross-node object count drops from tree's ~740k/round to 4096), or
     ``"auto"`` (tree when P ≥ FAN_TREE_MIN_PARTS).  Results are
-    bit-identical either way (integer sums reassociate freely)."""
+    bit-identical across all fans (integer sums reassociate freely);
+    telemetry counters record objects/round per topology."""
     import ray
     import ray.data as rd
 
     from ..functions.shuffle import hash_partition_map, part_of
 
-    if fan not in ("flat", "tree", "auto"):
-        raise ValueError(f"fan={fan!r} not in {{'flat', 'tree', 'auto'}}")
+    if fan not in ("flat", "tree", "nodes", "auto"):
+        raise ValueError(
+            f"fan={fan!r} not in {{'flat', 'tree', 'nodes', 'auto'}}")
     n_parts = cfg.resolved_partitions()
 
     def _hash_part(x: np.ndarray) -> np.ndarray:
@@ -257,10 +270,42 @@ def pagerank(edges_ds, cfg: PipelineConfig, *, n_iter: int = 5,
                          "in the graph")
     base = ((scale * (damping_den - damping_num)) // damping_den) // n_base
 
+    use_nodes = fan == "nodes"
     use_tree = (fan == "tree"
                 or (fan == "auto" and n_parts >= FAN_TREE_MIN_PARTS))
     group_size = int(np.ceil(np.sqrt(n_parts)))
     n_groups = (n_parts + group_size - 1) // group_size
+
+    # "nodes" fan: M node groups — default one per live Ray node (the
+    # real-cluster semantic), else the √P emulation single-node.  Soft
+    # NodeAffinity hints pin a group's message/combine/apply tasks to
+    # one node so the first fan and the final splits never cross the
+    # network; only the M² level-1 combine outputs do.
+    try:
+        from ray.util.scheduling_strategies import \
+            NodeAffinitySchedulingStrategy
+        _alive_nodes = sorted(n["NodeID"] for n in ray.nodes()
+                              if n.get("Alive")
+                              and n.get("Resources", {}).get("CPU"))
+    except Exception:                      # pragma: no cover
+        NodeAffinitySchedulingStrategy = None
+        _alive_nodes = []
+    if use_nodes:
+        m_req = node_groups or (len(_alive_nodes) if len(_alive_nodes) > 1
+                                else max(1, int(round(np.sqrt(n_parts)))))
+        m_eff = max(1, min(int(m_req), n_parts))
+        ppn = (n_parts + m_eff - 1) // m_eff   # partitions per node group
+        n_grp = (n_parts + ppn - 1) // ppn
+    else:
+        ppn = n_grp = 0
+
+    def _aff(group: int) -> dict:
+        """Soft scheduling hint: keep this group's tasks on one node
+        (a no-op hint single-node; never a hard constraint)."""
+        if len(_alive_nodes) <= 1 or NodeAffinitySchedulingStrategy is None:
+            return {}
+        return {"scheduling_strategy": NodeAffinitySchedulingStrategy(
+            node_id=_alive_nodes[group % len(_alive_nodes)], soft=True)}
 
     @ray.remote
     def _prep_edges(edge_tab):
@@ -278,9 +323,7 @@ def pagerank(edges_ds, cfg: PipelineConfig, *, n_iter: int = 5,
         inv2 = slot[inv] if len(dst) else inv   # edge → final slot
         udst_s, part_s = udst[order], part[order]
         bounds = np.searchsorted(part_s, np.arange(n_parts + 1))
-        gbounds = np.searchsorted(part_s,
-                                  np.arange(n_groups + 1) * group_size)
-        return udst_s, inv2, part_s, bounds, gbounds
+        return udst_s, inv2, part_s, bounds
 
     prep_refs = [_prep_edges.remote(b) for b in edge_blocks]
 
@@ -298,7 +341,7 @@ def pagerank(edges_ds, cfg: PipelineConfig, *, n_iter: int = 5,
                           "inc": pa.array([], pa.int64())})
         if not len(src):
             return (*[empty] * n_parts, dang)
-        udst_s, inv2, _part_s, bounds, _g = prep
+        udst_s, inv2, _part_s, bounds = prep
         pos = np.searchsorted(node, src)     # every src is present here
         if weighted:                         # deg = W(u) > 0 for every src
             contrib = (rank[pos]
@@ -333,10 +376,12 @@ def pagerank(edges_ds, cfg: PipelineConfig, *, n_iter: int = 5,
         return state_tab.set_column(2, "rank_fp",
                                     pa.array(new_rank, pa.int64()))
 
-    @ray.remote(num_returns=n_groups + 1)
-    def _messages_grouped(edge_tab, prep, state_tab):
+    @ray.remote
+    def _messages_chunked(edge_tab, prep, state_tab, chunk, n_chunks):
         """Like _messages, but shards are grouped by destination
-        partition GROUP (part // group_size) — G returns, not P."""
+        partition CHUNK (part // chunk) — n_chunks returns, not P.
+        Called with .options(num_returns=n_chunks + 1); serves both the
+        tree fan (chunk = ⌈√P⌉) and the nodes fan (chunk = P/M)."""
         node = np.asarray(state_tab["node"], dtype=np.int64)
         deg = np.asarray(state_tab["outdeg"], dtype=np.int64)
         rank = np.asarray(state_tab["rank_fp"], dtype=np.int64)
@@ -346,8 +391,10 @@ def pagerank(edges_ds, cfg: PipelineConfig, *, n_iter: int = 5,
                           "inc": pa.array([], pa.int64()),
                           "part": pa.array([], pa.int64())})
         if not len(src):
-            return (*[empty] * n_groups, dang)
-        udst_s, inv2, part_s, _b, gbounds = prep
+            return (*[empty] * n_chunks, dang)
+        udst_s, inv2, part_s, _b = prep
+        cbounds = np.searchsorted(part_s,
+                                  np.arange(n_chunks + 1) * chunk)
         pos = np.searchsorted(node, src)
         if weighted:
             contrib = (rank[pos]
@@ -357,24 +404,18 @@ def pagerank(edges_ds, cfg: PipelineConfig, *, n_iter: int = 5,
             contrib = rank[pos] // deg[pos]
         inc = np.zeros(len(udst_s), dtype=np.int64)
         np.add.at(inc, inv2, contrib)
-        outs = [pa.table({"node": pa.array(udst_s[gbounds[g]:gbounds[g + 1]],
+        outs = [pa.table({"node": pa.array(udst_s[cbounds[g]:cbounds[g + 1]],
                                            pa.int64()),
-                          "inc": pa.array(inc[gbounds[g]:gbounds[g + 1]],
+                          "inc": pa.array(inc[cbounds[g]:cbounds[g + 1]],
                                           pa.int64()),
-                          "part": pa.array(part_s[gbounds[g]:gbounds[g + 1]],
+                          "part": pa.array(part_s[cbounds[g]:cbounds[g + 1]],
                                            pa.int64())})
-                for g in range(n_groups)]
+                for g in range(n_chunks)]
         return (*outs, dang)
 
-    @ray.remote(num_returns=group_size)
-    def _combine_group(g0, *shards):
-        """Merge this group's shards from every message task: pre-sum
-        per node, then re-split into the group's partitions."""
-        empty = pa.table({"node": pa.array([], pa.int64()),
-                          "inc": pa.array([], pa.int64())})
-        shards = [s for s in shards if len(s)]
-        if not shards:
-            return (*[empty] * group_size,) if group_size > 1 else empty
+    def _presum(shards):
+        """Concat shards and pre-sum per (part, node) — the shared
+        kernel of both combine levels."""
         t = pa.concat_tables(shards)
         node = np.asarray(t["node"], dtype=np.int64)
         inc = np.asarray(t["inc"], dtype=np.int64)
@@ -384,25 +425,83 @@ def pagerank(edges_ds, cfg: PipelineConfig, *, n_iter: int = 5,
         first = np.ones(len(node), dtype=bool)
         first[1:] = (node[1:] != node[:-1]) | (part[1:] != part[:-1])
         starts = np.flatnonzero(first)
-        summed = np.add.reduceat(inc, starts)
-        node, part = node[starts], part[starts]
-        bounds = np.searchsorted(part, g0 + np.arange(group_size + 1))
+        return node[starts], np.add.reduceat(inc, starts), part[starts]
+
+    _EMPTY_MSG = pa.table({"node": pa.array([], pa.int64()),
+                           "inc": pa.array([], pa.int64()),
+                           "part": pa.array([], pa.int64())})
+
+    @ray.remote
+    def _combine_local(*shards):
+        """Level-1 combine of the nodes fan: pre-sum ONE source node
+        group's shards destined to one destination node group.  On a
+        real cluster this task runs on the SOURCE node (affinity hint),
+        so its inputs never cross the network — its single output is
+        the only cross-node object."""
+        shards = [s for s in shards if len(s)]
+        if not shards:
+            return _EMPTY_MSG
+        node, summed, part = _presum(shards)
+        return pa.table({"node": pa.array(node, pa.int64()),
+                         "inc": pa.array(summed, pa.int64()),
+                         "part": pa.array(part, pa.int64())})
+
+    @ray.remote
+    def _combine_group(g0, gsize, *shards):
+        """Merge one destination group's shards: pre-sum per node, then
+        re-split into the group's partitions.  Called with
+        .options(num_returns=gsize)."""
+        empty = pa.table({"node": pa.array([], pa.int64()),
+                          "inc": pa.array([], pa.int64())})
+        shards = [s for s in shards if len(s)]
+        if not shards:
+            return (*[empty] * gsize,) if gsize > 1 else empty
+        node, summed, part = _presum(shards)
+        bounds = np.searchsorted(part, g0 + np.arange(gsize + 1))
         outs = [pa.table({"node": pa.array(node[bounds[i]:bounds[i + 1]],
                                            pa.int64()),
                           "inc": pa.array(summed[bounds[i]:bounds[i + 1]],
                                           pa.int64())})
-                for i in range(group_size)]
-        return (*outs,) if group_size > 1 else outs[0]
+                for i in range(gsize)]
+        return (*outs,) if gsize > 1 else outs[0]
 
     for _ in range(n_iter):
-        if use_tree:
-            msg = [_messages_grouped.remote(edge_blocks[p], prep_refs[p],
-                                            state_blocks[p])
+        if use_nodes:
+            msg = [_messages_chunked.options(num_returns=n_grp + 1,
+                                             **_aff(p // ppn))
+                   .remote(edge_blocks[p], prep_refs[p], state_blocks[p],
+                           ppn, n_grp)
+                   for p in range(n_parts)]
+            dang_total = sum(ray.get([m[n_grp] for m in msg]))
+            share = dang_total // n_base
+            # level 1 (node-local): source group s × dest group g
+            loc = [[_combine_local.options(**_aff(s)).remote(
+                        *[msg[p][g]
+                          for p in range(s * ppn,
+                                         min((s + 1) * ppn, n_parts))])
+                    for g in range(n_grp)] for s in range(n_grp)]
+            # level 2 (on the dest node): merge the n_grp cross-node
+            # shards, split to the dest group's partitions
+            split = [_combine_group.options(num_returns=ppn, **_aff(g))
+                     .remote(g * ppn, ppn, *[loc[s][g]
+                                             for s in range(n_grp)])
+                     for g in range(n_grp)]
+            state_blocks = [
+                _apply.options(**_aff(q // ppn)).remote(
+                    state_blocks[q], share,
+                    split[q // ppn][q % ppn] if ppn > 1
+                    else split[q // ppn])
+                for q in range(n_parts)]
+        elif use_tree:
+            msg = [_messages_chunked.options(num_returns=n_groups + 1)
+                   .remote(edge_blocks[p], prep_refs[p], state_blocks[p],
+                           group_size, n_groups)
                    for p in range(n_parts)]
             dang_total = sum(ray.get([m[n_groups] for m in msg]))
             share = dang_total // n_base
-            combined = [_combine_group.remote(g * group_size,
-                                              *[m[g] for m in msg])
+            combined = [_combine_group.options(num_returns=group_size)
+                        .remote(g * group_size, group_size,
+                                *[m[g] for m in msg])
                         for g in range(n_groups)]
             if group_size == 1:
                 state_blocks = [_apply.remote(state_blocks[q], share,
@@ -425,8 +524,26 @@ def pagerank(edges_ds, cfg: PipelineConfig, *, n_iter: int = 5,
                             for q in range(n_parts)]
 
     if counters is not None:
+        # objects-per-round telemetry: total transient objects the fan
+        # creates, and how many of them must cross the network on a
+        # multi-node cluster (the nodes fan's whole point)
+        if use_nodes:
+            fan_used = "nodes"
+            msg_objs = n_parts * n_grp + n_grp * n_grp + n_parts
+            cross_objs = n_grp * n_grp
+        elif use_tree:
+            fan_used = "tree"
+            msg_objs = n_parts * n_groups + n_parts
+            cross_objs = n_parts * n_groups + n_parts
+        else:
+            fan_used = "flat"
+            msg_objs = cross_objs = n_parts * n_parts
         counters.add.remote({"pagerank_rounds": n_iter,
-                             "pagerank_nodes": n_nodes})
+                             "pagerank_nodes": n_nodes,
+                             f"pagerank_fan_{fan_used}": 1,
+                             "pagerank_msg_objects_per_round": msg_objs,
+                             "pagerank_crossnode_objects_per_round":
+                                 cross_objs})
 
     @ray.remote
     def _emit(state_tab):

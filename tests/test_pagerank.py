@@ -188,3 +188,61 @@ def test_nonpositive_weight_rejected(ray_session):
     with pytest.raises(Exception) as ei:
         pagerank(rd.from_arrow(tab), CFG8, weight_col="w").count()
     assert "positive" in str(ei.value)
+
+
+class TestNodesFan:
+    """fan="nodes": two-level node-local combine — bit-identical to
+    flat/tree at every (P, M) shape, telemetry records the object-count
+    drop."""
+
+    def test_nodes_equals_flat_and_tree(self, ray_session):
+        cfg = DEFAULT_CONFIG.with_(num_partitions=9)
+        flat = _run(EDGES, cfg, fan="flat")
+        assert _run(EDGES, cfg, fan="nodes") == flat == ref_pagerank(EDGES)
+        assert _run(EDGES, cfg, fan="nodes", node_groups=2) == flat
+        assert _run(EDGES, cfg, fan="nodes", node_groups=9) == flat
+
+    def test_nodes_uneven_groups(self, ray_session):
+        # 11 partitions, 4 node groups -> ppn=3, groups 3,3,3,2
+        cfg = DEFAULT_CONFIG.with_(num_partitions=11)
+        edges = [(i, (i * 3 + 1) % 40) for i in range(40)] + \
+                [(i, 7) for i in range(0, 40, 5)]
+        assert _run(edges, cfg, fan="nodes", node_groups=4) \
+            == ref_pagerank(edges)
+
+    def test_nodes_weighted_personalized(self, ray_session):
+        import ray.data as rd
+        edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 1), (2, 4)]
+        w = [3, 1, 2, 5, 1, 2]
+        tab = pa.table({"src": pa.array([a for a, _ in edges], pa.int64()),
+                        "dst": pa.array([b for _, b in edges], pa.int64()),
+                        "w": pa.array(w, pa.int64())})
+        kw = dict(n_iter=4, weight_col="w", personalization=[1, 4])
+        base = pagerank(rd.from_arrow(tab), CFG8, fan="flat",
+                        **kw).to_pandas()
+        nodes = pagerank(rd.from_arrow(tab), CFG8, fan="nodes",
+                         node_groups=3, **kw).to_pandas()
+        a = sorted(zip(base["node"], base["rank_fp"]))
+        b = sorted(zip(nodes["node"], nodes["rank_fp"]))
+        assert a == b
+
+    def test_object_count_telemetry(self, ray_session):
+        from raydedup.state import RunCounters
+        import ray.data as rd
+        tab = pa.table({"src": pa.array([a for a, _ in EDGES], pa.int64()),
+                        "dst": pa.array([b for _, b in EDGES], pa.int64())})
+        cfg = DEFAULT_CONFIG.with_(num_partitions=16)
+        rc = RunCounters()
+        pagerank(rd.from_arrow(tab), cfg, fan="nodes", node_groups=4,
+                 counters=rc.actor).count()
+        got = rc.get()
+        assert got["pagerank_fan_nodes"] == 1
+        # P=16, M=4: total 16*4 + 16 + 16 = 96; cross-node = 16
+        assert got["pagerank_msg_objects_per_round"] == 96
+        assert got["pagerank_crossnode_objects_per_round"] == 16
+        rc2 = RunCounters()
+        pagerank(rd.from_arrow(tab), cfg, fan="flat",
+                 counters=rc2.actor).count()
+        got2 = rc2.get()
+        assert got2["pagerank_msg_objects_per_round"] == 256
+        assert got2["pagerank_crossnode_objects_per_round"] == 256
