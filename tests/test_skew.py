@@ -228,3 +228,81 @@ class TestDistributedCCCheckpoint:
         assert set(zip(got["a"], got["b"])) == set(zip(want["a"], want["b"]))
         # star for the flood (1199 pairs), all-pairs for the small group (6)
         assert len(got) == 1199 + 6
+
+
+class TestAdaptiveOvercapChunk:
+    def test_chunk_shrinks_with_flood_size(self):
+        from raydedup.stages.lsh import SALT_CHUNK, SALT_CHUNK_MIN, _overcap_chunk
+        cap = 512
+        assert _overcap_chunk(cap + 1, cap) == SALT_CHUNK       # just over cap
+        assert _overcap_chunk(2_048, cap) == SALT_CHUNK          # budget edge
+        assert _overcap_chunk(8_192, cap) == 32
+        assert _overcap_chunk(300_000, cap) == SALT_CHUNK_MIN    # mega-flood
+        # small-cap configs keep their historical chunk (= cap) until the
+        # SALT_CHUNK^2 budget floor is exceeded
+        assert _overcap_chunk(60, 20) == 20
+        assert _overcap_chunk(1_000, 20) == 20
+        assert _overcap_chunk(4_000, 20) == 8
+
+    def test_mega_flood_emission_linear_and_connected(self):
+        from raydedup.stages.lsh import _emit_run_pairs
+        from tests.oracle import union_find_components
+        n, cap = 50_000, 512
+        keys = np.full(n, 42, dtype=np.int64)
+        ids = np.arange(n, dtype=np.int64)
+        lo, hi, stats = _emit_run_pairs(keys, ids, cap)
+        # adaptive chunk=8 -> ~4 pairs per member, nowhere near 64x
+        assert len(lo) < 4.2 * n
+        assert set(np.concatenate([lo, hi]).tolist()) == set(range(n))
+        comp = union_find_components(list(zip(lo.tolist(), hi.tolist())))
+        assert len(set(comp.values())) == 1
+        assert stats["lsh_salted_pairs"] == len(lo)
+
+    def test_adaptive_flood_still_clusters_end_to_end(self, ray_session):
+        # big enough that _overcap_chunk drops below the small cap: the
+        # flood must still come out as ONE component after verify + CC
+        from raydedup.pipelines.neardup import near_dup_clusters
+        cfg = PipelineConfig(num_partitions=4, batch_size=512,
+                             band_bucket_cap=20)
+        flood = [BIGBASE + f" tail{i}" for i in range(1_700)]
+        labels = near_dup_clusters(_docs_ds(flood), cfg).to_pandas()
+        got = dict(zip(labels["node"], labels["component"]))
+        assert set(range(1_700)) <= set(got)
+        assert len({got[i] for i in range(1_700)}) == 1
+
+
+class TestLocalCCContraction:
+    """label_components_arrays is the driver-local CC; the salted-chain
+    flood gives it a diameter ~L/chunk graph — the contraction rewrite
+    must label it right in O(log V) rounds (the one-hop propagation it
+    replaced needed O(diameter) rounds: 4 077 at a 300k-member flood)."""
+
+    def test_long_path_min_label(self):
+        from raydedup.stages.cc import label_components_arrays
+        n = 200_000
+        # path over PERMUTED ids: the min sits somewhere in the middle
+        ids = np.random.default_rng(3).permutation(n).astype(np.int64) + 17
+        nodes, comp = label_components_arrays(ids[:-1], ids[1:])
+        assert len(nodes) == n
+        assert (comp == ids.min()).all()
+
+    def test_matches_union_find_oracle(self):
+        from raydedup.stages.cc import label_components_arrays
+        from tests.oracle import union_find_components
+        rng = np.random.default_rng(11)
+        a = rng.integers(0, 500, 3_000).astype(np.int64) * 3 + 1
+        b = rng.integers(0, 500, 3_000).astype(np.int64) * 3 + 1
+        nodes, comp = label_components_arrays(a, b)
+        uf = union_find_components(list(zip(a.tolist(), b.tolist())))
+        # normalize oracle labels to min member id per component
+        import collections
+        members = collections.defaultdict(list)
+        for node, root in uf.items():
+            members[root].append(node)
+        want = {}
+        for mem in members.values():
+            lo = min(mem)
+            for node in mem:
+                want[node] = lo
+        got = dict(zip(nodes.tolist(), comp.tolist()))
+        assert got == want
