@@ -263,9 +263,13 @@ def ann_ivf_topk(ds, query_ids, k: int = 10, *, n_clusters: int | None = None,
             keep |= np.isin(ids, qset)
             return t.filter(pa.array(keep))
 
+        # sort_by(id): block arrival order is scheduler-dependent
+        # (preserve_order=False) and seeded k-means init indexes rows —
+        # sorting keeps the quantizer run-invariant.
         picked = pa.concat_tables(
             [t for t in ray.get(ds.map_batches(
-                _pick, batch_format="pyarrow").to_arrow_refs()) if len(t)])
+                _pick, batch_format="pyarrow").to_arrow_refs())
+             if len(t)]).sort_by(id_col)
         ids_p = np.asarray(picked[id_col], dtype=np.int64)
         mat_p = _normalize(_embedding_matrix(picked, emb_col))
         train_mask = splitmix64(ids_p.view(np.uint64) ^ salt) <= cut

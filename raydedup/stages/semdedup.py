@@ -75,7 +75,11 @@ def assign_clusters(ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
     picked = [t for t in ray.get(
         ds.map_batches(_pick, batch_format="pyarrow").to_arrow_refs())
         if len(t)]
-    sample = pa.concat_tables(picked)
+    # Ray Data does not preserve block order (preserve_order defaults to
+    # False), so the arrival order of sample blocks is scheduler-dependent;
+    # seeded k-means init indexes ROWS, so sort by id to keep the trained
+    # quantizer — and therefore cluster assignment — run-invariant.
+    sample = pa.concat_tables(picked).sort_by(id_col)
     mat = _normalize(_embedding_matrix(sample, emb_col))
     k = min(n_clusters, len(mat))
     cents = _kmeans(mat, k, iters=10, seed=cfg.seed)
