@@ -193,3 +193,22 @@ def test_assign_clusters_shapes(ray_session):
     assert cents.shape == (8, DIM)
     assert df["cluster"].between(0, 7).all()
     assert len(df) == len(tab)
+
+
+def test_assign_clusters_order_invariant(ray_session):
+    """The trained quantizer must not depend on row/block arrival order:
+    Ray Data does not preserve block order, and seeded k-means init
+    indexes rows, so assign_clusters sorts its pulled sample by id.
+    Feeding the same rows in reversed order (and a different partition
+    layout) must yield identical centroids and identical assignment."""
+    import ray.data as rd
+    tab, _, _ = _planted(seed=11)
+    rev = tab.take(pa.array(np.arange(len(tab) - 1, -1, -1), pa.int64()))
+    a1, c1 = assign_clusters(rd.from_arrow(tab).repartition(3), CFG,
+                             n_clusters=6, train_sample=10**6)
+    a2, c2 = assign_clusters(rd.from_arrow(rev).repartition(5), CFG,
+                             n_clusters=6, train_sample=10**6)
+    assert np.array_equal(c1, c2)
+    d1 = a1.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    d2 = a2.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert d1["cluster"].tolist() == d2["cluster"].tolist()
