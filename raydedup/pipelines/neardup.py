@@ -489,3 +489,208 @@ def near_dup_clusters(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
         }))
     return connected_components(pairs, cfg, checkpoint_fn=checkpoint_fn,
                                 counters=counters)
+
+
+def dedup_weights(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  threshold: float | None = ..., counters=None):
+    """SoftDeDup-style training weights: → Dataset(doc_id, cluster_size,
+    weight) where weight = 1 / near-dup-cluster size (docs in no cluster
+    weigh 1.0) — the soft alternative to dropping duplicates outright
+    (keep every copy, downweight its gradient share so a template
+    crawled a million times contributes one document's worth of signal).
+
+    Physical plan: cluster labels (bounded by the dup count, same
+    contract as near_dup_dedup) → component sizes.  Under the broadcast
+    gate the (node→size) map ships once via ray.put and the corpus
+    streams through one lookup map — zero shuffle.  Above it, two
+    doc-cardinality exchanges: labels keyed hash(component) → (node,
+    size) rows keyed hash(node), met by the corpus's id rows (same
+    union-schema exchange shape as near_dup_canonical's big path).
+
+    weight is an IEEE division of exact integers (1.0 / size), mirrored
+    by the SQL oracle."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    labels = near_dup_clusters(docs, cfg, id_col=id_col, text_col=text_col,
+                               threshold=threshold,
+                               counters=counters).materialize()
+    ltabs = [t for t in ray.get(list(labels.to_arrow_refs())) if len(t)]
+    if ltabs:
+        node = np.concatenate([np.asarray(t["node"], dtype=np.int64)
+                               for t in ltabs])
+        comp = np.concatenate([np.asarray(t["component"], dtype=np.int64)
+                               for t in ltabs])
+    else:
+        node = np.empty(0, np.int64)
+        comp = np.empty(0, np.int64)
+
+    def _emit(ids: np.ndarray, sz: np.ndarray) -> pa.Table:
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "cluster_size": pa.array(sz, pa.int64()),
+            "weight": pa.array(1.0 / sz, pa.float64()),
+        })
+
+    if len(node) <= NEAR_DEDUP_BROADCAST_MAX_DROPS:
+        order = np.argsort(node)
+        node_s = node[order]
+        comp_u, inv = np.unique(comp[order], return_inverse=True)
+        size_s = np.bincount(inv, minlength=len(comp_u))[inv] \
+            .astype(np.int64) if len(node) else np.empty(0, np.int64)
+        ref = ray.put((node_s, size_s))
+
+        def _weigh(t: pa.Table) -> pa.Table:
+            nd, sz = ray.get(ref)
+            ids = np.asarray(t[id_col], dtype=np.int64)
+            out = np.ones(len(ids), dtype=np.int64)
+            if len(nd):
+                pos = np.clip(np.searchsorted(nd, ids), 0, len(nd) - 1)
+                hit = nd[pos] == ids
+                out[hit] = sz[pos[hit]]
+            return _emit(ids, out)
+
+        return docs.map_batches(_weigh, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    # over the gate: size the components with one exchange keyed
+    # hash(component), then meet the corpus id stream keyed hash(id)
+    from ..functions.hashing import splitmix64
+    from ..functions.shuffle import hash_partition_map
+
+    n_parts = cfg.resolved_partitions()
+
+    def _hashp(x: np.ndarray) -> np.ndarray:
+        return (np.asarray(splitmix64(
+            np.ascontiguousarray(x).view(np.uint64).copy()))
+            % np.uint64(n_parts)).astype(np.int64)
+
+    def _tag_label(t: pa.Table) -> pa.Table:
+        c = np.asarray(t["component"], dtype=np.int64)
+        return pa.table({
+            "i": t["node"].cast(pa.int64()),
+            "c": pa.array(c, pa.int64()),
+            "part": pa.array(_hashp(c), pa.int64()),
+        })
+
+    def _size_members(tab: pa.Table | None) -> pa.Table:
+        if tab is None or len(tab) == 0:
+            return pa.table({"i": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "part": pa.array([], pa.int64())})
+        n = np.asarray(tab["i"].combine_chunks(), dtype=np.int64)
+        c = np.asarray(tab["c"].combine_chunks(), dtype=np.int64)
+        cu, inv = np.unique(c, return_inverse=True)
+        sz = np.bincount(inv, minlength=len(cu))[inv].astype(np.int64)
+        return pa.table({"i": pa.array(n, pa.int64()),
+                         "s": pa.array(sz, pa.int64()),
+                         "part": pa.array(_hashp(n), pa.int64())})
+
+    sized = hash_partition_map(
+        labels.map_batches(_tag_label, batch_format="pyarrow"),
+        "part", _size_members, n_parts)
+
+    def _tag_doc(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col], dtype=np.int64)
+        return pa.table({
+            "i": pa.array(ids, pa.int64()),
+            "s": pa.nulls(len(ids), pa.int64()),
+            "part": pa.array(_hashp(ids), pa.int64()),
+        })
+
+    def _finish(tab: pa.Table | None) -> pa.Table:
+        import pyarrow.compute as pc
+        if tab is None or len(tab) == 0:
+            return _emit(np.empty(0, np.int64), np.empty(0, np.int64))
+        s_col = tab["s"].combine_chunks()
+        s_valid = np.asarray(s_col.is_valid())
+        i = np.asarray(tab["i"].combine_chunks(), dtype=np.int64)
+        docs_i = np.sort(i[~s_valid])             # one row per doc
+        sz = np.ones(len(docs_i), dtype=np.int64)
+        mi = i[s_valid]
+        if len(mi):
+            ms = np.asarray(pc.fill_null(s_col, 0), dtype=np.int64)[s_valid]
+            sz[np.searchsorted(docs_i, mi)] = ms
+        return _emit(docs_i, sz)
+
+    tagged = docs.select_columns([id_col]) \
+        .map_batches(_tag_doc, batch_format="pyarrow").union(sized)
+    return hash_partition_map(tagged, "part", _finish, n_parts)
+
+
+def cross_source_overlap(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         source_col: str = "source",
+                         threshold: float | None = ..., counters=None):
+    """→ Dataset(source_a, source_b, n_pairs): verified near-dup pairs
+    bucketed by the (unordered) source pair of their endpoints — the
+    cross-crawl contamination matrix (how much of source X is source Y
+    re-serving) that decides dedup ORDER across dumps.
+
+    Physical plan: near_dup_pairs → endpoint ids collected (bounded by
+    the verified-pair count, the same contract as source_dup_rates) →
+    one streaming semi-filter pulls JUST the endpoints' (id, source)
+    rows → broadcast lookup over the pair stream → tiny groupby."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    pairs = near_dup_pairs(docs.select_columns([id_col, text_col]), cfg,
+                           id_col=id_col, text_col=text_col,
+                           threshold=threshold, counters=counters) \
+        .select_columns(["a", "b"]).materialize()
+    ptabs = [t for t in ray.get(list(pairs.to_arrow_refs())) if len(t)]
+    if not ptabs:
+        return pa.table({"source_a": pa.array([], pa.string()),
+                         "source_b": pa.array([], pa.string()),
+                         "n_pairs": pa.array([], pa.int64())})
+    cat = pa.concat_tables(ptabs)
+    ids_sorted = np.unique(np.concatenate(
+        [np.asarray(cat["a"], dtype=np.int64),
+         np.asarray(cat["b"], dtype=np.int64)]))
+    ids_ref = ray.put(ids_sorted)
+
+    def _semi(t: pa.Table) -> pa.Table:
+        nd = ray.get(ids_ref)
+        ids = np.asarray(t[id_col], dtype=np.int64)
+        pos = np.clip(np.searchsorted(nd, ids), 0, len(nd) - 1)
+        m = pa.array(nd[pos] == ids)
+        return pa.table({id_col: t[id_col].filter(m).cast(pa.int64()),
+                         source_col: t[source_col].filter(m)})
+
+    stabs = [t for t in ray.get(list(
+        docs.select_columns([id_col, source_col])
+            .map_batches(_semi, batch_format="pyarrow",
+                         zero_copy_batch=True).to_arrow_refs())) if len(t)]
+    stab = pa.concat_tables(stabs)
+    sid = np.asarray(stab[id_col], dtype=np.int64)
+    so = np.argsort(sid)
+    src_sorted = stab[source_col].combine_chunks().take(pa.array(so))
+    sid = sid[so]
+    src_ref = ray.put((sid, src_sorted))
+
+    def _label(t: pa.Table) -> pa.Table:
+        nd, src = ray.get(src_ref)
+        a = np.asarray(t["a"], dtype=np.int64)
+        b = np.asarray(t["b"], dtype=np.int64)
+        sa = src.take(pa.array(np.searchsorted(nd, a)))
+        sb = src.take(pa.array(np.searchsorted(nd, b)))
+        lo = pc.less_equal(sa, sb)
+        return pa.table({
+            "source_a": pc.if_else(lo, sa, sb),
+            "source_b": pc.if_else(lo, sb, sa),
+            "one": pa.array(np.ones(len(a), np.int64)),
+        })
+
+    agg = pairs.map_batches(_label, batch_format="pyarrow") \
+        .groupby(["source_a", "source_b"]) \
+        .aggregate(Sum("one", alias_name="n_pairs"))
+    return agg.map_batches(
+        lambda t: pa.table({"source_a": t["source_a"],
+                            "source_b": t["source_b"],
+                            "n_pairs": t["n_pairs"].cast(pa.int64())}),
+        batch_format="pyarrow")
