@@ -28,6 +28,27 @@ from ..config import DEFAULT_CONFIG, PipelineConfig
 from ..functions.hashing import hash_utf8_array
 from ..functions.shuffle import hash_partition_map
 
+# Worker-local cache for the small broadcast objects this module ships
+# into map chunks (DF table for doc_keywords, heavy-hitter candidate
+# set, PMI word list).  ray.get on an owned plasma object is cheap, but
+# it still re-deserializes the Arrow buffers on every call; caching the
+# deserialized value makes the per-chunk cost a dict lookup.  Bounded:
+# at most 4 live entries per worker (keyed by object-ref hex, so stale
+# refs from a previous query age out on the next miss past capacity).
+_BCAST_CACHE: dict = {}
+
+
+def _bcast_get(ref):
+    key = ref.hex()
+    hit = _BCAST_CACHE.get(key)
+    if hit is None:
+        import ray
+        if len(_BCAST_CACHE) >= 4:
+            _BCAST_CACHE.clear()
+        hit = ray.get(ref)
+        _BCAST_CACHE[key] = hit
+    return hit
+
 
 def top_k_vocab(docs_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
                 text_col: str = "text", k: int = 100, sep: str = " "):
@@ -203,7 +224,7 @@ def tfidf_keywords(docs_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
                       "rank": pa.array([], pa.int64())})
 
     def _kw(batch: pa.Table) -> pa.Table:
-        pk = ray.get(df_ref)
+        pk = _bcast_get(df_ref)
         texts = pc.fill_null(batch[text_col], "").combine_chunks()
         toks = pc.split_pattern(texts, sep)
         if isinstance(toks, pa.ChunkedArray):
@@ -464,7 +485,7 @@ def heavy_hitters(docs_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
     cand_ref = ray.put(cand_tok)
 
     def _exact_partial(t: pa.Table) -> pa.Table:
-        cand = ray.get(cand_ref)
+        cand = _bcast_get(cand_ref)
         tok, cnt, total = _tok_counts(t)
         keep = pc.fill_null(pc.is_in(tok, value_set=cand), False) \
             .to_numpy(zero_copy_only=False)
@@ -640,7 +661,7 @@ def bigram_pmi(docs_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
         flat = toks.flatten()          # empties KEPT (mirrors unnest)
         lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
         n_uni, n_bi = int(lens.sum()), int((lens - 1).sum())
-        w = ray.get(words_ref)
+        w = _bcast_get(words_ref)
         keep = pc.fill_null(pc.is_in(flat, value_set=w), False)
         sel = flat.filter(keep)
         agg = pa.table({"w": sel}).group_by("w") \
