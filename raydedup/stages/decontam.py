@@ -30,6 +30,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..functions.broadcast import bcast_get
 from ..functions.sketches import band_keys, minhash_oph_stream
 from ..functions.text import (TOKEN_CACHE_COL, batch_tokens, binary_to_sets,
                               shingle_batch, shingle_stream,
@@ -196,7 +197,7 @@ def decontaminate(corpus_ds, reference_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
     pack_ref = ray.put(pack)
 
     def _filter(batch: pa.Table) -> pa.Table:
-        p = ray.get(pack_ref)
+        p = bcast_get(pack_ref)
         if carry_tokens and TOKEN_CACHE_COL not in batch.column_names:
             batch = batch.append_column(
                 TOKEN_CACHE_COL,
@@ -234,7 +235,7 @@ def decontamination_matches(corpus_ds, reference_ds,
     pack_ref = ray.put(pack)
 
     def _matches(batch: pa.Table) -> pa.Table:
-        p = ray.get(pack_ref)
+        p = bcast_get(pack_ref)
         _, m = _match_batch(batch, p, cfg, id_col, text_col, thr)
         return m
 
@@ -273,7 +274,7 @@ def decontaminate_exact(corpus_ds, reference_ds,
         from ..functions.hashing import hash_strings
         import pandas as pd
 
-        r = ray.get(ref_pack)
+        r = bcast_get(ref_pack)
         texts = pc.fill_null(batch[text_col], "").to_numpy(
             zero_copy_only=False)
         h1 = hash_strings(texts).view(np.int64)
@@ -404,7 +405,7 @@ def decontaminate_ngram(corpus_ds, reference_ds,
     pack_ref = ray.put(grams)
 
     def _filter(batch: pa.Table) -> pa.Table:
-        grams = ray.get(pack_ref)
+        grams = bcast_get(pack_ref)
         _, hits = _ngram_hits(batch, grams, n, text_col)
         drop = hits > max_hits
         if counters is not None and drop.any():
@@ -445,7 +446,7 @@ def ngram_contamination_stats(corpus_ds, reference_ds,
     pack_ref = ray.put(grams_arr)
 
     def _stats(batch: pa.Table) -> pa.Table:
-        grams = ray.get(pack_ref)
+        grams = bcast_get(pack_ref)
         total, hits = _ngram_hits(batch, grams, n, text_col)
         keep = hits > 0
         if not keep.any():

@@ -30,6 +30,7 @@ import pyarrow.compute as pc
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
 from ..functions.hashing import splitmix64
+from ..functions.broadcast import bcast_get
 from ..functions.shuffle import hash_partition_map
 from .dedup import with_text_hash
 
@@ -299,7 +300,7 @@ def incremental_exact_dedup_bloom(new_ds, corpus_ds,
         """+ _hit flag: 1 iff the row's hash may be in the corpus."""
         if not len(t):
             return t.append_column("_hit", pa.array([], pa.int8()))
-        bl = ray.get(bloom_ref)
+        bl = bcast_get(bloom_ref)
         h1 = np.asarray(t["text_hash"], dtype=np.int64)
         h2 = np.asarray(t["text_hash2"], dtype=np.int64)
         part = (splitmix64(h1.view(np.uint64))
@@ -347,7 +348,7 @@ def incremental_exact_dedup_bloom(new_ds, corpus_ds,
         def _confirm(t: pa.Table) -> pa.Table:
             """Zero-shuffle semi-filter of the corpus hash store down
             to candidate keys (sorted-array membership per batch)."""
-            a1, a2 = ray.get(cand_ref)
+            a1, a2 = bcast_get(cand_ref)
             h1 = np.asarray(t["text_hash"], dtype=np.int64)
             h2 = np.asarray(t["text_hash2"], dtype=np.int64)
             return t.select(_HASH_COLS).filter(
@@ -374,7 +375,7 @@ def incremental_exact_dedup_bloom(new_ds, corpus_ds,
         exchange, so both steps are exact per block)."""
         if not len(t):
             return pa.table({})
-        a1, a2 = ray.get(conf_ref)
+        a1, a2 = bcast_get(conf_ref)
         h1 = np.asarray(t["text_hash"], dtype=np.int64)
         h2 = np.asarray(t["text_hash2"], dtype=np.int64)
         keep = np.ones(len(h1), dtype=bool)

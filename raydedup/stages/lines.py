@@ -39,6 +39,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..functions.broadcast import bcast_get
 from ..functions.hashing import hash_utf8_array
 from ..functions.shuffle import hash_partition_map
 
@@ -129,7 +130,7 @@ def remove_boilerplate_lines(ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
     set_ref = ray.put(value_set)
 
     def _strip(t: pa.Table) -> pa.Table:
-        vset = ray.get(set_ref)
+        vset = bcast_get(set_ref)
         lines_list, flat, _ = _split_lines(t, text_col, sep)
         drop = pc.is_in(flat, value_set=vset)
         keep = pc.fill_null(pc.invert(drop), True).to_numpy(

@@ -31,6 +31,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..config import PipelineConfig
+from ..functions.broadcast import bcast_get
 from ..functions.shuffle import hash_partition_map
 
 
@@ -496,7 +497,7 @@ def incremental_candidate_pairs(inc_docs, corpus_docs, cfg: PipelineConfig, *,
         hit_ref = ray.put(hit_keys)        # sorted (np.unique order)
 
         def _corp_filter(t: pa.Table) -> pa.Table:
-            hk = ray.get(hit_ref)
+            hk = bcast_get(hit_ref)
             bk = np.asarray(t["band_key"], dtype=np.int64)
             if not len(hk) or not len(bk):
                 keep = np.zeros(len(bk), dtype=bool)

@@ -28,26 +28,10 @@ from ..config import DEFAULT_CONFIG, PipelineConfig
 from ..functions.hashing import hash_utf8_array
 from ..functions.shuffle import hash_partition_map
 
-# Worker-local cache for the small broadcast objects this module ships
-# into map chunks (DF table for doc_keywords, heavy-hitter candidate
-# set, PMI word list).  ray.get on an owned plasma object is cheap, but
-# it still re-deserializes the Arrow buffers on every call; caching the
-# deserialized value makes the per-chunk cost a dict lookup.  Bounded:
-# at most 4 live entries per worker (keyed by object-ref hex, so stale
-# refs from a previous query age out on the next miss past capacity).
-_BCAST_CACHE: dict = {}
-
-
-def _bcast_get(ref):
-    key = ref.hex()
-    hit = _BCAST_CACHE.get(key)
-    if hit is None:
-        import ray
-        if len(_BCAST_CACHE) >= 4:
-            _BCAST_CACHE.clear()
-        hit = ray.get(ref)
-        _BCAST_CACHE[key] = hit
-    return hit
+# Small broadcast objects this module ships into map chunks (DF table
+# for doc_keywords, heavy-hitter candidate set, PMI word list) go
+# through the shared worker-local deserialized-value cache.
+from ..functions.broadcast import bcast_get as _bcast_get
 
 
 def top_k_vocab(docs_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
@@ -764,7 +748,7 @@ def doc_surprisal(docs_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
                       "surprisal_e6": pa.array([], pa.int64())})
 
     def _score(t: pa.Table) -> pa.Table:
-        htok, hcnt, n_tot = ray.get(head_ref)
+        htok, hcnt, n_tot = _bcast_get(head_ref)
         if n_tot == 0:
             return empty
         toks = pc.split_pattern(pc.fill_null(
