@@ -57,6 +57,36 @@ def hash_strings(values) -> np.ndarray:
     return pd.util.hash_array(arr, categorize=False)
 
 
+def md5_lower64_array(arr) -> np.ndarray:
+    """uint64 per string = the low 8 bytes of its md5 digest read
+    little-endian — chosen because it equals DuckDB 1.0's
+    ``md5_number_lower(s)`` exactly (verified incl. '' and non-ASCII),
+    which makes any signature derived from it SQL-oracle-checkable.
+
+    This is the ORACLE-LEG hash family: production paths keep the
+    buffer-level ``hash_utf8_array`` kernel.  Cost is bounded by
+    dictionary-encoding the Arrow array first so md5 runs once per
+    DISTINCT token in the batch (crawl text repeats tokens heavily);
+    the gather back to token positions is one numpy take.
+    """
+    import hashlib
+
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if len(arr) == 0:
+        return np.empty(0, dtype=np.uint64)
+    enc = arr.dictionary_encode()
+    uniq = enc.dictionary.to_pylist()
+    hv = np.fromiter(
+        (int.from_bytes(hashlib.md5(u.encode("utf-8")).digest()[8:16],
+                        "little") for u in uniq),
+        dtype=np.uint64, count=len(uniq))
+    idx = np.asarray(enc.indices, dtype=np.int64)
+    return hv[idx]
+
+
 _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 _FNV_PRIME = np.uint64(0x100000001B3)
 _WORD_PRIME = np.uint64(0x9E3779B97F4A7C15)   # odd → (h^w)*P bijective

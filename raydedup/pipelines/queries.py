@@ -421,12 +421,80 @@ WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
 
 
 def q_simhash_dup_pairs(sf_dir):
-    """SimHash-blocked near-identical pairs (rows-only check: the 64-bit
-    signature family is not SQL-expressible)."""
+    """SimHash-blocked near-identical pairs (rows-only check: the
+    rolling-hash shingle family is not SQL-expressible; the majority-vote
+    kernel itself is hash-checked by ``simhash_scored``)."""
     docs = _docs(sf_dir, ["doc_id", "text"])
     sig = signatures(docs, CFG).materialize()
     cands = simhash_candidate_pairs(sig, CFG)
     return verify_pairs(cands, sig, CFG, threshold=0.9)
+
+
+def q_simhash_scored(sf_dir):
+    """The 64-bit SimHash majority-vote kernel (functions/sketches.
+    simhash64 — the production kernel, bit for bit) under a
+    SQL-expressible token-hash family: per-token uint64 = the low md5
+    8 bytes little-endian == DuckDB ``md5_number_lower``.  Distinct
+    token hashes per doc vote ±1 per bit, ties round up — so the whole
+    signature hash-checks against an unrolled 64-bit SQL vote.  The
+    production path (simhash_dup_pairs) keeps the rolling-hash shingle
+    family; both deduplicate on the HASH (the repo's hash-equality
+    convention — see containment_adjacent's caveat)."""
+    from ..functions.hashing import md5_lower64_array
+    from ..functions.sketches import simhash64
+
+    def _sig(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch["text"], "")
+        toks = pc.split_pattern(texts, pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = np.asarray(toks.offsets, dtype=np.int64)
+        hv = md5_lower64_array(toks.values)
+        n_docs = len(batch)
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64),
+                            offs[1:] - offs[:-1])
+        order = np.lexsort((hv, doc_idx))
+        d, h = doc_idx[order], hv[order]
+        keep = np.ones(len(d), dtype=bool)
+        keep[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+        values = h[keep]
+        counts = np.bincount(d[keep], minlength=n_docs)
+        offsets = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        sig = simhash64(values, offsets)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "simhash": pa.array(sig.view(np.int64),
+                                             pa.int64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _sig, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_SIMHASH_SCORED = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+hv AS (SELECT DISTINCT doc_id, md5_number_lower(tok) AS h FROM toks),
+n AS (SELECT doc_id, count(*) AS cnt FROM hv GROUP BY doc_id),
+bits AS (
+  SELECT hv.doc_id, t.b,
+         sum(CASE WHEN (h >> t.b) & 1 = 1 THEN 1 ELSE 0 END) AS ones
+  FROM hv CROSS JOIN (SELECT unnest(range(64)) AS b) t
+  GROUP BY 1, 2
+),
+sig AS (
+  SELECT bits.doc_id,
+         sum(CASE WHEN 2 * ones >= n.cnt
+                  THEN (1::HUGEINT << bits.b) ELSE 0::HUGEINT END) AS s
+  FROM bits JOIN n ON n.doc_id = bits.doc_id
+  GROUP BY 1
+)
+SELECT doc_id,
+       (CASE WHEN s >= 9223372036854775808::HUGEINT
+             THEN s - 18446744073709551616::HUGEINT ELSE s END)::BIGINT
+           AS simhash
+FROM sig
+"""
 
 
 # ---------------------------------------------------------------- graph ops
@@ -1181,7 +1249,8 @@ FROM documents
 
 def q_ann_lsh_buckets(sf_dir):
     """Hyperplane-LSH bucket assignment (rows-only: random planes are
-    seed-derived, not SQL-expressible)."""
+    seed-derived, not SQL-expressible; the bucket plumbing is
+    hash-checked by ``ann_lsh_scored``)."""
     import ray.data as rd
     from ..stages.ann import ann_lsh_buckets
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
@@ -1189,6 +1258,33 @@ def q_ann_lsh_buckets(sf_dir):
     first = emb.take(1)[0]
     dim = len(first["embedding"])
     return ann_lsh_buckets(emb, dim=dim, cfg=CFG)
+
+
+def q_ann_lsh_scored(sf_dir):
+    """The hyperplane-LSH stage (same HyperplaneLSH actor path: matmul
+    against the plane matrix, sign bits packed to one int64 bucket)
+    under deterministic SQL-expressible planes — plane j = axis j, so
+    bucket bit j = (embedding[j] >= 0).  Every bucket hash-checks
+    against DuckDB; the random-plane leg (ann_lsh_buckets) stays
+    rows-only with its recall gate in tests."""
+    import ray.data as rd
+    from ..stages.ann import ann_lsh_buckets
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    first = emb.take(1)[0]
+    dim = len(first["embedding"])
+    return ann_lsh_buckets(emb, dim=dim, n_planes=12, cfg=CFG,
+                           planes="axes")
+
+
+SQL_ANN_LSH_SCORED = """
+WITH d AS (SELECT vec_id, unnest(embedding[1:12]) AS val,
+                  unnest(range(12)) AS j FROM embeddings)
+SELECT vec_id,
+       sum(CASE WHEN val >= 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT
+           AS bucket
+FROM d GROUP BY vec_id
+"""
 
 
 # -------------------------------------------------------------- pages / misc
@@ -2793,9 +2889,46 @@ WHERE list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[])
 
 
 def q_lang_id(sf_dir):
-    """Stopword-vote language ID (rows-only: heuristic table not in SQL)."""
+    """Stopword-vote language ID — fully oracled: votes = per-language
+    stopword-occurrence counts over ' '-split tokens, prediction =
+    argmax with alphabetical tie-break, 'und' when no stopword hits.
+    The Ray side matches token HASHES against the per-language tables
+    (stages/textstats.LangIdStage) while the SQL joins the strings —
+    equal under the repo's hash-equality convention (a 64-bit collision
+    between a corpus token and a stopword would diverge; ~2^-64).  The
+    VALUES list below is generated from the SAME _STOPWORDS dict the
+    stage uses, so the two sides cannot drift."""
     return ts.lang_id(_docs(sf_dir, ["doc_id", "text"])) \
              .select_columns(["doc_id", "lang_pred"])
+
+
+def _sql_lang_id() -> str:
+    from ..stages.textstats import _STOPWORDS
+    values = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang in sorted(_STOPWORDS) for w in sorted(_STOPWORDS[lang]))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+sw(lang, word) AS (VALUES {values}),
+votes AS (
+  SELECT t.doc_id, s.lang, count(*) AS v
+  FROM toks t JOIN sw s ON s.word = t.tok
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY v DESC, lang ASC) AS rn
+  FROM votes
+)
+SELECT d.doc_id, coalesce(b.lang, 'und') AS lang_pred
+FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+"""
+
+
+SQL_LANG_ID = _sql_lang_id()
 
 
 # -------------------------------------------------- snapshot-aware dedup
@@ -3850,6 +3983,8 @@ QUERIES = {
     "ngram_novelty": q_ngram_novelty,
     "dedup_weights": q_dedup_weights,
     "cross_source_overlap": q_cross_source_overlap,
+    "simhash_scored": q_simhash_scored,
+    "ann_lsh_scored": q_ann_lsh_scored,
 }
 
 ORACLES = {
@@ -3958,9 +4093,14 @@ ORACLES = {
     "ngram_novelty": SQL_NGRAM_NOVELTY,
     "dedup_weights": SQL_DEDUP_WEIGHTS,
     "cross_source_overlap": SQL_CROSS_SOURCE_OVERLAP,
+    "lang_id": SQL_LANG_ID,
+    "simhash_scored": SQL_SIMHASH_SCORED,
+    "ann_lsh_scored": SQL_ANN_LSH_SCORED,
     # rows-only (non-SQL-expressible): approx_distinct_tokens (HLL —
     # DuckDB's approx_count_distinct is a different sketch),
     # k_core_hosts (iterated aggregation; pure-python reference in
-    # tests/test_kcore.py), simhash_dup_pairs, ann_lsh_buckets,
-    # lang_id
+    # tests/test_kcore.py + the oracled k_core_trace companion),
+    # simhash_dup_pairs (rolling-hash shingles; kernel oracled via
+    # simhash_scored), ann_lsh_buckets (seeded planes; plumbing oracled
+    # via ann_lsh_scored)
 }

@@ -166,9 +166,17 @@ class HyperplaneLSH:
     from the config seed) — buckets cosine-similar vectors together."""
 
     def __init__(self, dim: int, n_planes: int, seed: int,
-                 id_col: str, emb_col: str):
-        rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
+                 id_col: str, emb_col: str, planes: str = "random"):
+        if planes == "axes":
+            # deterministic SQL-expressible planes: plane j = axis j, so
+            # bucket bit j = (embedding[j] >= 0) — the oracle leg that
+            # hash-checks the whole bucket plumbing (ann_lsh_scored);
+            # production keeps the seeded random planes.
+            self.planes = np.eye(dim, n_planes, dtype=np.float32)
+        else:
+            rng = np.random.default_rng(seed)
+            self.planes = rng.standard_normal(
+                (dim, n_planes)).astype(np.float32)
         self.id_col = id_col
         self.emb_col = emb_col
 
@@ -490,11 +498,15 @@ def embedding_dup_pairs(ds, threshold: float = 0.4,
 
 def ann_lsh_buckets(ds, dim: int, n_planes: int = 12,
                     cfg: PipelineConfig = DEFAULT_CONFIG,
-                    id_col: str = "vec_id", emb_col: str = "embedding"):
+                    id_col: str = "vec_id", emb_col: str = "embedding",
+                    planes: str = "random"):
     """→ Dataset(vec_id, bucket): hyperplane-LSH bucket per vector; the
-    scale path's candidate cut (probe = same-bucket members only)."""
+    scale path's candidate cut (probe = same-bucket members only).
+    ``planes="axes"`` swaps in the deterministic axis planes (oracle
+    leg, same stage/actor path)."""
     return ds.map_batches(
         HyperplaneLSH, batch_format="pyarrow", zero_copy_batch=True,
-        fn_constructor_args=(dim, n_planes, cfg.seed, id_col, emb_col),
+        fn_constructor_args=(dim, n_planes, cfg.seed, id_col, emb_col,
+                             planes),
         concurrency=(1, 8), batch_size=4096,
     )
