@@ -1247,6 +1247,35 @@ FROM documents
 """
 
 
+def q_chunk_documents(sf_dir):
+    """Overlapping token-window chunking (RAG passage / context-window
+    split): 32-token windows at stride 24, byte-sliced from the Arrow
+    buffer with zero shuffle (stages/chunking.py's grammar — the last
+    window start is the smallest stride multiple covering the tail)."""
+    from ..stages.chunking import chunk_documents
+    return chunk_documents(_docs(sf_dir, ["doc_id", "text"]),
+                           chunk_tokens=32, stride=24)
+
+
+SQL_CHUNK_DOCUMENTS = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+meta AS (SELECT doc_id, t, len(t) AS n,
+                CASE WHEN len(t) <= 32 THEN 1
+                     ELSE 1 + (len(t) - 32 + 23) // 24 END AS nc
+         FROM toks),
+chunks AS (
+  SELECT doc_id, i AS chunk_id,
+         least(i * 24 + 32, n) - i * 24 AS n_tokens,
+         array_to_string(t[i * 24 + 1 : least(i * 24 + 32, n)], ' ')
+             AS chunk_text
+  FROM meta, LATERAL (SELECT unnest(range(nc)) AS i)
+)
+SELECT doc_id, chunk_id::BIGINT AS chunk_id, n_tokens::BIGINT AS n_tokens,
+       chunk_text
+FROM chunks
+"""
+
+
 def q_ann_lsh_buckets(sf_dir):
     """Hyperplane-LSH bucket assignment (rows-only: random planes are
     seed-derived, not SQL-expressible; the bucket plumbing is
@@ -3985,6 +4014,7 @@ QUERIES = {
     "cross_source_overlap": q_cross_source_overlap,
     "simhash_scored": q_simhash_scored,
     "ann_lsh_scored": q_ann_lsh_scored,
+    "chunk_documents": q_chunk_documents,
 }
 
 ORACLES = {
@@ -4096,6 +4126,7 @@ ORACLES = {
     "lang_id": SQL_LANG_ID,
     "simhash_scored": SQL_SIMHASH_SCORED,
     "ann_lsh_scored": SQL_ANN_LSH_SCORED,
+    "chunk_documents": SQL_CHUNK_DOCUMENTS,
     # rows-only (non-SQL-expressible): approx_distinct_tokens (HLL —
     # DuckDB's approx_count_distinct is a different sketch),
     # k_core_hosts (iterated aggregation; pure-python reference in
