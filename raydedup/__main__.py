@@ -231,6 +231,22 @@ def cmd_split(args):
     print(json.dumps({"splits": counts, "out": args.output}, sort_keys=True))
 
 
+def cmd_chunk(args):
+    _ray_session()
+    import ray.data as rd
+    from .stages.chunking import chunk_documents
+
+    docs = rd.read_parquet(args.input)
+    chunks = chunk_documents(docs, chunk_tokens=args.chunk_tokens,
+                             stride=args.stride, id_col=args.id_col,
+                             text_col=args.text_col)
+    chunks.write_parquet(args.output)
+    n = rd.read_parquet(args.output).count()
+    print(json.dumps({"chunks": n, "chunk_tokens": args.chunk_tokens,
+                      "stride": args.stride, "out": args.output},
+                     sort_keys=True))
+
+
 def cmd_bandstore(args):
     _ray_session()
     import ray.data as rd
@@ -472,6 +488,16 @@ def main(argv=None):
                                       "mean) as JSON")
     s.add_argument("input")
     s.set_defaults(fn=cmd_report)
+
+    s = sub.add_parser("chunk", help="split documents into overlapping "
+                       "fixed-size token windows (RAG passages)")
+    s.add_argument("input", help="documents parquet")
+    s.add_argument("output", help="output parquet dir")
+    s.add_argument("--chunk-tokens", type=int, default=128)
+    s.add_argument("--stride", type=int, default=96)
+    s.add_argument("--id-col", default="doc_id")
+    s.add_argument("--text-col", default="text")
+    s.set_defaults(fn=cmd_chunk)
 
     s = sub.add_parser("bandstore", help="persist a corpus's LSH band + "
                                          "content-hash stores for "

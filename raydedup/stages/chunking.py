@@ -123,4 +123,10 @@ def chunk_documents(ds, *, chunk_tokens: int = 128, stride: int = 96,
     import functools
     fn = functools.partial(_chunk_batch, chunk_tokens=chunk_tokens,
                            stride=stride, id_col=id_col, text_col=text_col)
-    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    # batch_size=1024 measured 6x faster than whole-block batches on
+    # 32-way workers: the gather's per-batch index/output allocations
+    # stay small enough to avoid the cross-process mmap/munmap churn
+    # that large transient numpy buffers trigger (tools/chunk_scale.py
+    # sweep: 0.53 s at 1024 vs 3.36 s at 8192 for the same input).
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=1024)
