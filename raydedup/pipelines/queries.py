@@ -1276,6 +1276,57 @@ FROM chunks
 """
 
 
+def q_chunk_dup_stats(sf_dir):
+    """Chunk-level duplicate-rate summary — the chunking→dedup
+    composition a RAG-index build runs to size its passage store:
+    chunk_documents (32-token windows, stride 24) feeds the SAME
+    combiner-exchange group machinery as document exact-dedup
+    (dedup.exact_dup_groups keyed on the 128-bit chunk-text hash; the
+    SQL oracle groups the strings — the documented hash-equality
+    convention), reduced to one row of corpus totals.  The chunk key is
+    doc_id*1e6+chunk_id (the substring_spans position-key convention)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.chunking import chunk_documents
+
+    chunks = chunk_documents(_docs(sf_dir, ["doc_id", "text"]),
+                             chunk_tokens=32, stride=24)
+    keyed = chunks.map_batches(
+        lambda t: pa.table({
+            "chunk_key": pc.add(pc.multiply(t["doc_id"], 1000000),
+                                t["chunk_id"]),
+            "chunk_text": t["chunk_text"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    groups = dd.exact_dup_groups(keyed, CFG, id_col="chunk_key",
+                                 text_col="chunk_text")
+    res = groups.aggregate(Sum("n_dups"), Count())
+    n_chunks = int(res["sum(n_dups)"])
+    n_distinct = int(res["count()"])
+    return pa.table({
+        "n_chunks": pa.array([n_chunks], pa.int64()),
+        "n_distinct": pa.array([n_distinct], pa.int64()),
+        "n_dup_chunks": pa.array([n_chunks - n_distinct], pa.int64()),
+    })
+
+
+SQL_CHUNK_DUP_STATS = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+meta AS (SELECT doc_id, t, len(t) AS n,
+                CASE WHEN len(t) <= 32 THEN 1
+                     ELSE 1 + (len(t) - 32 + 23) // 24 END AS nc
+         FROM toks),
+chunks AS (
+  SELECT array_to_string(t[i * 24 + 1 : least(i * 24 + 32, n)], ' ')
+             AS chunk_text
+  FROM meta, LATERAL (SELECT unnest(range(nc)) AS i)
+),
+g AS (SELECT chunk_text, count(*) AS c FROM chunks GROUP BY chunk_text)
+SELECT sum(c)::BIGINT AS n_chunks, count(*)::BIGINT AS n_distinct,
+       (sum(c) - count(*))::BIGINT AS n_dup_chunks
+FROM g
+"""
+
+
 def q_ann_lsh_buckets(sf_dir):
     """Hyperplane-LSH bucket assignment (rows-only: random planes are
     seed-derived, not SQL-expressible; the bucket plumbing is
@@ -4015,6 +4066,7 @@ QUERIES = {
     "simhash_scored": q_simhash_scored,
     "ann_lsh_scored": q_ann_lsh_scored,
     "chunk_documents": q_chunk_documents,
+    "chunk_dup_stats": q_chunk_dup_stats,
 }
 
 ORACLES = {
@@ -4127,6 +4179,7 @@ ORACLES = {
     "simhash_scored": SQL_SIMHASH_SCORED,
     "ann_lsh_scored": SQL_ANN_LSH_SCORED,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
+    "chunk_dup_stats": SQL_CHUNK_DUP_STATS,
     # rows-only (non-SQL-expressible): approx_distinct_tokens (HLL —
     # DuckDB's approx_count_distinct is a different sketch),
     # k_core_hosts (iterated aggregation; pure-python reference in

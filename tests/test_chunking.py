@@ -85,6 +85,27 @@ def test_disjoint_and_overlap_coverage(ray_session):
     assert all(s + 10 <= 100 or s == starts[-1] for s in starts)
 
 
+def test_chunk_dup_stats_planted(ray_session, tmp_path):
+    """Two docs sharing an aligned 32-token run produce exactly the
+    planted duplicate-chunk count through the chunking→dedup
+    composition."""
+    shared = " ".join(f"s{i}" for i in range(32))
+    texts = [
+        shared,                                  # doc 0: 1 chunk
+        shared,                                  # doc 1: exact dup chunk
+        " ".join(f"a{i}" for i in range(10)),    # unique
+        " ".join(f"b{i}" for i in range(40)),    # 2 chunks, both unique
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        tmp_path / "documents.parquet")
+    from raydedup.pipelines.queries import q_chunk_dup_stats
+    got = q_chunk_dup_stats(str(tmp_path)).to_pandas()
+    assert got.iloc[0].to_dict() == {
+        "n_chunks": 5, "n_distinct": 4, "n_dup_chunks": 1}
+
+
 def test_param_validation(ray_session):
     import ray.data as rd
     from raydedup.stages.chunking import chunk_documents
