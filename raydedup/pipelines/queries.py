@@ -3112,6 +3112,106 @@ WHERE o.url IS NULL OR n.url IS NULL OR o.text <> n.text
 """
 
 
+def q_snapshot_drift(sf_dir):
+    """Fuzzy crawl diff: per-url k-shingle Jaccard between two
+    deterministic snapshots (same url space as crawl_diff; the new
+    crawl appends ' v2' to doc_id%3==0 pages — minor edits — and fully
+    rewrites doc_id%4==0 pages), classifying each changed page as
+    minor_edit (J >= 0.8) or rewritten.  Exercises snapshot_drift's
+    url-hash exchange + blob-pair verify path end-to-end; the drift
+    threshold compares the SAME IEEE double both engines compute from
+    identical integer counts, so the class column hash-checks."""
+    import numpy as np
+
+    from ..stages.urls import snapshot_drift
+
+    def _side(new: bool):
+        def _m(t: pa.Table) -> pa.Table:
+            ids = np.asarray(t["doc_id"], dtype=np.int64)
+            keep = (ids % (5 if new else 7)) != 0
+            t = t.filter(pa.array(keep))
+            ids = ids[keep]
+            url = pc.binary_join_element_wise(
+                pa.scalar("https://h"),
+                pa.array((ids % 20).astype(str), pa.string()),
+                pa.scalar(".example.com/p/"),
+                pa.array(ids.astype(str), pa.string()), "")
+            text = t["text"].combine_chunks()
+            if new:
+                rewritten = pc.binary_join_element_wise(
+                    pa.scalar("fresh page content entirely rewritten r"),
+                    pa.array(ids.astype(str), pa.string()), "")
+                text = pc.if_else(
+                    pa.array(ids % 3 == 0),
+                    pc.binary_join_element_wise(
+                        text, pa.scalar(" v2"), ""),
+                    pc.if_else(pa.array(ids % 4 == 0), rewritten, text))
+            return pa.table({"url": url, "text": text})
+        return _m
+
+    def _snap(new):
+        return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            _side(new), batch_format="pyarrow", zero_copy_batch=True)
+
+    return snapshot_drift(_snap(False), _snap(True), CFG, threshold=0.8)
+
+
+SQL_SNAPSHOT_DRIFT = """
+WITH base AS (SELECT doc_id, text,
+                     'https://h' || (doc_id % 20)::VARCHAR ||
+                     '.example.com/p/' || doc_id::VARCHAR AS url
+              FROM documents),
+olds AS (SELECT url, text FROM base WHERE doc_id % 7 <> 0),
+news AS (SELECT url,
+                CASE WHEN doc_id % 3 = 0 THEN text || ' v2'
+                     WHEN doc_id % 4 = 0
+                     THEN 'fresh page content entirely rewritten r'
+                          || doc_id::VARCHAR
+                     ELSE text END AS text
+         FROM base WHERE doc_id % 5 <> 0),
+pairs AS (SELECT o.url, o.text AS t0, n.text AS t1
+          FROM olds o JOIN news n USING (url) WHERE o.text <> n.text),
+sh0 AS (
+  SELECT DISTINCT url, array_to_string(t[i:i+4], ' ') AS s
+  FROM (SELECT url, string_split(t0, ' ') AS t FROM pairs),
+       LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i)
+  WHERE len(t) >= 5
+),
+sh1 AS (
+  SELECT DISTINCT url, array_to_string(t[i:i+4], ' ') AS s
+  FROM (SELECT url, string_split(t1, ' ') AS t FROM pairs),
+       LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i)
+  WHERE len(t) >= 5
+),
+c0 AS (SELECT url, count(*) AS n0 FROM sh0 GROUP BY url),
+c1 AS (SELECT url, count(*) AS n1 FROM sh1 GROUP BY url),
+inter AS (SELECT x.url, count(*) AS c
+          FROM sh0 x JOIN sh1 y ON y.url = x.url AND y.s = x.s
+          GROUP BY x.url)
+SELECT p.url,
+       coalesce(i.c, 0)::BIGINT AS intersection,
+       (coalesce(c0.n0, 0) + coalesce(c1.n1, 0) - coalesce(i.c, 0))::BIGINT
+           AS "union",
+       CASE WHEN coalesce(c0.n0, 0) + coalesce(c1.n1, 0)
+                 - coalesce(i.c, 0) > 0
+            THEN coalesce(i.c, 0)::DOUBLE
+                 / (coalesce(c0.n0, 0) + coalesce(c1.n1, 0)
+                    - coalesce(i.c, 0))
+            ELSE 0.0 END AS jaccard,
+       CASE WHEN (CASE WHEN coalesce(c0.n0, 0) + coalesce(c1.n1, 0)
+                            - coalesce(i.c, 0) > 0
+                       THEN coalesce(i.c, 0)::DOUBLE
+                            / (coalesce(c0.n0, 0) + coalesce(c1.n1, 0)
+                               - coalesce(i.c, 0))
+                       ELSE 0.0 END) >= 0.8
+            THEN 'minor_edit' ELSE 'rewritten' END AS drift
+FROM pairs p
+LEFT JOIN c0 ON c0.url = p.url
+LEFT JOIN c1 ON c1.url = p.url
+LEFT JOIN inter i ON i.url = p.url
+"""
+
+
 def q_url_filter(sf_dir):
     """Crawl-frontier URL filter over a deterministic mixed frontier:
     scheme gate (doc_id%4==1 pages are ftp://), asset-extension gate
@@ -4067,6 +4167,7 @@ QUERIES = {
     "ann_lsh_scored": q_ann_lsh_scored,
     "chunk_documents": q_chunk_documents,
     "chunk_dup_stats": q_chunk_dup_stats,
+    "snapshot_drift": q_snapshot_drift,
 }
 
 ORACLES = {
@@ -4180,6 +4281,7 @@ ORACLES = {
     "ann_lsh_scored": SQL_ANN_LSH_SCORED,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "chunk_dup_stats": SQL_CHUNK_DUP_STATS,
+    "snapshot_drift": SQL_SNAPSHOT_DRIFT,
     # rows-only (non-SQL-expressible): approx_distinct_tokens (HLL —
     # DuckDB's approx_count_distinct is a different sketch),
     # k_core_hosts (iterated aggregation; pure-python reference in

@@ -176,6 +176,101 @@ def crawl_diff(old_ds, new_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
     return hash_partition_map(sides, "part", _diff, n_parts)
 
 
+def snapshot_drift(old_ds, new_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
+                   url_col: str = "url", text_col: str = "text",
+                   threshold: float = 0.8):
+    """→ Dataset(url, intersection, union, jaccard, drift): for every
+    url present in BOTH snapshots with byte-different content, the
+    exact k-shingle Jaccard between the old and new text and a drift
+    class — 'minor_edit' (J >= threshold) or 'rewritten'
+    (J < threshold; includes pages too short to shingle, J = 0).  The
+    fuzzy companion to ``crawl_diff``'s exact 'changed' verdict: an
+    incremental crawl requeues rewritten pages at high priority while
+    minor edits keep their refresh cadence.
+
+    Physical plan: each side computes its sorted k-shingle SET in the
+    scan task (functions/text.shingle_batch — the same kernel as the
+    near-dup surface) plus the 128-bit content hash, and ships
+    (url, set-blob, h1, h2) through ONE url-hash exchange; per
+    partition a vectorized sorted run-walk aligns the two sides, and
+    only the byte-changed pairs' blobs go through pairwise_jaccard
+    (the verify kernel).  Raw text never crosses the exchange — only
+    the uint64-LE blobs, the repo's standard shuffle wire format.
+    Both inputs are assumed url-unique (run url_dedup first); a url
+    violating that drops deterministically, as in crawl_diff.
+    """
+    from ..functions.setops import pairwise_jaccard
+    from ..functions.text import binary_to_sets, sets_to_binary, \
+        shingle_batch
+    from .dedup import with_text_hash
+
+    n_parts = cfg.resolved_partitions()
+    k = cfg.k_shingle
+
+    def _project(side: int):
+        def _p(t: pa.Table) -> pa.Table:
+            urls = pc.fill_null(t[url_col], "").combine_chunks()
+            h = hash_utf8_array(urls)
+            part = (splitmix64(h) % np.uint64(n_parts)).astype(np.int64)
+            vals, offs = shingle_batch(
+                pc.fill_null(t[text_col], "").combine_chunks(), k)
+            return pa.table({
+                "url": urls,
+                "h1": t["text_hash"], "h2": t["text_hash2"],
+                "set": sets_to_binary(vals, offs),
+                "side": pa.array(np.full(len(t), side, np.int8)),
+                "part": pa.array(part, pa.int64()),
+            })
+        return _p
+
+    sides = with_text_hash(old_ds, text_col).map_batches(
+        _project(0), batch_format="pyarrow", zero_copy_batch=True,
+    ).union(with_text_hash(new_ds, text_col).map_batches(
+        _project(1), batch_format="pyarrow", zero_copy_batch=True))
+
+    empty = pa.table({"url": pa.array([], pa.string()),
+                      "intersection": pa.array([], pa.int64()),
+                      "union": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64()),
+                      "drift": pa.array([], pa.string())})
+
+    def _drift(tab: pa.Table | None) -> pa.Table:
+        if tab is None or len(tab) == 0:
+            return empty
+        tab = tab.sort_by([("url", "ascending"), ("side", "ascending")])
+        urls = tab["url"].combine_chunks()
+        h1 = np.asarray(tab["h1"], dtype=np.int64)
+        h2 = np.asarray(tab["h2"], dtype=np.int64)
+        n = len(tab)
+        first = np.ones(n, dtype=bool)
+        if n > 1:
+            first[1:] = ~np.asarray(
+                pc.equal(urls.slice(1), urls.slice(0, n - 1)))
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.append(starts, n))
+        both = starts[lens == 2]                     # side 0 then side 1
+        changed = both[(h1[both] != h1[both + 1])
+                       | (h2[both] != h2[both + 1])]
+        if not len(changed):
+            return empty
+        sel_a = pa.array(changed, pa.int64())
+        sel_b = pa.array(changed + 1, pa.int64())
+        blob = tab["set"].combine_chunks()
+        a_vals, a_offs = binary_to_sets(blob.take(sel_a))
+        b_vals, b_offs = binary_to_sets(blob.take(sel_b))
+        inter, union, j = pairwise_jaccard(a_vals, a_offs, b_vals, b_offs)
+        drift = np.where(j >= threshold, "minor_edit", "rewritten")
+        return pa.table({
+            "url": urls.take(sel_a),
+            "intersection": pa.array(inter, pa.int64()),
+            "union": pa.array(union, pa.int64()),
+            "jaccard": pa.array(j, pa.float64()),
+            "drift": pa.array(drift.astype(object), pa.string()),
+        })
+
+    return hash_partition_map(sides, "part", _drift, n_parts)
+
+
 # asset/media extensions a text-corpus frontier drops before fetching;
 # matched against the path with an optional ?query / #fragment tail.
 # RE2 on both sides: pc.match_substring_regex here, DuckDB

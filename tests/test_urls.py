@@ -118,3 +118,38 @@ def test_crawl_diff_duplicate_url_deterministic(ray_session):
     assert "u/dup" not in set(outs[0]["url"])
     got = dict(zip(outs[0]["url"], outs[0]["status"]))
     assert got == {"u/gone": "removed", "u/new": "added"}
+
+
+def test_snapshot_drift_planted(ray_session):
+    """Planted drift classes: minor edit (one appended token over a
+    30-token page -> J well above 0.8), full rewrite (disjoint tokens
+    -> J == 0), too-short-to-shingle change (empty sets -> J == 0,
+    rewritten), unchanged / added / removed urls omitted."""
+    import ray.data as rd
+
+    from raydedup.stages.urls import snapshot_drift
+
+    base = " ".join(f"w{i}" for i in range(30))
+    old = rd.from_arrow(pa.table({
+        "url": pa.array(["u/minor", "u/rw", "u/short", "u/same",
+                         "u/gone"], pa.string()),
+        "text": pa.array([base, base, "tiny doc", base, base],
+                         pa.string())}))
+    new = rd.from_arrow(pa.table({
+        "url": pa.array(["u/minor", "u/rw", "u/short", "u/same",
+                         "u/new"], pa.string()),
+        "text": pa.array([base + " v2",
+                          " ".join(f"z{i}" for i in range(30)),
+                          "tiny rev", base, base], pa.string())}))
+    out = snapshot_drift(old, new, CFG, threshold=0.8).to_pandas() \
+        .set_index("url")
+    assert sorted(out.index) == ["u/minor", "u/rw", "u/short"]
+    # 30 tokens -> 26 shingles; +1 token adds 1 window, last windows
+    # shift: old 26 all shared except none change -> inter 26, new 27
+    assert out.loc["u/minor", "drift"] == "minor_edit"
+    assert out.loc["u/minor", "jaccard"] >= 0.8
+    assert out.loc["u/rw", "drift"] == "rewritten"
+    assert out.loc["u/rw", "intersection"] == 0
+    assert out.loc["u/short", "jaccard"] == 0.0
+    assert out.loc["u/short", "union"] == 0
+    assert out.loc["u/short", "drift"] == "rewritten"
