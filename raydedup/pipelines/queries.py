@@ -3551,9 +3551,100 @@ def q_approx_distinct_tokens(sf_dir):
     """HLL (p=14) distinct-token estimate.  Rows-only by design: the
     estimate is deterministic but DuckDB's approx_count_distinct is a
     different HLL — the <2% accuracy gate lives in
-    tests/test_cardinality.py against exact truth."""
+    tests/test_cardinality.py against exact truth, and the register
+    fold itself is hash-oracled by ``approx_distinct_scored``."""
     from ..stages.cardinality import approx_distinct
     return approx_distinct(_docs(sf_dir, ["text"]), CFG, tokens=True)
+
+
+def q_approx_distinct_scored(sf_dir):
+    """The HLL register fold (stages/cardinality.fold_registers — the
+    production kernel, bit for bit: bucket = top-14 hash bits, register
+    = max leading-zero rank of the remaining 50) under the
+    SQL-expressible md5 token-hash family, emitted as the non-zero
+    ``(bucket, register)`` integer table.  The ESTIMATE stays rows-only
+    (2^-reg summation order exceeds 53 mantissa bits); the registers —
+    all the sketch's actual state — hash-check exactly.  Production
+    (approx_distinct_tokens) keeps the buffer-level FNV-path hash."""
+    from ..stages.cardinality import hll_registers, register_table
+    regs = hll_registers(_docs(sf_dir, ["text"]), CFG, tokens=True,
+                         hash_family="md5")
+    return register_table(regs)
+
+
+SQL_APPROX_DISTINCT_SCORED = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+hv AS (
+  SELECT DISTINCT md5_number_lower(tok) AS h FROM toks WHERE tok <> ''
+),
+parts AS (
+  SELECT (h >> 50)::BIGINT AS bucket,
+         (h % 1125899906842624::UBIGINT)::BIGINT AS low
+  FROM hv
+),
+ranks AS (
+  SELECT p.bucket, p.low,
+         coalesce(min(t.b) + 1, 51)::BIGINT AS rank
+  FROM parts p
+  LEFT JOIN (SELECT unnest(range(50)) AS b) t
+    ON ((p.low >> (49 - t.b)) & 1) = 1
+  GROUP BY p.bucket, p.low
+)
+SELECT bucket, max(rank) AS register FROM ranks GROUP BY bucket
+"""
+
+
+def q_approx_distinct_by_lang_scored(sf_dir):
+    """Grouped HLL (stages/cardinality.hll_registers_by): one register
+    set per lang — distinct-tokens-per-group where the exchange ships
+    16 KB blobs per (chunk, key), never token values.  Same md5 oracle
+    family; output is the per-lang non-zero register table."""
+    import numpy as np
+
+    from ..stages.cardinality import hll_registers_by, register_table
+    tab = hll_registers_by(_docs(sf_dir, ["lang", "text"]), CFG,
+                           key="lang", tokens=True, hash_family="md5")
+    out = []
+    for row in range(len(tab)):
+        rt = register_table(np.frombuffer(tab["regs"][row].as_py(),
+                                          dtype=np.int8))
+        out.append(rt.append_column(
+            "lang", pa.array([tab["lang"][row].as_py()] * len(rt),
+                             pa.string())))
+    return pa.concat_tables(out) if out else pa.table(
+        {"bucket": pa.array([], pa.int64()),
+         "register": pa.array([], pa.int64()),
+         "lang": pa.array([], pa.string())})
+
+
+SQL_APPROX_DISTINCT_BY_LANG_SCORED = """
+WITH toks AS (
+  SELECT coalesce(lang, '') AS lang,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+hv AS (
+  SELECT DISTINCT lang, md5_number_lower(tok) AS h FROM toks
+  WHERE tok <> ''
+),
+parts AS (
+  SELECT lang, (h >> 50)::BIGINT AS bucket,
+         (h % 1125899906842624::UBIGINT)::BIGINT AS low
+  FROM hv
+),
+ranks AS (
+  SELECT p.lang, p.bucket, p.low,
+         coalesce(min(t.b) + 1, 51)::BIGINT AS rank
+  FROM parts p
+  LEFT JOIN (SELECT unnest(range(50)) AS b) t
+    ON ((p.low >> (49 - t.b)) & 1) = 1
+  GROUP BY p.lang, p.bucket, p.low
+)
+SELECT lang, bucket, max(rank) AS register
+FROM ranks GROUP BY lang, bucket
+"""
 
 
 # -------------------------------------------------- heavy hitters
@@ -4168,6 +4259,8 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "chunk_dup_stats": q_chunk_dup_stats,
     "snapshot_drift": q_snapshot_drift,
+    "approx_distinct_scored": q_approx_distinct_scored,
+    "approx_distinct_by_lang": q_approx_distinct_by_lang_scored,
 }
 
 ORACLES = {
@@ -4282,8 +4375,11 @@ ORACLES = {
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "chunk_dup_stats": SQL_CHUNK_DUP_STATS,
     "snapshot_drift": SQL_SNAPSHOT_DRIFT,
+    "approx_distinct_scored": SQL_APPROX_DISTINCT_SCORED,
+    "approx_distinct_by_lang": SQL_APPROX_DISTINCT_BY_LANG_SCORED,
     # rows-only (non-SQL-expressible): approx_distinct_tokens (HLL —
-    # DuckDB's approx_count_distinct is a different sketch),
+    # DuckDB's approx_count_distinct is a different sketch; the register
+    # fold is oracled via approx_distinct_scored/_by_lang),
     # k_core_hosts (iterated aggregation; pure-python reference in
     # tests/test_kcore.py + the oracled k_core_trace companion),
     # simhash_dup_pairs (rolling-hash shingles; kernel oracled via

@@ -31,6 +31,18 @@ from ..config import DEFAULT_CONFIG, PipelineConfig
 from ..functions.hashing import hash_utf8_array
 
 
+def _resolve_hasher(hash_family: str):
+    """'fnv' = the production buffer-level kernel; 'md5' = the
+    ORACLE-LEG family (== DuckDB ``md5_number_lower``), which makes the
+    register table SQL-hash-checkable — see q_approx_distinct_scored."""
+    if hash_family == "fnv":
+        return hash_utf8_array
+    if hash_family == "md5":
+        from ..functions.hashing import md5_lower64_array
+        return md5_lower64_array
+    raise ValueError(f"unknown hash_family {hash_family!r}")
+
+
 def _alpha(m: int) -> float:
     if m == 16:
         return 0.673
@@ -82,7 +94,7 @@ def estimate(regs: np.ndarray) -> float:
 
 def hll_registers(ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
                   col: str = "text", p: int = 14, tokens: bool = False,
-                  sep: str = " "):
+                  sep: str = " ", hash_family: str = "fnv"):
     """→ the merged 2^p register array (np.int8) for ``col``'s values
     (or, with ``tokens=True``, its non-empty ``sep``-split tokens)."""
     import ray
@@ -91,13 +103,14 @@ def hll_registers(ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
 
     n_parts = cfg.resolved_partitions()
     m = 1 << p
+    hasher = _resolve_hasher(hash_family)
 
     def _fold(t: pa.Table) -> pa.Table:
         vals = pc.fill_null(t[col].combine_chunks(), "")
         if tokens:
             vals = pc.list_flatten(pc.split_pattern(vals, sep))
             vals = vals.filter(pc.not_equal(vals, ""))
-        regs = fold_registers(hash_utf8_array(vals), p)
+        regs = fold_registers(hasher(vals), p)
         # route this chunk's registers to a partition by a rotating tag
         # derived from content (any spread works; max is commutative)
         part = int(regs.view(np.uint8).sum()) % n_parts
@@ -132,3 +145,97 @@ def approx_distinct(ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
         "n_distinct_est": pa.array([int(round(estimate(regs)))], pa.int64()),
         "precision": pa.array([p], pa.int64()),
     })
+
+
+def hll_registers_by(ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
+                     key: str, col: str = "text", p: int = 14,
+                     tokens: bool = False, sep: str = " ",
+                     hash_family: str = "fnv") -> pa.Table:
+    """Grouped HLL: one merged 2^p register array PER DISTINCT ``key``
+    value — distinct-count-per-group without shuffling the value space.
+
+    Scale shape: each map chunk folds each key group it sees into one
+    register blob (exchange volume = 16 KB x keys-present-per-chunk,
+    independent of values), the ONE exchange hash-partitions blobs by
+    key, and each partition max-merges its keys' blobs.  Intended for
+    low-cardinality keys (lang, source, shard): total state is
+    2^p bytes per distinct key.  Returns a one-row-per-key Arrow table
+    ``(key:string, regs:binary)``, already fully merged (each key lands
+    in exactly one partition).
+    """
+    from ..functions.hashing import hash_strings
+    from ..functions.shuffle import hash_partition_map
+
+    n_parts = cfg.resolved_partitions()
+    m = 1 << p
+    hasher = _resolve_hasher(hash_family)
+    empty = pa.table({key: pa.array([], pa.string()),
+                      "regs": pa.array([], pa.binary())})
+
+    def _fold(t: pa.Table) -> pa.Table:
+        keys = pc.fill_null(t[key].combine_chunks().cast(pa.string()), "")
+        vals = pc.fill_null(t[col].combine_chunks(), "")
+        enc = keys.dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        idx = np.asarray(enc.indices, dtype=np.int64)
+        blobs = []
+        for gi in range(len(uniq)):          # bounded: distinct keys/chunk
+            gv = vals.filter(pa.array(idx == gi))
+            if tokens:
+                gv = pc.list_flatten(pc.split_pattern(gv, sep))
+                gv = gv.filter(pc.not_equal(gv, ""))
+            blobs.append(fold_registers(hasher(gv), p).tobytes())
+        part = (hash_strings(uniq) % np.uint64(n_parts)).astype(np.int64) \
+            if uniq else np.empty(0, np.int64)
+        return pa.table({key: pa.array(uniq, pa.string()),
+                         "regs": pa.array(blobs, pa.binary()),
+                         "part": pa.array(part, pa.int64())})
+
+    def _max_merge(tab: pa.Table | None) -> pa.Table:
+        if tab is None or len(tab) == 0:
+            return empty
+        kv = tab[key].combine_chunks()
+        enc = kv.dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        idx = np.asarray(enc.indices, dtype=np.int64)
+        accs = np.zeros((len(uniq), m), dtype=np.int8)
+        for row, buf in enumerate(tab["regs"]):
+            np.maximum(accs[idx[row]],
+                       np.frombuffer(buf.as_py(), dtype=np.int8),
+                       out=accs[idx[row]])
+        return pa.table({key: pa.array(uniq, pa.string()),
+                         "regs": pa.array([a.tobytes() for a in accs],
+                                          pa.binary())})
+
+    merged = hash_partition_map(ds, "part", _max_merge, n_parts,
+                                map_fn=_fold,
+                                map_chunk_rows=cfg.batch_size)
+    import ray
+    tabs = [t for t in ray.get(list(merged.to_arrow_refs())) if len(t)]
+    return pa.concat_tables(tabs) if tabs else empty
+
+
+def register_table(regs: np.ndarray) -> pa.Table:
+    """Non-zero registers as a sorted integer table ``(bucket,
+    register)`` — the hash-exact-comparable face of the sketch (the
+    ESTIMATE sums 2^-reg over 2^p floats, whose value is summation-
+    order-dependent past 53 mantissa bits, so only the registers are
+    oracle-safe)."""
+    nz = np.nonzero(regs)[0]
+    return pa.table({"bucket": pa.array(nz.astype(np.int64), pa.int64()),
+                     "register": pa.array(regs[nz].astype(np.int64),
+                                          pa.int64())})
+
+
+def approx_distinct_by(ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
+                       key: str, col: str = "text", p: int = 14,
+                       tokens: bool = False, sep: str = " ") -> pa.Table:
+    """Per-key HLL cardinality estimates ``(key, n_distinct_est,
+    precision)``, via hll_registers_by."""
+    tab = hll_registers_by(ds, cfg, key=key, col=col, p=p, tokens=tokens,
+                           sep=sep)
+    ests = [int(round(estimate(np.frombuffer(b.as_py(), dtype=np.int8))))
+            for b in tab["regs"]]
+    return pa.table({key: tab[key],
+                     "n_distinct_est": pa.array(ests, pa.int64()),
+                     "precision": pa.array([p] * len(tab), pa.int64())})
