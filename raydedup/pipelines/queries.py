@@ -3596,6 +3596,40 @@ SELECT bucket, max(rank) AS register FROM ranks GROUP BY bucket
 """
 
 
+def q_allpairs_jaccard(sf_dir):
+    """EXACT all-pairs Jaccard >= 0.6 over word-token sets via prefix
+    filtering (stages/allpairs.py — Bayardo/Chaudhuri/Vernica) — the
+    deterministic-recall counterpart of the MinHash-LSH tier and the
+    engine's EC-vs-VC-style agreement surface (reference
+    run_proteus.sh:18-19).  Every (a, b, intersection, union, jaccard)
+    row hash-checks against the direct SQL self-join truth."""
+    from ..stages.allpairs import allpairs_jaccard
+    return allpairs_jaccard(_docs(sf_dir, ["doc_id", "text"]), CFG,
+                            threshold=0.6)
+
+
+SQL_ALLPAIRS_JACCARD = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM toks x JOIN toks y ON x.tok = y.tok AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b, i.i AS intersection,
+       (sa.n + sb.n - i.i) AS "union",
+       i.i::DOUBLE / (sa.n + sb.n - i.i) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a
+JOIN sizes sb ON sb.doc_id = i.b
+WHERE i.i::DOUBLE / (sa.n + sb.n - i.i) >= 0.6
+"""
+
+
 def q_approx_distinct_by_lang_scored(sf_dir):
     """Grouped HLL (stages/cardinality.hll_registers_by): one register
     set per lang — distinct-tokens-per-group where the exchange ships
@@ -4261,6 +4295,7 @@ QUERIES = {
     "snapshot_drift": q_snapshot_drift,
     "approx_distinct_scored": q_approx_distinct_scored,
     "approx_distinct_by_lang": q_approx_distinct_by_lang_scored,
+    "allpairs_jaccard": q_allpairs_jaccard,
 }
 
 ORACLES = {
@@ -4377,6 +4412,7 @@ ORACLES = {
     "snapshot_drift": SQL_SNAPSHOT_DRIFT,
     "approx_distinct_scored": SQL_APPROX_DISTINCT_SCORED,
     "approx_distinct_by_lang": SQL_APPROX_DISTINCT_BY_LANG_SCORED,
+    "allpairs_jaccard": SQL_ALLPAIRS_JACCARD,
     # rows-only (non-SQL-expressible): approx_distinct_tokens (HLL —
     # DuckDB's approx_count_distinct is a different sketch; the register
     # fold is oracled via approx_distinct_scored/_by_lang),

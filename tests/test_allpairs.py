@@ -1,0 +1,134 @@
+"""Exact all-pairs similarity join: brute-force truth (recall must be
+exactly 1.0 — the prefix-filter theorem), partition invariance, the
+duplicate-flood guard, and the LSH-agreement surface (the reference's
+EC-vs-VC two-implementations design, run_proteus.sh:18-19)."""
+
+import itertools
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from raydedup.config import DEFAULT_CONFIG
+from raydedup.stages.allpairs import allpairs_jaccard, doc_token_sets
+
+CFG = DEFAULT_CONFIG.with_(num_partitions=8)
+
+
+def _mk_docs(n=300, seed=7):
+    rng = np.random.RandomState(seed)
+    vocab = [f"w{i}" for i in range(200)]
+    docs = [" ".join(rng.choice(vocab, size=rng.randint(3, 30)))
+            for _ in range(n)]
+    for i in range(0, 40, 2):               # planted near-dups
+        docs[i + 1] = docs[i] + " extra"
+    docs[50] = ""                            # empty doc
+    docs[51] = "   "                         # whitespace-only doc
+    return docs
+
+
+def _ds(docs, n_blocks=5):
+    import ray.data as rd
+    tab = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "text": pa.array(docs, pa.string())})
+    step = max(1, len(docs) // n_blocks)
+    return rd.from_arrow([tab.slice(i, step)
+                          for i in range(0, len(docs), step)])
+
+
+def _brute(docs, th):
+    sets = [set(d.split()) - {""} for d in docs]
+    out = {}
+    for a, b in itertools.combinations(range(len(docs)), 2):
+        i = len(sets[a] & sets[b])
+        u = len(sets[a] | sets[b])
+        if u and i / u >= th:
+            out[(a, b)] = (i, u)
+    return out
+
+
+class TestExactness:
+    @pytest.mark.parametrize("th", [0.3, 0.6, 0.9])
+    @pytest.mark.parametrize("order", ["df", "hash"])
+    def test_matches_brute_force(self, ray_session, th, order):
+        docs = _mk_docs()
+        got = allpairs_jaccard(_ds(docs), CFG, threshold=th,
+                               order=order).to_pandas()
+        want = _brute(docs, th)
+        gp = {(a, b): (i, u) for a, b, i, u in zip(
+            got["a"], got["b"], got["intersection"], got["union"])}
+        assert gp == want
+
+    def test_partition_invariance(self, ray_session):
+        docs = _mk_docs(seed=13)
+        a = allpairs_jaccard(_ds(docs, 3), CFG,
+                             threshold=0.5).to_pandas()
+        b = allpairs_jaccard(_ds(docs, 11),
+                             DEFAULT_CONFIG.with_(num_partitions=17),
+                             threshold=0.5).to_pandas()
+        ka = sorted(zip(a["a"], a["b"], a["jaccard"]))
+        kb = sorted(zip(b["a"], b["b"], b["jaccard"]))
+        assert ka == kb and len(ka) > 0
+
+    def test_prebuilt_sets_input(self, ray_session):
+        docs = _mk_docs(seed=3)
+        sets_ds = doc_token_sets(_ds(docs), CFG)
+        got = allpairs_jaccard(None, CFG, threshold=0.6,
+                               sets_ds=sets_ds).to_pandas()
+        want = _brute(docs, 0.6)
+        assert {(a, b) for a, b in zip(got["a"], got["b"])} \
+            == set(want)
+
+
+class TestFloodGuard:
+    def test_duplicate_flood_raises(self, ray_session):
+        docs = ["alpha beta gamma delta"] * 500
+        with pytest.raises((RuntimeError, Exception)) as ei:
+            allpairs_jaccard(_ds(docs), CFG, threshold=0.8,
+                             max_bucket=100).to_pandas()
+        assert "max_bucket" in str(ei.value)
+
+    def test_flood_passes_when_raised(self, ray_session):
+        docs = ["alpha beta gamma delta"] * 60 + ["zeta eta"]
+        got = allpairs_jaccard(_ds(docs), CFG, threshold=0.8,
+                               max_bucket=100).to_pandas()
+        assert len(got) == 60 * 59 // 2
+        assert (got["jaccard"] == 1.0).all()
+
+
+class TestLSHAgreement:
+    """Two independent implementations, one answer: the probabilistic
+    MinHash-LSH tier's verified pairs vs this tier's exact truth over
+    THE SAME shingle sets and threshold."""
+
+    def test_lsh_pairs_subset_and_recall(self, ray_session):
+        from raydedup.pipelines.neardup import near_dup_pairs
+        from raydedup.stages.signatures import signatures
+        rng = np.random.RandomState(23)
+        base = [" ".join(f"t{rng.randint(0, 5000)}" for _ in range(80))
+                for _ in range(150)]
+        docs = list(base)
+        for i in range(0, 60, 2):            # heavy near-dups: J well > τ
+            toks = base[i].split()
+            toks[rng.randint(0, len(toks))] = "changed"
+            docs[i + 1] = " ".join(toks)
+        ds = _ds(docs, 4)
+        cfg = CFG
+        lsh = near_dup_pairs(ds, cfg).to_pandas()
+        sig = signatures(ds, cfg, keep_shingles=True, keep_bands=False,
+                         keep_minhash=False, with_simhash=False)
+        exact = allpairs_jaccard(None, cfg,
+                                 threshold=cfg.verify_threshold,
+                                 sets_ds=sig,
+                                 set_col="shingles").to_pandas()
+        lp = set(zip(lsh["a"], lsh["b"]))
+        ep = set(zip(exact["a"], exact["b"]))
+        assert lp <= ep, "LSH emitted a pair the exact join disproves"
+        assert len(ep) >= 30
+        recall = len(lp & ep) / len(ep)
+        assert recall >= 0.99, f"LSH recall {recall:.3f} vs exact truth"
+        # scores agree bit-for-bit on the common pairs
+        le = lsh.set_index(["a", "b"])["jaccard"]
+        ee = exact.set_index(["a", "b"])["jaccard"]
+        common = le.index.intersection(ee.index)
+        assert (le.loc[common] == ee.loc[common]).all()
