@@ -113,6 +113,22 @@ def cmd_neardup(args):
     print(f"wrote {args.output}")
 
 
+def cmd_allpairs(args):
+    _ray_session()
+    import ray.data as rd
+    from .config import DEFAULT_CONFIG
+    from .stages.allpairs import allpairs_jaccard
+
+    cfg = DEFAULT_CONFIG.with_(**({"verify_threshold": args.threshold}
+                                  if args.threshold is not None else {}))
+    docs = rd.read_parquet(args.input)
+    pairs = allpairs_jaccard(docs, cfg, threshold=cfg.verify_threshold,
+                             order=args.order,
+                             max_bucket=args.max_bucket)
+    pairs.write_parquet(args.output)
+    print(f"wrote {args.output}")
+
+
 def cmd_tiered(args):
     _ray_session()
     import ray.data as rd
@@ -518,6 +534,17 @@ def main(argv=None):
     s.add_argument("--threshold", type=float, default=None)
     s.add_argument("--exact-only", action="store_true")
     s.set_defaults(fn=cmd_incremental)
+
+    s = sub.add_parser("allpairs", help="EXACT all-pairs Jaccard join "
+                       "(prefix filtering; recall 1.0 by construction)")
+    s.add_argument("input")
+    s.add_argument("output")
+    s.add_argument("--threshold", type=float, default=None)
+    s.add_argument("--order", choices=["df", "hash"], default="df")
+    s.add_argument("--max-bucket", type=int, default=20_000,
+                   help="duplicate-flood guard: raise if a prefix-token "
+                        "bucket exceeds this (quadratic output)")
+    s.set_defaults(fn=cmd_allpairs)
 
     s = sub.add_parser("neardup", help="near-dup clustering over documents")
     s.add_argument("input")
