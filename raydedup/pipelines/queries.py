@@ -3630,6 +3630,52 @@ WHERE i.i::DOUBLE / (sa.n + sb.n - i.i) >= 0.6
 """
 
 
+def q_crosspairs_jaccard(sf_dir):
+    """EXACT cross-corpus similarity join (stages/allpairs.py::
+    crosspairs_jaccard): documents split by doc_id parity stand in for
+    "existing corpus" vs "new crawl"; every cross pair with word-token
+    Jaccard >= 0.6 hash-checks against the SQL R-S join truth.  Sides
+    ride the id's low bit through the shared prefix-filter plan, so the
+    only extra work vs the self-join is a vectorized parity mask."""
+    from ..stages.allpairs import crosspairs_jaccard
+
+    def _side(parity: int):
+        def _m(t: pa.Table) -> pa.Table:
+            ids = np.asarray(t["doc_id"], dtype=np.int64)
+            return t.filter(pa.array((ids % 2) == parity))
+        return _m
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    left = docs.map_batches(_side(0), batch_format="pyarrow",
+                            zero_copy_batch=True)
+    right = docs.map_batches(_side(1), batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return crosspairs_jaccard(left, right, CFG, threshold=0.6)
+
+
+SQL_CROSSPAIRS_JACCARD = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM toks x JOIN toks y ON x.tok = y.tok
+  WHERE x.doc_id % 2 = 0 AND y.doc_id % 2 = 1
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b, i.i AS intersection,
+       (sa.n + sb.n - i.i) AS "union",
+       i.i::DOUBLE / (sa.n + sb.n - i.i) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a
+JOIN sizes sb ON sb.doc_id = i.b
+WHERE i.i::DOUBLE / (sa.n + sb.n - i.i) >= 0.6
+"""
+
+
 def q_approx_distinct_by_lang_scored(sf_dir):
     """Grouped HLL (stages/cardinality.hll_registers_by): one register
     set per lang — distinct-tokens-per-group where the exchange ships
@@ -4296,6 +4342,7 @@ QUERIES = {
     "approx_distinct_scored": q_approx_distinct_scored,
     "approx_distinct_by_lang": q_approx_distinct_by_lang_scored,
     "allpairs_jaccard": q_allpairs_jaccard,
+    "crosspairs_jaccard": q_crosspairs_jaccard,
 }
 
 ORACLES = {
@@ -4413,6 +4460,7 @@ ORACLES = {
     "approx_distinct_scored": SQL_APPROX_DISTINCT_SCORED,
     "approx_distinct_by_lang": SQL_APPROX_DISTINCT_BY_LANG_SCORED,
     "allpairs_jaccard": SQL_ALLPAIRS_JACCARD,
+    "crosspairs_jaccard": SQL_CROSSPAIRS_JACCARD,
     # rows-only (non-SQL-expressible): approx_distinct_tokens (HLL —
     # DuckDB's approx_count_distinct is a different sketch; the register
     # fold is oracled via approx_distinct_scored/_by_lang),

@@ -174,6 +174,25 @@ def allpairs_jaccard(docs_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
     prefixes land in small buckets; "hash" skips the df pass (one fewer
     exchange, weaker selectivity).  Both are exact.
     """
+    if sets_ds is None:
+        sets_ds = doc_token_sets(docs_ds, cfg, id_col=id_col,
+                                 text_col=text_col)
+    return _allpairs_core(sets_ds, cfg, threshold, id_col, set_col,
+                          order, df_broadcast_max, max_bucket,
+                          cross_parity=False)
+
+
+def _allpairs_core(sets_ds, cfg: PipelineConfig, threshold,
+                   id_col: str, set_col: str, order: str,
+                   df_broadcast_max: int, max_bucket: int, *,
+                   cross_parity: bool):
+    """Shared physical plan of the self-join (`allpairs_jaccard`) and the
+    R-S cross-corpus join (`crosspairs_jaccard`).  With
+    ``cross_parity=True`` the ids are assumed side-tagged in their low
+    bit (even = left corpus, odd = right) and only cross-side pairs
+    survive the emission stage — the prefix-filter theorem is unchanged
+    (it bounds where a qualifying pair's shared tokens can sit,
+    regardless of which corpus each side came from)."""
     from ..functions.hashing import splitmix64
     from ..functions.shuffle import hash_partition_map
     from .verify import verify_pairs
@@ -183,9 +202,6 @@ def allpairs_jaccard(docs_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
         raise ValueError(f"threshold must be in (0, 1], got {thr}")
     n_parts = cfg.resolved_partitions()
 
-    if sets_ds is None:
-        sets_ds = doc_token_sets(docs_ds, cfg, id_col=id_col,
-                                 text_col=text_col)
     sets_ds = sets_ds.materialize()     # read twice: prefixes + verify
 
     df_ref = None
@@ -252,6 +268,9 @@ def allpairs_jaccard(docs_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
                     "overlap chains represent such floods in linear "
                     "space, or raise max_bucket knowingly.")
             lo, hi = _all_pairs_of_runs(keys, ids)
+            if cross_parity and len(lo):
+                cross = ((lo ^ hi) & 1) == 1
+                lo, hi = lo[cross], hi[cross]
             if len(lo):
                 pk = np.unique(np.stack([lo, hi], axis=1), axis=0)
                 lo, hi = pk[:, 0].copy(), pk[:, 1].copy()
@@ -279,3 +298,67 @@ def allpairs_jaccard(docs_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
     pairs = hash_partition_map(emitted, "part", _dedup, n_parts)
     return verify_pairs(pairs, sets_ds, cfg, threshold=thr,
                         id_col=id_col, set_col=set_col)
+
+
+_SIDE_ID_MAX = (1 << 62) - 1   # |id| bound so 2*id (+1) stays in int64
+
+
+def crosspairs_jaccard(left_ds, right_ds,
+                       cfg: PipelineConfig = DEFAULT_CONFIG, *,
+                       threshold: float | None = ...,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       order: str = "df", df_broadcast_max: int = 8_000_000,
+                       max_bucket: int = 20_000):
+    """EXACT R-S similarity join: every ``(a, b, intersection, union,
+    jaccard)`` pair with word-token Jaccard >= threshold where ``a``
+    comes from ``left_ds`` and ``b`` from ``right_ds`` — the
+    cross-corpus counterpart of `allpairs_jaccard` (dedup a new crawl
+    against an existing corpus, align two snapshots without a shared
+    url key, audit benchmark contamination by content rather than
+    n-gram membership).  The two id spaces may overlap: sides are
+    tagged in the id's low bit (left = 2*id, right = 2*id+1), the
+    shared prefix-filter plan runs over the union, only cross-parity
+    pairs survive emission, and the output carries the ORIGINAL ids.
+
+    The prefix-filter recall theorem (module docstring) is oblivious to
+    sides, so cross recall is exactly 1.0; within-side collisions are
+    emitted by the bucket scan and dropped by a vectorized parity mask
+    before the dedup exchange.
+    """
+    left_sets = doc_token_sets(left_ds, cfg, id_col=id_col,
+                               text_col=text_col)
+    right_sets = doc_token_sets(right_ds, cfg, id_col=id_col,
+                                text_col=text_col)
+
+    def _tag(side_bit: int):
+        def _m(t: pa.Table) -> pa.Table:
+            ids = np.asarray(t[id_col], dtype=np.int64)
+            if len(ids) and int(np.abs(ids).max()) > _SIDE_ID_MAX:
+                raise ValueError(
+                    f"crosspairs_jaccard: |{id_col}| exceeds 2^62-1; "
+                    "the parity side-tag would overflow int64")
+            return t.set_column(t.schema.get_field_index(id_col), id_col,
+                                pa.array(ids * 2 + side_bit, pa.int64()))
+        return _m
+
+    union = (left_sets.map_batches(_tag(0), batch_format="pyarrow",
+                                   zero_copy_batch=True)
+             .union(right_sets.map_batches(_tag(1), batch_format="pyarrow",
+                                           zero_copy_batch=True)))
+    scored = _allpairs_core(union, cfg, threshold, id_col, "tokens",
+                            order, df_broadcast_max, max_bucket,
+                            cross_parity=True)
+
+    def _decode(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["a"], dtype=np.int64)
+        b = np.asarray(t["b"], dtype=np.int64)
+        left = np.where((a & 1) == 0, a, b) >> 1
+        right = np.where((a & 1) == 1, a, b) >> 1
+        return pa.table({"a": pa.array(left, pa.int64()),
+                         "b": pa.array(right, pa.int64()),
+                         "intersection": t["intersection"],
+                         "union": t["union"],
+                         "jaccard": t["jaccard"]})
+
+    return scored.map_batches(_decode, batch_format="pyarrow",
+                              zero_copy_batch=True)

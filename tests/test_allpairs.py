@@ -96,6 +96,80 @@ class TestFloodGuard:
         assert (got["jaccard"] == 1.0).all()
 
 
+def _brute_cross(left, right, lids, rids, th):
+    ls = [set(d.split()) - {""} for d in left]
+    rs = [set(d.split()) - {""} for d in right]
+    out = {}
+    for ai, a in enumerate(lids):
+        for bi, b in enumerate(rids):
+            i = len(ls[ai] & rs[bi])
+            u = len(ls[ai] | rs[bi])
+            if u and i / u >= th:
+                out[(a, b)] = (i, u)
+    return out
+
+
+class TestCrossPairs:
+    """R-S join: exact recall against a brute-force cross product,
+    overlapping id spaces, and the no-within-side guarantee."""
+
+    def _sides(self, seed=19, n=220):
+        docs = _mk_docs(n=n, seed=seed)
+        left, right = docs[: n // 2], docs[n // 2:]
+        # plant cross dups: right[j] is a near-copy of left[j]
+        for j in range(0, 30, 3):
+            right[j] = left[j] + " extra"
+        return left, right
+
+    @pytest.mark.parametrize("th", [0.4, 0.8])
+    @pytest.mark.parametrize("order", ["df", "hash"])
+    def test_matches_brute_force(self, ray_session, th, order):
+        from raydedup.stages.allpairs import crosspairs_jaccard
+        left, right = self._sides()
+        got = crosspairs_jaccard(_ds(left, 3), _ds(right, 4), CFG,
+                                 threshold=th, order=order).to_pandas()
+        want = _brute_cross(left, right, range(len(left)),
+                            range(len(right)), th)
+        gp = {(a, b): (i, u) for a, b, i, u in zip(
+            got["a"], got["b"], got["intersection"], got["union"])}
+        assert gp == want and len(want) > 0
+
+    def test_overlapping_id_spaces_and_no_within_side(self, ray_session):
+        """Both sides use ids 0..n-1; identical WITHIN-side docs must
+        not pair, identical cross docs must — ids decode to the
+        original values on the right output columns."""
+        from raydedup.stages.allpairs import crosspairs_jaccard
+        left = ["a b c d", "a b c d", "x y z w"]   # ids 0,1,2
+        right = ["a b c d", "p q r s"]             # ids 0,1
+        got = crosspairs_jaccard(_ds(left, 2), _ds(right, 1), CFG,
+                                 threshold=0.9).to_pandas()
+        pairs = set(zip(got["a"], got["b"]))
+        assert pairs == {(0, 0), (1, 0)}
+        assert (got["jaccard"] == 1.0).all()
+
+    def test_negative_ids_roundtrip(self, ray_session):
+        import ray.data as rd
+        from raydedup.stages.allpairs import crosspairs_jaccard
+        lt = pa.table({"doc_id": pa.array([-5, 4], pa.int64()),
+                       "text": ["m n o p", "h i j k"]})
+        rt = pa.table({"doc_id": pa.array([-7, 0], pa.int64()),
+                       "text": ["m n o p", "h i j k q"]})
+        got = crosspairs_jaccard(rd.from_arrow(lt), rd.from_arrow(rt),
+                                 CFG, threshold=0.5).to_pandas()
+        pairs = set(zip(got["a"], got["b"]))
+        assert pairs == {(-5, -7), (4, 0)}
+
+    def test_id_overflow_guard(self, ray_session):
+        import ray.data as rd
+        from raydedup.stages.allpairs import crosspairs_jaccard
+        big = pa.table({"doc_id": pa.array([1 << 62], pa.int64()),
+                        "text": ["a b c"]})
+        with pytest.raises(Exception) as ei:
+            crosspairs_jaccard(rd.from_arrow(big), rd.from_arrow(big),
+                               CFG, threshold=0.5).to_pandas()
+        assert "overflow" in str(ei.value) or "2^62" in str(ei.value)
+
+
 class TestLSHAgreement:
     """Two independent implementations, one answer: the probabilistic
     MinHash-LSH tier's verified pairs vs this tier's exact truth over
