@@ -3676,6 +3676,52 @@ WHERE i.i::DOUBLE / (sa.n + sb.n - i.i) >= 0.6
 """
 
 
+_BM25_TERMS = ["hash", "join", "window", "stream"]
+
+
+def q_bm25_topk(sf_dir):
+    """Okapi BM25 top-20 (stages/search.py): the lexical retrieval leg
+    of the similarity-search surface.  Zero-shuffle two-pass plan
+    (integer stats partials -> driver idf -> per-batch score + top-k
+    partials -> one merge); per-term contributions are e6-rounded
+    before an INTEGER per-doc sum, so the score is summation-order
+    independent and hash-checks against the SQL truth."""
+    from ..stages.search import bm25_topk
+    return bm25_topk(_docs(sf_dir, ["doc_id", "text"]), _BM25_TERMS,
+                     CFG, k=20)
+
+
+SQL_BM25_TOPK = """
+WITH q(term) AS (VALUES ('hash'), ('join'), ('window'), ('stream')),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tok2 AS (SELECT doc_id, tok FROM tok WHERE tok <> ''),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok2 GROUP BY 1),
+stats AS (
+  SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dl
+),
+tf AS (SELECT t.doc_id, t.tok AS term, count(*)::BIGINT AS tf
+       FROM tok2 t JOIN q ON q.term = t.tok GROUP BY 1, 2),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id,
+         round(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+               * tf.tf::DOUBLE * (1.2 + 1)
+               / (tf.tf::DOUBLE
+                  + 1.2 * (1 - 0.75 + 0.75 * dl.dl::DOUBLE
+                           / (s.sum_dl::DOUBLE / s.n_docs)))
+               * 1e6)::BIGINT AS c_e6
+  FROM tf
+  JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id, stats s
+)
+SELECT doc_id, sum(c_e6)::BIGINT AS score_e6
+FROM contrib GROUP BY doc_id
+ORDER BY score_e6 DESC, doc_id ASC LIMIT 20
+"""
+
+
 def q_approx_distinct_by_lang_scored(sf_dir):
     """Grouped HLL (stages/cardinality.hll_registers_by): one register
     set per lang — distinct-tokens-per-group where the exchange ships
@@ -4343,6 +4389,7 @@ QUERIES = {
     "approx_distinct_by_lang": q_approx_distinct_by_lang_scored,
     "allpairs_jaccard": q_allpairs_jaccard,
     "crosspairs_jaccard": q_crosspairs_jaccard,
+    "bm25_topk": q_bm25_topk,
 }
 
 ORACLES = {
@@ -4461,6 +4508,7 @@ ORACLES = {
     "approx_distinct_by_lang": SQL_APPROX_DISTINCT_BY_LANG_SCORED,
     "allpairs_jaccard": SQL_ALLPAIRS_JACCARD,
     "crosspairs_jaccard": SQL_CROSSPAIRS_JACCARD,
+    "bm25_topk": SQL_BM25_TOPK,
     # rows-only (non-SQL-expressible): approx_distinct_tokens (HLL —
     # DuckDB's approx_count_distinct is a different sketch; the register
     # fold is oracled via approx_distinct_scored/_by_lang),
