@@ -40,12 +40,20 @@ HITS_SCALE = 10 ** 9
 
 def hits(edges_ds, cfg: PipelineConfig, *, n_iter: int = 4,
          scale: int = HITS_SCALE, src_col: str = "src",
-         dst_col: str = "dst", counters=None):
-    """edges(src,dst) → Dataset(node, hub_fp, auth_fp)."""
+         dst_col: str = "dst", fan: str = "auto",
+         node_groups: int | None = None, counters=None):
+    """edges(src,dst) → Dataset(node, hub_fp, auth_fp).
+
+    ``fan`` / ``node_groups``: message-shard topology per half-step —
+    'flat' / 'tree' / 'nodes' / 'auto', the shared stages/fan.py
+    machinery (see its module docstring; 'nodes' is the multi-node
+    two-level combine where only M² objects cross the network).  All
+    fans are bit-identical: combines only reassociate integer sums."""
     import ray
     import ray.data as rd
 
     from ..functions.shuffle import hash_partition_map, part_of
+    from .fan import FanPlan
 
     if scale * scale > 2 ** 63 - 1:
         raise ValueError(
@@ -143,6 +151,8 @@ def hits(edges_ds, cfg: PipelineConfig, *, n_iter: int = 4,
 
     state_blocks = [_seed.remote(s, scale // n_nodes) for s in state_blocks]
 
+    plan = FanPlan(fan, n_parts, node_groups)
+
     @ray.remote
     def _prep(edge_tab, out_col):
         """Round-invariant routing for the block's OUT column (the
@@ -155,35 +165,41 @@ def hits(edges_ds, cfg: PipelineConfig, *, n_iter: int = 4,
         slot = np.empty(len(uo), dtype=np.int64)
         slot[order] = np.arange(len(uo))
         inv2 = slot[inv] if len(out) else inv
-        bounds = np.searchsorted(part[order], np.arange(n_parts + 1))
-        return uo[order], inv2, bounds
+        part_s = part[order]
+        bounds = np.searchsorted(part_s, np.arange(n_parts + 1))
+        return uo[order], inv2, part_s, bounds
 
     prep_src = [_prep.remote(b, "dst") for b in by_src]   # h → a routes dst
     prep_dst = [_prep.remote(b, "src") for b in by_dst]   # a → h routes src
 
     # direction: "fwd" reads hub at src (edge blocks by_src, co-located
     # with state) and routes to dst; "rev" reads auth at dst (by_dst)
-    # and routes to src.
-    @ray.remote(num_returns=n_parts + 1)
+    # and routes to src.  Shards are grouped by destination partition
+    # CHUNK (fan.py contract); flat is the chunk=1 case.  Called with
+    # .options(num_returns=plan.n_chunks + 1).
+    @ray.remote
     def _messages(edge_tab, prep, state_tab, read_col, key_col):
         node = np.asarray(state_tab["node"], dtype=np.int64)
         val = np.asarray(state_tab[read_col], dtype=np.int64)
         key = np.asarray(edge_tab[key_col], dtype=np.int64)
-        empty = pa.table({"node": pa.array([], pa.int64()),
-                          "inc": pa.array([], pa.int64())})
+        from .fan import EMPTY_MSG
         if not len(key):
-            return (*[empty] * n_parts, 0)
-        uo_s, inv2, bounds = prep
+            return (*[EMPTY_MSG] * plan.n_chunks, 0)
+        uo_s, inv2, part_s, bounds = prep
         pos = np.searchsorted(node, key)      # key is local by layout
         contrib = val[pos]
         inc = np.zeros(len(uo_s), dtype=np.int64)
         np.add.at(inc, inv2, contrib)
         total = int(inc.sum())
-        outs = [pa.table({"node": pa.array(uo_s[bounds[p]:bounds[p + 1]],
+        cb = bounds[np.minimum(np.arange(plan.n_chunks + 1) * plan.chunk,
+                               n_parts)]
+        outs = [pa.table({"node": pa.array(uo_s[cb[g]:cb[g + 1]],
                                            pa.int64()),
-                          "inc": pa.array(inc[bounds[p]:bounds[p + 1]],
-                                          pa.int64())})
-                for p in range(n_parts)]
+                          "inc": pa.array(inc[cb[g]:cb[g + 1]],
+                                          pa.int64()),
+                          "part": pa.array(part_s[cb[g]:cb[g + 1]],
+                                           pa.int64())})
+                for g in range(plan.n_chunks)]
         return (*outs, total)
 
     @ray.remote
@@ -202,27 +218,35 @@ def hits(edges_ds, cfg: PipelineConfig, *, n_iter: int = 4,
         return state_tab.set_column(col_idx, col_name,
                                     pa.array(new, pa.int64()))
 
+    def _merge_opts(q: int) -> dict:
+        return plan.aff(q // plan.ppn) if plan.mode == "nodes" else {}
+
+    def _half_step(edge_blocks_dir, prep_dir, read_col, key_col,
+                   col_idx, col_name, state_blocks):
+        msg = [_messages.options(**plan.msg_options(p, 1))
+               .remote(edge_blocks_dir[p], prep_dir[p], state_blocks[p],
+                       read_col, key_col)
+               for p in range(n_parts)]
+        total = sum(ray.get([m[plan.n_chunks] for m in msg]))
+        routed = plan.combine([m[:plan.n_chunks] for m in msg])
+        return [_normalize_merge.options(**_merge_opts(q)).remote(
+            state_blocks[q], total, col_idx, col_name, *routed[q])
+            for q in range(n_parts)]
+
     for _ in range(n_iter):
-        # h → a (authority update)
-        msg = [_messages.remote(by_src[p], prep_src[p], state_blocks[p],
-                                "hub_fp", "src")
-               for p in range(n_parts)]
-        total = sum(ray.get([m[n_parts] for m in msg]))
-        state_blocks = [_normalize_merge.remote(
-            state_blocks[q], total, 2, "auth_fp", *[m[q] for m in msg])
-            for q in range(n_parts)]
-        # a → h (hub update)
-        msg = [_messages.remote(by_dst[p], prep_dst[p], state_blocks[p],
-                                "auth_fp", "dst")
-               for p in range(n_parts)]
-        total = sum(ray.get([m[n_parts] for m in msg]))
-        state_blocks = [_normalize_merge.remote(
-            state_blocks[q], total, 1, "hub_fp", *[m[q] for m in msg])
-            for q in range(n_parts)]
+        state_blocks = _half_step(by_src, prep_src, "hub_fp", "src",
+                                  2, "auth_fp", state_blocks)   # h → a
+        state_blocks = _half_step(by_dst, prep_dst, "auth_fp", "dst",
+                                  1, "hub_fp", state_blocks)    # a → h
 
     if counters is not None:
         counters.add.remote({"hits_rounds": n_iter,
-                             "hits_nodes": n_nodes})
+                             "hits_nodes": n_nodes,
+                             f"hits_fan_{plan.mode}": 1,
+                             "hits_msg_objects_per_round":
+                                 2 * plan.msg_objects,
+                             "hits_crossnode_objects_per_round":
+                                 2 * plan.crossnode_objects})
 
     out_refs = list(state_blocks)
     ray.wait(out_refs, num_returns=len(out_refs))   # see pagerank._emit note

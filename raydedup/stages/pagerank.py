@@ -76,7 +76,10 @@ def _empty_state() -> pa.Table:
                      "rank_fp": pa.array([], pa.int64())})
 
 
-FAN_TREE_MIN_PARTS = 48   # flat P² object fan is fine below this
+# Fan machinery lives in stages/fan.py (shared with hits.py);
+# re-exported here for callers that historically imported it from this
+# module.
+from .fan import FAN_TREE_MIN_PARTS, FanPlan  # noqa: E402
 
 
 def pagerank(edges_ds, cfg: PipelineConfig, *, n_iter: int = 5,
@@ -270,42 +273,11 @@ def pagerank(edges_ds, cfg: PipelineConfig, *, n_iter: int = 5,
                          "in the graph")
     base = ((scale * (damping_den - damping_num)) // damping_den) // n_base
 
-    use_nodes = fan == "nodes"
-    use_tree = (fan == "tree"
-                or (fan == "auto" and n_parts >= FAN_TREE_MIN_PARTS))
-    group_size = int(np.ceil(np.sqrt(n_parts)))
-    n_groups = (n_parts + group_size - 1) // group_size
-
-    # "nodes" fan: M node groups — default one per live Ray node (the
-    # real-cluster semantic), else the √P emulation single-node.  Soft
-    # NodeAffinity hints pin a group's message/combine/apply tasks to
-    # one node so the first fan and the final splits never cross the
-    # network; only the M² level-1 combine outputs do.
-    try:
-        from ray.util.scheduling_strategies import \
-            NodeAffinitySchedulingStrategy
-        _alive_nodes = sorted(n["NodeID"] for n in ray.nodes()
-                              if n.get("Alive")
-                              and n.get("Resources", {}).get("CPU"))
-    except Exception:                      # pragma: no cover
-        NodeAffinitySchedulingStrategy = None
-        _alive_nodes = []
-    if use_nodes:
-        m_req = node_groups or (len(_alive_nodes) if len(_alive_nodes) > 1
-                                else max(1, int(round(np.sqrt(n_parts)))))
-        m_eff = max(1, min(int(m_req), n_parts))
-        ppn = (n_parts + m_eff - 1) // m_eff   # partitions per node group
-        n_grp = (n_parts + ppn - 1) // ppn
-    else:
-        ppn = n_grp = 0
-
-    def _aff(group: int) -> dict:
-        """Soft scheduling hint: keep this group's tasks on one node
-        (a no-op hint single-node; never a hard constraint)."""
-        if len(_alive_nodes) <= 1 or NodeAffinitySchedulingStrategy is None:
-            return {}
-        return {"scheduling_strategy": NodeAffinitySchedulingStrategy(
-            node_id=_alive_nodes[group % len(_alive_nodes)], soft=True)}
+    # Fan topology (flat / tree / nodes) — the shared stages/fan.py
+    # machinery; "nodes" pins a group's message/combine/apply tasks to
+    # one node via soft NodeAffinity so only the M² level-1 combine
+    # outputs cross the network (see fan.py's module docstring).
+    plan = FanPlan(fan, n_parts, node_groups)
 
     @ray.remote
     def _prep_edges(edge_tab):
@@ -327,37 +299,6 @@ def pagerank(edges_ds, cfg: PipelineConfig, *, n_iter: int = 5,
 
     prep_refs = [_prep_edges.remote(b) for b in edge_blocks]
 
-    @ray.remote(num_returns=n_parts + 1)
-    def _messages(edge_tab, prep, state_tab):
-        """Edge partition p + state partition p → per-destination-partition
-        (node, inc) partial sums; extra return = this partition's
-        dangling rank mass (Σ rank where outdeg==0)."""
-        node = np.asarray(state_tab["node"], dtype=np.int64)
-        deg = np.asarray(state_tab["outdeg"], dtype=np.int64)
-        rank = np.asarray(state_tab["rank_fp"], dtype=np.int64)
-        dang = int(rank[deg == 0].sum())
-        src = np.asarray(edge_tab["src"], dtype=np.int64)
-        empty = pa.table({"node": pa.array([], pa.int64()),
-                          "inc": pa.array([], pa.int64())})
-        if not len(src):
-            return (*[empty] * n_parts, dang)
-        udst_s, inv2, _part_s, bounds = prep
-        pos = np.searchsorted(node, src)     # every src is present here
-        if weighted:                         # deg = W(u) > 0 for every src
-            contrib = (rank[pos]
-                       * np.asarray(edge_tab["w"], dtype=np.int64)) \
-                // deg[pos]
-        else:
-            contrib = rank[pos] // deg[pos]
-        inc = np.zeros(len(udst_s), dtype=np.int64)
-        np.add.at(inc, inv2, contrib)
-        outs = [pa.table({"node": pa.array(udst_s[bounds[p]:bounds[p + 1]],
-                                           pa.int64()),
-                          "inc": pa.array(inc[bounds[p]:bounds[p + 1]],
-                                          pa.int64())})
-                for p in range(n_parts)]
-        return (*outs, dang)
-
     @ray.remote
     def _apply(state_tab, share, *msg_tabs):
         node = np.asarray(state_tab["node"], dtype=np.int64)
@@ -378,10 +319,12 @@ def pagerank(edges_ds, cfg: PipelineConfig, *, n_iter: int = 5,
 
     @ray.remote
     def _messages_chunked(edge_tab, prep, state_tab, chunk, n_chunks):
-        """Like _messages, but shards are grouped by destination
-        partition CHUNK (part // chunk) — n_chunks returns, not P.
-        Called with .options(num_returns=n_chunks + 1); serves both the
-        tree fan (chunk = ⌈√P⌉) and the nodes fan (chunk = P/M)."""
+        """Edge partition p + state partition p → (node, inc, part)
+        partial-sum shards grouped by destination partition CHUNK
+        (part // chunk) — n_chunks returns plus the partition's
+        dangling rank mass (Σ rank where outdeg==0).  Called with
+        .options(num_returns=n_chunks + 1); chunk=1 is the flat fan,
+        chunk=⌈√P⌉ the tree fan, chunk=P/M the nodes fan (fan.py)."""
         node = np.asarray(state_tab["node"], dtype=np.int64)
         deg = np.asarray(state_tab["outdeg"], dtype=np.int64)
         rank = np.asarray(state_tab["rank_fp"], dtype=np.int64)
@@ -413,137 +356,32 @@ def pagerank(edges_ds, cfg: PipelineConfig, *, n_iter: int = 5,
                 for g in range(n_chunks)]
         return (*outs, dang)
 
-    def _presum(shards):
-        """Concat shards and pre-sum per (part, node) — the shared
-        kernel of both combine levels."""
-        t = pa.concat_tables(shards)
-        node = np.asarray(t["node"], dtype=np.int64)
-        inc = np.asarray(t["inc"], dtype=np.int64)
-        part = np.asarray(t["part"], dtype=np.int64)
-        order = np.lexsort((node, part))
-        node, inc, part = node[order], inc[order], part[order]
-        first = np.ones(len(node), dtype=bool)
-        first[1:] = (node[1:] != node[:-1]) | (part[1:] != part[:-1])
-        starts = np.flatnonzero(first)
-        return node[starts], np.add.reduceat(inc, starts), part[starts]
-
-    _EMPTY_MSG = pa.table({"node": pa.array([], pa.int64()),
-                           "inc": pa.array([], pa.int64()),
-                           "part": pa.array([], pa.int64())})
-
-    @ray.remote
-    def _combine_local(*shards):
-        """Level-1 combine of the nodes fan: pre-sum ONE source node
-        group's shards destined to one destination node group.  On a
-        real cluster this task runs on the SOURCE node (affinity hint),
-        so its inputs never cross the network — its single output is
-        the only cross-node object."""
-        shards = [s for s in shards if len(s)]
-        if not shards:
-            return _EMPTY_MSG
-        node, summed, part = _presum(shards)
-        return pa.table({"node": pa.array(node, pa.int64()),
-                         "inc": pa.array(summed, pa.int64()),
-                         "part": pa.array(part, pa.int64())})
-
-    @ray.remote
-    def _combine_group(g0, gsize, *shards):
-        """Merge one destination group's shards: pre-sum per node, then
-        re-split into the group's partitions.  Called with
-        .options(num_returns=gsize)."""
-        empty = pa.table({"node": pa.array([], pa.int64()),
-                          "inc": pa.array([], pa.int64())})
-        shards = [s for s in shards if len(s)]
-        if not shards:
-            return (*[empty] * gsize,) if gsize > 1 else empty
-        node, summed, part = _presum(shards)
-        bounds = np.searchsorted(part, g0 + np.arange(gsize + 1))
-        outs = [pa.table({"node": pa.array(node[bounds[i]:bounds[i + 1]],
-                                           pa.int64()),
-                          "inc": pa.array(summed[bounds[i]:bounds[i + 1]],
-                                          pa.int64())})
-                for i in range(gsize)]
-        return (*outs,) if gsize > 1 else outs[0]
+    def _apply_opts(q: int) -> dict:
+        return plan.aff(q // plan.ppn) if plan.mode == "nodes" else {}
 
     for _ in range(n_iter):
-        if use_nodes:
-            msg = [_messages_chunked.options(num_returns=n_grp + 1,
-                                             **_aff(p // ppn))
-                   .remote(edge_blocks[p], prep_refs[p], state_blocks[p],
-                           ppn, n_grp)
-                   for p in range(n_parts)]
-            dang_total = sum(ray.get([m[n_grp] for m in msg]))
-            share = dang_total // n_base
-            # level 1 (node-local): source group s × dest group g
-            loc = [[_combine_local.options(**_aff(s)).remote(
-                        *[msg[p][g]
-                          for p in range(s * ppn,
-                                         min((s + 1) * ppn, n_parts))])
-                    for g in range(n_grp)] for s in range(n_grp)]
-            # level 2 (on the dest node): merge the n_grp cross-node
-            # shards, split to the dest group's partitions
-            split = [_combine_group.options(num_returns=ppn, **_aff(g))
-                     .remote(g * ppn, ppn, *[loc[s][g]
-                                             for s in range(n_grp)])
-                     for g in range(n_grp)]
-            state_blocks = [
-                _apply.options(**_aff(q // ppn)).remote(
-                    state_blocks[q], share,
-                    split[q // ppn][q % ppn] if ppn > 1
-                    else split[q // ppn])
-                for q in range(n_parts)]
-        elif use_tree:
-            msg = [_messages_chunked.options(num_returns=n_groups + 1)
-                   .remote(edge_blocks[p], prep_refs[p], state_blocks[p],
-                           group_size, n_groups)
-                   for p in range(n_parts)]
-            dang_total = sum(ray.get([m[n_groups] for m in msg]))
-            share = dang_total // n_base
-            combined = [_combine_group.options(num_returns=group_size)
-                        .remote(g * group_size, group_size,
-                                *[m[g] for m in msg])
-                        for g in range(n_groups)]
-            if group_size == 1:
-                state_blocks = [_apply.remote(state_blocks[q], share,
-                                              combined[q])
-                                for q in range(n_parts)]
-            else:
-                state_blocks = [
-                    _apply.remote(state_blocks[q], share,
-                                  combined[q // group_size]
-                                  [q % group_size])
-                    for q in range(n_parts)]
-        else:
-            msg = [_messages.remote(edge_blocks[p], prep_refs[p],
-                                    state_blocks[p])
-                   for p in range(n_parts)]
-            dang_total = sum(ray.get([m[n_parts] for m in msg]))
-            share = dang_total // n_base
-            state_blocks = [_apply.remote(state_blocks[q], share,
-                                          *[m[q] for m in msg])
-                            for q in range(n_parts)]
+        msg = [_messages_chunked.options(**plan.msg_options(p, 1))
+               .remote(edge_blocks[p], prep_refs[p], state_blocks[p],
+                       plan.chunk, plan.n_chunks)
+               for p in range(n_parts)]
+        dang_total = sum(ray.get([m[plan.n_chunks] for m in msg]))
+        share = dang_total // n_base
+        routed = plan.combine([m[:plan.n_chunks] for m in msg])
+        state_blocks = [_apply.options(**_apply_opts(q)).remote(
+            state_blocks[q], share, *routed[q])
+            for q in range(n_parts)]
 
     if counters is not None:
         # objects-per-round telemetry: total transient objects the fan
         # creates, and how many of them must cross the network on a
         # multi-node cluster (the nodes fan's whole point)
-        if use_nodes:
-            fan_used = "nodes"
-            msg_objs = n_parts * n_grp + n_grp * n_grp + n_parts
-            cross_objs = n_grp * n_grp
-        elif use_tree:
-            fan_used = "tree"
-            msg_objs = n_parts * n_groups + n_parts
-            cross_objs = n_parts * n_groups + n_parts
-        else:
-            fan_used = "flat"
-            msg_objs = cross_objs = n_parts * n_parts
         counters.add.remote({"pagerank_rounds": n_iter,
                              "pagerank_nodes": n_nodes,
-                             f"pagerank_fan_{fan_used}": 1,
-                             "pagerank_msg_objects_per_round": msg_objs,
+                             f"pagerank_fan_{plan.mode}": 1,
+                             "pagerank_msg_objects_per_round":
+                                 plan.msg_objects,
                              "pagerank_crossnode_objects_per_round":
-                                 cross_objs})
+                                 plan.crossnode_objects})
 
     @ray.remote
     def _emit(state_tab):

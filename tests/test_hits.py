@@ -71,6 +71,37 @@ class TestHits:
         assert _run(edges) == ref_hits(edges)
 
 
+class TestFans:
+    """All fan topologies are bit-identical (combines only reassociate
+    integer sums) and match the pure-python reference."""
+
+    def test_flat_tree_nodes_identical(self, ray_session):
+        rng = np.random.RandomState(41)
+        edges = [(int(a), int(b))
+                 for a, b in rng.randint(0, 60, size=(300, 2))]
+        flat = _run(edges, CFG, fan="flat")
+        assert _run(edges, CFG, fan="tree") == flat
+        assert _run(edges, CFG, fan="nodes") == flat
+        assert _run(edges, CFG, fan="nodes", node_groups=2) == flat
+        assert flat == ref_hits(edges)
+
+    def test_nodes_fan_odd_partition_count(self, ray_session):
+        # n_parts not divisible by the group size: ragged last group
+        rng = np.random.RandomState(43)
+        edges = [(int(a), int(b))
+                 for a, b in rng.randint(0, 30, size=(120, 2))]
+        cfg = DEFAULT_CONFIG.with_(num_partitions=7)
+        assert _run(edges, cfg, fan="nodes", node_groups=3) == \
+            _run(edges, cfg, fan="flat") == ref_hits(edges)
+
+    def test_fan_validation(self, ray_session):
+        import ray.data as rd
+        tab = pa.table({"src": pa.array([1], pa.int64()),
+                        "dst": pa.array([2], pa.int64())})
+        with pytest.raises(ValueError):
+            hits(rd.from_arrow(tab), CFG, fan="Tree")
+
+
 def test_scale_guard(ray_session):
     import ray.data as rd
     tab = pa.table({"src": pa.array([1], pa.int64()),

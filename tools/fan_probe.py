@@ -1,6 +1,7 @@
-"""Message-fan probe for the iterative graph stages (pagerank fan=):
-bit-identity + objects/round + wall across flat / tree / nodes at a
-multi-node-scale partition count.
+"""Message-fan probe for the iterative graph stages (pagerank + hits
+fan=, the shared stages/fan.py machinery): bit-identity + objects/round
++ wall across flat / tree / nodes at a multi-node-scale partition
+count.
 
 Why P=128: single-node runs keep P ≈ cores (32), but a 4-node × 32-core
 cluster runs P=128 — the regime where the flat fan's P² object storm
@@ -84,6 +85,37 @@ def main() -> dict:
         }
     out["bit_identical"] = len(set(digests.values())) == 1
     assert out["bit_identical"], digests
+
+    # HITS through the same three fans (two half-steps per round, so
+    # telemetry counts are 2× the per-exchange figures)
+    from raydedup.stages.hits import hits
+    out["hits_fans"] = {}
+    hdig = {}
+    for fan, kw in (("nodes", {"node_groups": NODE_GROUPS}),
+                    ("tree", {}), ("flat", {})):
+        rc = RunCounters()
+        t0 = time.time()
+        res = hits(edges, cfg, n_iter=N_ITER, fan=fan,
+                   counters=rc.actor, **kw)
+        tabs = [t for t in ray.get(res.to_arrow_refs()) if len(t)]
+        wall = round(time.time() - t0, 2)
+        t = pa.concat_tables(tabs)
+        node = np.asarray(t["node"], dtype=np.int64)
+        hub = np.asarray(t["hub_fp"], dtype=np.int64)
+        auth = np.asarray(t["auth_fp"], dtype=np.int64)
+        o = np.argsort(node)
+        hdig[fan] = hash((node[o].tobytes(), hub[o].tobytes(),
+                          auth[o].tobytes()))
+        got = rc.get()
+        out["hits_fans"][fan] = {
+            "wall_sec": wall,
+            "msg_objects_per_round":
+                int(got["hits_msg_objects_per_round"]),
+            "crossnode_objects_per_round":
+                int(got["hits_crossnode_objects_per_round"]),
+        }
+    out["hits_bit_identical"] = len(set(hdig.values())) == 1
+    assert out["hits_bit_identical"], hdig
     ray.shutdown()
     return out
 
