@@ -117,16 +117,36 @@ def cmd_allpairs(args):
     _ray_session()
     import ray.data as rd
     from .config import DEFAULT_CONFIG
-    from .stages.allpairs import allpairs_jaccard
+    from .stages.allpairs import allpairs_jaccard, crosspairs_jaccard
 
     cfg = DEFAULT_CONFIG.with_(**({"verify_threshold": args.threshold}
                                   if args.threshold is not None else {}))
     docs = rd.read_parquet(args.input)
-    pairs = allpairs_jaccard(docs, cfg, threshold=cfg.verify_threshold,
-                             order=args.order,
-                             max_bucket=args.max_bucket)
+    if args.right:
+        right = rd.read_parquet(args.right)
+        pairs = crosspairs_jaccard(docs, right, cfg,
+                                   threshold=cfg.verify_threshold,
+                                   order=args.order,
+                                   max_bucket=args.max_bucket)
+    else:
+        pairs = allpairs_jaccard(docs, cfg,
+                                 threshold=cfg.verify_threshold,
+                                 order=args.order,
+                                 max_bucket=args.max_bucket)
     pairs.write_parquet(args.output)
     print(f"wrote {args.output}")
+
+
+def cmd_search(args):
+    _ray_session()
+    import ray.data as rd
+    from .config import DEFAULT_CONFIG
+    from .stages.search import bm25_topk
+
+    docs = rd.read_parquet(args.input, columns=["doc_id", "text"])
+    top = bm25_topk(docs, args.terms.split(","), DEFAULT_CONFIG,
+                    k=args.k).to_pandas()
+    print(top.to_string(index=False))
 
 
 def cmd_tiered(args):
@@ -544,7 +564,17 @@ def main(argv=None):
     s.add_argument("--max-bucket", type=int, default=20_000,
                    help="duplicate-flood guard: raise if a prefix-token "
                         "bucket exceeds this (quadratic output)")
+    s.add_argument("--right", default=None,
+                   help="second corpus: R-S cross join (pairs span the "
+                        "two inputs; output a = left id, b = right id)")
     s.set_defaults(fn=cmd_allpairs)
+
+    s = sub.add_parser("search", help="BM25 top-k documents for a "
+                       "comma-separated term list")
+    s.add_argument("input")
+    s.add_argument("terms", help="comma-separated query terms")
+    s.add_argument("--k", type=int, default=20)
+    s.set_defaults(fn=cmd_search)
 
     s = sub.add_parser("neardup", help="near-dup clustering over documents")
     s.add_argument("input")

@@ -159,6 +159,29 @@ class TestCrossPairs:
         pairs = set(zip(got["a"], got["b"]))
         assert pairs == {(-5, -7), (4, 0)}
 
+    def test_cli_cross_join(self, ray_session, tmp_path):
+        import argparse
+
+        import pyarrow.parquet as pq
+
+        from raydedup.__main__ import cmd_allpairs
+        left, right = self._sides(seed=5, n=80)
+        for name, docs in (("l", left), ("r", right)):
+            pq.write_table(
+                pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                          "text": pa.array(docs, pa.string())}),
+                tmp_path / f"{name}.parquet")
+        out = tmp_path / "pairs"
+        cmd_allpairs(argparse.Namespace(
+            input=str(tmp_path / "l.parquet"), output=str(out),
+            threshold=0.8, order="df", max_bucket=20_000,
+            right=str(tmp_path / "r.parquet")))
+        import ray.data as rd
+        got = rd.read_parquet(str(out)).to_pandas()
+        want = _brute_cross(left, right, range(len(left)),
+                            range(len(right)), 0.8)
+        assert set(zip(got["a"], got["b"])) == set(want)
+
     def test_id_overflow_guard(self, ray_session):
         import ray.data as rd
         from raydedup.stages.allpairs import crosspairs_jaccard

@@ -96,6 +96,23 @@ class TestBM25:
         assert list(got["doc_id"]) == [0, 1]
         assert got["score_e6"].iloc[0] > got["score_e6"].iloc[1]
 
+    def test_cli_search(self, ray_session, tmp_path, capsys):
+        import argparse
+
+        import pyarrow.parquet as pq
+
+        from raydedup.__main__ import cmd_search
+        docs = _mk_docs(n=60, seed=3)
+        tab = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                        "text": pa.array(docs, pa.string())})
+        pq.write_table(tab, tmp_path / "docs.parquet")
+        cmd_search(argparse.Namespace(
+            input=str(tmp_path / "docs.parquet"), terms="hash,join", k=5))
+        out = capsys.readouterr().out
+        want = _ref_bm25(docs, ["hash", "join"], 5)
+        assert [int(line.split()[0]) for line in out.strip().splitlines()[1:]] \
+            == [d for d, _ in want]
+
     def test_validation(self, ray_session):
         ds = _ds(["a b"], n_blocks=1)
         with pytest.raises(ValueError):
