@@ -19,7 +19,15 @@ worst-case df-map shape (every shared token has df==2, nothing
 amortizes), so the recorded df-map size is an upper bound for real
 Zipfian text at this scale.
 
-Usage: python tools/allpairs_scale.py [n_docs]
+With ``--cross`` the SAME corpus splits by doc_id parity into two
+sides (every planted pair spans (even id-1, odd id), so the truth is
+unchanged) and runs `crosspairs_jaccard` instead: the id%10==2 docs
+share 25 tokens with their WITHIN-side source (id-2, both even) —
+candidates the cross join must reject by parity — and 25 with the
+cross-side sibling near-dup (id-1, odd) — candidates the verify stage
+must reject by score.  Records docs/crosspairs_scale_r5.json.
+
+Usage: python tools/allpairs_scale.py [n_docs] [--cross]
 """
 
 from __future__ import annotations
@@ -74,7 +82,9 @@ def _docs_ds(n_docs: int, n_blocks: int = 64):
 
 def main():
     import ray
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    args = [a for a in sys.argv[1:] if a != "--cross"]
+    cross = "--cross" in sys.argv[1:]
+    n_docs = int(args[0]) if args else 1_000_000
     ray.init(address="local",
              num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
              include_dashboard=False, logging_level="ERROR")
@@ -82,15 +92,28 @@ def main():
     DataContext.get_current().enable_progress_bars = False
 
     from raydedup.config import DEFAULT_CONFIG
-    from raydedup.stages.allpairs import allpairs_jaccard
+    from raydedup.stages.allpairs import allpairs_jaccard, crosspairs_jaccard
 
     cfg = DEFAULT_CONFIG.with_(num_partitions=32)
     docs = _docs_ds(n_docs).materialize()
 
     st0, tot0 = _host_window()
     t0 = time.perf_counter()
-    pairs = allpairs_jaccard(docs, cfg, threshold=0.8,
-                             df_broadcast_max=12_000_000).to_pandas()
+    if cross:
+        def _side(parity):
+            def _m(t: pa.Table) -> pa.Table:
+                ids = np.asarray(t["doc_id"], dtype=np.int64)
+                return t.filter(pa.array((ids % 2) == parity))
+            return _m
+        left = docs.map_batches(_side(0), batch_format="pyarrow",
+                                zero_copy_batch=True)
+        right = docs.map_batches(_side(1), batch_format="pyarrow",
+                                 zero_copy_batch=True)
+        pairs = crosspairs_jaccard(left, right, cfg, threshold=0.8,
+                                   df_broadcast_max=12_000_000).to_pandas()
+    else:
+        pairs = allpairs_jaccard(docs, cfg, threshold=0.8,
+                                 df_broadcast_max=12_000_000).to_pandas()
     dt = time.perf_counter() - t0
     st1, tot1 = _host_window()
 
@@ -102,7 +125,7 @@ def main():
     exact = got == want
 
     rec = {
-        "probe": "allpairs_scale",
+        "probe": "crosspairs_scale" if cross else "allpairs_scale",
         "n_docs": n_docs,
         "n_tokens": n_docs * 50,
         "sec": round(dt, 2),
