@@ -3676,6 +3676,46 @@ WHERE i.i::DOUBLE / (sa.n + sb.n - i.i) >= 0.6
 """
 
 
+def q_lang_length_quantiles(sf_dir):
+    """Per-language exact p25 of doc length (stages/quantiles.py::
+    grouped_int_quantile) — per-group (value,count) histograms land
+    whole on one partition via a hash(key) exchange, rank-reads happen
+    there, only one threshold row per language reaches the driver."""
+    from ..stages.quantiles import grouped_int_quantile
+    return grouped_int_quantile(_docs(sf_dir, ["lang", "n_chars"]),
+                                "n_chars", "lang", q=0.25, cfg=CFG)
+
+
+SQL_LANG_LENGTH_QUANTILES = """
+SELECT lang, quantile_disc(n_chars, 0.25)::BIGINT AS value
+FROM documents GROUP BY lang
+"""
+
+
+def q_length_percentile_filter(sf_dir):
+    """Per-language length-quartile gate (stages/quantiles.py::
+    percentile_filter): drop each language's shortest quartile —
+    the per-group form of Gopher's length gate that a single global
+    threshold gets wrong for compact-script languages.  Thresholds
+    broadcast (one row per lang), the filter is one zero-shuffle
+    map."""
+    from ..stages.quantiles import percentile_filter
+    return percentile_filter(
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"]),
+        "n_chars", "lang", q=0.25, cfg=CFG)
+
+
+SQL_LENGTH_PERCENTILE_FILTER = """
+WITH thr AS (
+  SELECT lang, quantile_disc(n_chars, 0.25) AS t
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN thr ON thr.lang = d.lang
+WHERE d.n_chars >= thr.t
+"""
+
+
 _BM25_TERMS = ["hash", "join", "window", "stream"]
 
 
@@ -4390,6 +4430,8 @@ QUERIES = {
     "allpairs_jaccard": q_allpairs_jaccard,
     "crosspairs_jaccard": q_crosspairs_jaccard,
     "bm25_topk": q_bm25_topk,
+    "lang_length_quantiles": q_lang_length_quantiles,
+    "length_percentile_filter": q_length_percentile_filter,
 }
 
 ORACLES = {
@@ -4509,6 +4551,8 @@ ORACLES = {
     "allpairs_jaccard": SQL_ALLPAIRS_JACCARD,
     "crosspairs_jaccard": SQL_CROSSPAIRS_JACCARD,
     "bm25_topk": SQL_BM25_TOPK,
+    "lang_length_quantiles": SQL_LANG_LENGTH_QUANTILES,
+    "length_percentile_filter": SQL_LENGTH_PERCENTILE_FILTER,
     # rows-only (non-SQL-expressible): approx_distinct_tokens (HLL —
     # DuckDB's approx_count_distinct is a different sketch; the register
     # fold is oracled via approx_distinct_scored/_by_lang),

@@ -28,7 +28,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
-from ..functions.hashing import splitmix64
+from ..functions.hashing import hash_utf8_array, splitmix64
 from ..functions.shuffle import hash_partition_map
 
 
@@ -137,3 +137,107 @@ def _plabel(q: float) -> str:
     if abs(pct - round(pct)) < 1e-9:
         return f"p{int(round(pct))}"
     return f"p{pct:g}"
+
+
+def grouped_int_quantile(ds, col: str, key_col: str, q: float = 0.25,
+                         cfg: PipelineConfig = DEFAULT_CONFIG) -> pa.Table:
+    """Exact per-GROUP discrete quantile of an integer column →
+    ``pa.Table(key_col:string, value:int64)``, one row per group, in
+    DuckDB ``quantile_disc(col, q)`` semantics.
+
+    Same histogram insight as ``int_quantiles``, grouped: each batch
+    ships one (key, value, count) row per distinct (key, value) it
+    contains, the exchange is keyed by hash(key) so each group's
+    histogram lands whole on one partition, and the per-group
+    rank-read happens there.  Only the per-group threshold rows reach
+    the driver — the caller's contract is that ``key_col`` is
+    LOW-CARDINALITY (languages, sources, domains-after-bucketing);
+    per-group histogram size is the metric's cardinality, exactly as
+    in the ungrouped case."""
+    import ray
+
+    if not (0.0 < q <= 1.0):
+        raise ValueError(f"q must be in (0, 1], got {q}")
+    n_parts = cfg.num_partitions
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"key": t[key_col].cast(pa.string()),
+                      "value": t[col].cast(pa.int64())}) \
+            .group_by(["key", "value"]).aggregate([("value", "count")])
+        kh = hash_utf8_array(g["key"].combine_chunks())
+        part = (kh % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({"key": g["key"], "value": g["value"],
+                         "n": g["value_count"].cast(pa.int64()),
+                         "_part": pa.array(part, pa.int64())})
+
+    def _reduce(t: pa.Table | None) -> pa.Table:
+        empty = pa.table({"key": pa.array([], pa.string()),
+                          "value": pa.array([], pa.int64())})
+        if t is None or len(t) == 0:
+            return empty
+        g = t.group_by(["key", "value"]).aggregate([("n", "sum")])
+        keys = np.asarray(g["key"].cast(pa.large_string()))
+        vals = np.asarray(g["value"], dtype=np.int64)
+        cnts = np.asarray(g["n_sum"], dtype=np.int64)
+        order = np.lexsort((vals, keys))
+        keys, vals, cnts = keys[order], vals[order], cnts[order]
+        first = np.ones(len(keys), dtype=bool)
+        first[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(first)
+        out_k, out_v = [], []
+        bounds = np.append(starts, len(keys))
+        for i in range(len(starts)):
+            lo, hi = bounds[i], bounds[i + 1]
+            cum = np.cumsum(cnts[lo:hi])
+            rank = max(1, math.ceil(q * int(cum[-1])))
+            out_k.append(keys[lo])
+            out_v.append(int(vals[lo + int(np.searchsorted(cum, rank))]))
+        return pa.table({"key": pa.array(out_k, pa.string()),
+                         "value": pa.array(out_v, pa.int64())})
+
+    parts = hash_partition_map(ds, "_part", _reduce, n_parts,
+                               map_fn=_partial,
+                               map_chunk_rows=cfg.batch_size).materialize()
+    tabs = [t for t in ray.get(list(parts.to_arrow_refs())) if len(t)]
+    if not tabs:
+        return pa.table({key_col: pa.array([], pa.string()),
+                         "value": pa.array([], pa.int64())})
+    tab = pa.concat_tables(tabs)
+    return pa.table({key_col: tab["key"], "value": tab["value"]})
+
+
+def percentile_filter(ds, col: str, key_col: str, q: float = 0.25,
+                      cfg: PipelineConfig = DEFAULT_CONFIG):
+    """Keep rows whose ``col`` >= their group's exact q-quantile — the
+    per-language length/quality gate every curation pipeline runs
+    ("drop the shortest quartile per language" instead of one global
+    threshold that over-prunes compact-script languages).
+
+    Thresholds come from ``grouped_int_quantile`` (one row per group),
+    broadcast via ray.put + the shared worker-local cache; the filter
+    itself is one zero-shuffle map.  Rows whose key has no threshold
+    (born after the threshold snapshot) pass through — the
+    conservative choice for a filter."""
+    import ray
+
+    from ..functions.broadcast import bcast_get
+
+    thr = grouped_int_quantile(ds, col, key_col, q, cfg)
+    kh = hash_utf8_array(thr[key_col].combine_chunks())
+    order = np.argsort(kh)
+    thr_ref = ray.put((np.ascontiguousarray(kh[order]),
+                       np.asarray(thr["value"], dtype=np.int64)[order]))
+
+    def _filter(t: pa.Table) -> pa.Table:
+        keys_h, thr_v = bcast_get(thr_ref)
+        if not len(keys_h):
+            return t
+        kh = hash_utf8_array(t[key_col].cast(pa.string()).combine_chunks())
+        pos = np.clip(np.searchsorted(keys_h, kh), 0, len(keys_h) - 1)
+        has = keys_h[pos] == kh
+        vals = np.asarray(t[col].cast(pa.int64()), dtype=np.int64)
+        keep = ~has | (vals >= thr_v[pos])
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(_filter, batch_format="pyarrow",
+                          batch_size=cfg.batch_size, zero_copy_batch=True)
