@@ -3676,6 +3676,54 @@ WHERE i.i::DOUBLE / (sa.n + sb.n - i.i) >= 0.6
 """
 
 
+def q_winnow_overlap_pairs(sf_dir):
+    """MOSS-style overlap pairs (stages/textstats.py::
+    winnow_overlap_pairs): docs sharing >= 2 distinct winnowed
+    fingerprints, over-common fingerprints (df > 1000) excluded by
+    checked semantics on BOTH sides.  Position-aware partial-overlap
+    evidence the whole-doc Jaccard tiers can't give; md5 hash path so
+    the fingerprint family matches the SQL."""
+    from ..stages.textstats import winnow_overlap_pairs
+    return winnow_overlap_pairs(_docs(sf_dir, ["doc_id", "text"]), CFG,
+                                k=5, w=4, hash="md5", min_shared=2,
+                                max_df=1000)
+
+
+SQL_WINNOW_OVERLAP_PAIRS = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+h AS (
+  SELECT doc_id, i AS pos,
+         substr(md5(array_to_string(t[i:i+4], ' ')), 1, 16) AS hash
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i)
+  WHERE len(t) >= 5
+),
+m AS (
+  SELECT doc_id, pos, hash,
+         min(hash) OVER win AS mn,
+         count(*) OVER win AS cnt
+  FROM h
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+),
+sel AS (
+  SELECT m.doc_id, max(h2.pos) AS pos, m.mn AS fingerprint
+  FROM m JOIN h h2 ON h2.doc_id = m.doc_id
+        AND h2.pos BETWEEN m.pos - 3 AND m.pos AND h2.hash = m.mn
+  WHERE m.cnt = 4
+  GROUP BY m.doc_id, m.pos, m.mn
+),
+fps AS (SELECT DISTINCT doc_id, fingerprint FROM sel),
+keepfp AS (SELECT fingerprint FROM fps GROUP BY fingerprint
+           HAVING count(*) <= 1000)
+SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS shared
+FROM fps x
+JOIN fps y ON y.fingerprint = x.fingerprint AND x.doc_id < y.doc_id
+WHERE x.fingerprint IN (SELECT fingerprint FROM keepfp)
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
 def q_lang_length_quantiles(sf_dir):
     """Per-language exact p25 of doc length (stages/quantiles.py::
     grouped_int_quantile) — per-group (value,count) histograms land
@@ -4432,6 +4480,7 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "lang_length_quantiles": q_lang_length_quantiles,
     "length_percentile_filter": q_length_percentile_filter,
+    "winnow_overlap_pairs": q_winnow_overlap_pairs,
 }
 
 ORACLES = {
@@ -4553,6 +4602,7 @@ ORACLES = {
     "bm25_topk": SQL_BM25_TOPK,
     "lang_length_quantiles": SQL_LANG_LENGTH_QUANTILES,
     "length_percentile_filter": SQL_LENGTH_PERCENTILE_FILTER,
+    "winnow_overlap_pairs": SQL_WINNOW_OVERLAP_PAIRS,
     # rows-only (non-SQL-expressible): approx_distinct_tokens (HLL —
     # DuckDB's approx_count_distinct is a different sketch; the register
     # fold is oracled via approx_distinct_scored/_by_lang),

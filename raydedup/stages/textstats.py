@@ -447,7 +447,7 @@ def quality_filter(ds, *, text_col: str = "text",
 
 def winnow_fingerprints(ds, cfg=None, *, id_col: str = "doc_id",
                         text_col: str = "text", k: int = 5, w: int = 4,
-                        hash: str = "rabin"):
+                        hash: str = "rabin", numeric: bool = False):
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     SIGMOD 2003): over the document's k-gram hash sequence, every
     window of ``w`` consecutive hashes selects its MINIMUM, rightmost
@@ -465,7 +465,11 @@ def winnow_fingerprints(ds, cfg=None, *, id_col: str = "doc_id",
     ``hash="md5"``: the SQL-expressible oracle path — k-gram text →
     first 16 hex chars of md5, the same construction the DuckDB oracle
     writes (mix_sample's md5-oracle-path pattern); selection code is
-    shared between the paths.  One streaming map, zero shuffle."""
+    shared between the paths.  One streaming map, zero shuffle.
+    ``numeric=True`` emits the selection's raw 64-bit value as
+    ``fp:int64`` instead of the hex string — the exchange-ready form
+    `winnow_overlap_pairs` consumes (the hex string IS this value
+    formatted, so the two forms are bijective)."""
     import hashlib
 
     from ..functions.text import shingle_stream, tokenize_arrow
@@ -490,9 +494,14 @@ def winnow_fingerprints(ds, cfg=None, *, id_col: str = "doc_id",
 
         ids = np.asarray(batch[id_col], dtype=np.int64)
         n = len(h)
-        empty = pa.table({id_col: pa.array([], pa.int64()),
-                          "pos": pa.array([], pa.int64()),
-                          "fingerprint": pa.array([], pa.string())})
+        if numeric:
+            empty = pa.table({id_col: pa.array([], pa.int64()),
+                              "pos": pa.array([], pa.int64()),
+                              "fp": pa.array([], pa.int64())})
+        else:
+            empty = pa.table({id_col: pa.array([], pa.int64()),
+                              "pos": pa.array([], pa.int64()),
+                              "fingerprint": pa.array([], pa.string())})
         if n < w:
             return empty
         # 1-based k-gram position within each doc
@@ -511,6 +520,12 @@ def winnow_fingerprints(ds, cfg=None, *, id_col: str = "doc_id",
         wstarts = ends - (w - 1)
         valid = doc[ends] == doc[wstarts]       # windows never cross docs
         sel_idx = np.unique(wstarts[valid] + sel_off[valid])
+        if numeric:
+            return pa.table({
+                id_col: pa.array(ids[doc[sel_idx]], pa.int64()),
+                "pos": pa.array(pos[sel_idx], pa.int64()),
+                "fp": pa.array(h[sel_idx].view(np.int64), pa.int64()),
+            })
         return pa.table({
             id_col: pa.array(ids[doc[sel_idx]], pa.int64()),
             "pos": pa.array(pos[sel_idx], pa.int64()),
@@ -519,6 +534,112 @@ def winnow_fingerprints(ds, cfg=None, *, id_col: str = "doc_id",
         })
 
     return ds.map_batches(_fp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def winnow_overlap_pairs(ds, cfg=None, *, id_col: str = "doc_id",
+                         text_col: str = "text", k: int = 5, w: int = 4,
+                         hash: str = "rabin", min_shared: int = 2,
+                         max_df: int = 1000):
+    """MOSS-style overlap detection (Schleimer et al. §5): pairs of
+    documents sharing >= ``min_shared`` distinct winnowed fingerprints
+    → Dataset(a, b, shared:int64), a < b.  Position-aware where
+    MinHash is not: any shared token run of length >= w+k−1 leaves at
+    least one common fingerprint, so partial overlap (a quoted
+    paragraph, a template section) is caught even when whole-doc
+    Jaccard is far below any LSH threshold.
+
+    ``max_df`` is the paper's noise threshold: fingerprints selected
+    by MORE than ``max_df`` documents carry no pair evidence (they are
+    corpus boilerplate, and their pair lists are quadratic) — the SQL
+    oracle mirrors the same HAVING cut, so the exclusion is part of
+    the checked semantics, not a silent cap.
+
+    Physical plan: winnow (zero shuffle, per-doc batch-local, so the
+    per-batch distinct (doc, fp) IS the global distinct) → exchange 1
+    keyed hash(fp) (each fingerprint's doc list lands whole: the df
+    cut and the pair emission are partition-local) → vectorized run
+    scan (lsh._all_pairs_of_runs) → exchange 2 keyed hash(pair) sums
+    per-partition partial shared-counts and applies ``min_shared``."""
+    from ..config import DEFAULT_CONFIG
+    from ..functions.hashing import splitmix64
+    from ..functions.shuffle import hash_partition_map
+    from .lsh import _all_pairs_of_runs
+
+    cfg = cfg or DEFAULT_CONFIG
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    n_parts = cfg.resolved_partitions()
+    fps = winnow_fingerprints(ds, cfg, id_col=id_col, text_col=text_col,
+                              k=k, w=w, hash=hash, numeric=True)
+
+    def _dedup_route(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col], dtype=np.int64)
+        fp = np.asarray(t["fp"], dtype=np.int64)
+        pk = np.unique(np.stack([fp, ids], axis=1), axis=0)
+        part = (pk[:, 0].view(np.uint64) % np.uint64(n_parts)) \
+            .astype(np.int64)
+        return pa.table({"fp": pa.array(pk[:, 0], pa.int64()),
+                         "id": pa.array(pk[:, 1], pa.int64()),
+                         "part": pa.array(part, pa.int64())})
+
+    def _emit(group: pa.Table | None) -> pa.Table:
+        if group is None or len(group) == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"a": z, "b": z, "n": z, "part": z})
+        fp = np.asarray(group["fp"], dtype=np.int64)
+        ids = np.asarray(group["id"], dtype=np.int64)
+        # global (fp, id) distinct: both keys are co-located here (the
+        # map-side unique is only a per-chunk combiner — a doc's rows
+        # can split across map chunks)
+        pk = np.unique(np.stack([fp, ids], axis=1), axis=0)
+        fp, ids = pk[:, 0], pk[:, 1]
+        # df cut: drop over-common fingerprints BEFORE pair emission
+        first = np.ones(len(fp), dtype=bool)
+        first[1:] = fp[1:] != fp[:-1]
+        starts = np.flatnonzero(first)
+        run_len = np.diff(np.append(starts, len(fp)))
+        keep_run = run_len <= max_df
+        keep = np.repeat(keep_run, run_len)
+        fp, ids = fp[keep], ids[keep]
+        if not len(fp):
+            z = pa.array([], pa.int64())
+            return pa.table({"a": z, "b": z, "n": z, "part": z})
+        lo, hi = _all_pairs_of_runs(fp, ids)
+        if not len(lo):
+            z = pa.array([], pa.int64())
+            return pa.table({"a": z, "b": z, "n": z, "part": z})
+        pk, cnt = np.unique(np.stack([lo, hi], axis=1), axis=0,
+                            return_counts=True)
+        a, b = pk[:, 0], pk[:, 1]
+        part = (splitmix64(a.view(np.uint64)
+                           * np.uint64(0x9E3779B97F4A7C15)
+                           ^ b.view(np.uint64))
+                % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({"a": pa.array(a, pa.int64()),
+                         "b": pa.array(b, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64()),
+                         "part": pa.array(part, pa.int64())})
+
+    def _sum(group: pa.Table | None) -> pa.Table:
+        z = pa.array([], pa.int64())
+        if group is None or len(group) == 0:
+            return pa.table({"a": z, "b": z, "shared": z})
+        a = np.asarray(group["a"], dtype=np.int64)
+        b = np.asarray(group["b"], dtype=np.int64)
+        n = np.asarray(group["n"], dtype=np.int64)
+        pk, inv = np.unique(np.stack([a, b], axis=1), axis=0,
+                            return_inverse=True)
+        sums = np.zeros(len(pk), dtype=np.int64)
+        np.add.at(sums, inv, n)
+        sel = sums >= min_shared
+        return pa.table({"a": pa.array(pk[sel, 0], pa.int64()),
+                         "b": pa.array(pk[sel, 1], pa.int64()),
+                         "shared": pa.array(sums[sel], pa.int64())})
+
+    routed = hash_partition_map(fps, "part", _emit, n_parts,
+                                map_fn=_dedup_route,
+                                map_chunk_rows=cfg.batch_size)
+    return hash_partition_map(routed, "part", _sum, n_parts)
 
 
 def corpus_report(ds, *, text_col: str = "text"):

@@ -12,6 +12,8 @@ import numpy as np
 import pyarrow as pa
 import pytest
 
+from raydedup.config import DEFAULT_CONFIG
+
 
 def _docs_ds(texts):
     import ray.data as rd
@@ -412,3 +414,105 @@ class TestDocKeywords:
         assert list(d1["token"]) == ["x", "y"]
         d2 = out[out["doc_id"] == 2]
         assert list(d2["token"]) == ["solo"] and list(d2["rank"]) == [1]
+
+
+class TestWinnowOverlapPairs:
+    @staticmethod
+    def _brute_pairs(texts, k=5, w=4, min_shared=2, max_df=1000):
+        from raydedup.functions.text import shingle_stream
+        sel = TestWinnowFingerprints._brute_select
+        fps = []
+        for t in texts:
+            h, _, _ = shingle_stream(pa.array([t], pa.string()), k)
+            hs = h.tolist()
+            fps.append({hs[i] for i in sel(hs, w)} if len(hs) >= w
+                       else set())
+        df = {}
+        for s in fps:
+            for f in s:
+                df[f] = df.get(f, 0) + 1
+        out = {}
+        for a in range(len(texts)):
+            for b in range(a + 1, len(texts)):
+                shared = sum(1 for f in fps[a] & fps[b]
+                             if df[f] <= max_df)
+                if shared >= min_shared:
+                    out[(a, b)] = shared
+        return out
+
+    def test_matches_brute(self, ray_session):
+        from raydedup.stages.textstats import winnow_overlap_pairs
+        rng = np.random.RandomState(7)
+        vocab = [f"t{i}" for i in range(300)]
+        texts = [" ".join(rng.choice(vocab, size=rng.randint(10, 60)))
+                 for _ in range(80)]
+        shared = " ".join(rng.choice(vocab, size=20))
+        for i in range(0, 30, 3):         # planted partial overlaps
+            texts[i] = texts[i] + " " + shared
+        got = winnow_overlap_pairs(
+            _docs_ds(texts), DEFAULT_CONFIG.with_(num_partitions=5),
+            min_shared=2).to_pandas()
+        want = self._brute_pairs(texts)
+        assert {(a, b): s for a, b, s in zip(got["a"], got["b"],
+                                             got["shared"])} == want
+        assert len(want) >= 10
+
+    def test_partial_overlap_beats_jaccard_tier(self, ray_session):
+        """Two long docs sharing one 20-token run: whole-doc Jaccard
+        is far below 0.8, but the winnow overlap flags the pair —
+        the operator's whole point."""
+        from raydedup.stages.textstats import winnow_overlap_pairs
+        rng = np.random.RandomState(9)
+        shared = " ".join(f"s{i}" for i in range(20))
+        a = " ".join(f"a{i}" for i in range(200)) + " " + shared
+        b = shared + " " + " ".join(f"b{i}" for i in range(200))
+        got = winnow_overlap_pairs(
+            _docs_ds([a, b]), DEFAULT_CONFIG, min_shared=1).to_pandas()
+        assert set(zip(got["a"], got["b"])) == {(0, 1)}
+        # and the exact-Jaccard tier would NOT pair them at τ=0.8
+        inter, union = 20, 200 + 200 + 20
+        assert inter / union < 0.8
+
+    def test_max_df_cut(self, ray_session):
+        """A fingerprint in every doc carries no evidence; pairs must
+        come only from rarer shared runs."""
+        from raydedup.stages.textstats import winnow_overlap_pairs
+        boiler = " ".join(f"c{i}" for i in range(10))
+        texts = [boiler + f" unique{i} filler{i} pad{i} more{i} x{i}"
+                 for i in range(8)]
+        got = winnow_overlap_pairs(_docs_ds(texts), DEFAULT_CONFIG,
+                                   min_shared=1, max_df=3).to_pandas()
+        want = self._brute_pairs(texts, min_shared=1, max_df=3)
+        got_d = {} if len(got) == 0 else \
+            {(a, b): s for a, b, s in zip(got["a"], got["b"],
+                                          got["shared"])}
+        assert got_d == want
+        # the boilerplate really is cut: without the df gate the same
+        # corpus pairs everything
+        full = winnow_overlap_pairs(_docs_ds(texts), DEFAULT_CONFIG,
+                                    min_shared=1).to_pandas()
+        assert len(full) == 8 * 7 // 2
+
+    def test_partition_invariance(self, ray_session):
+        from raydedup.stages.textstats import winnow_overlap_pairs
+        rng = np.random.RandomState(21)
+        vocab = [f"v{i}" for i in range(100)]
+        texts = [" ".join(rng.choice(vocab, size=30)) for _ in range(60)]
+        shared = " ".join(rng.choice(vocab, size=15))
+        for i in range(0, 40, 4):
+            texts[i] = texts[i] + " " + shared
+        a = winnow_overlap_pairs(
+            _docs_ds(texts), DEFAULT_CONFIG.with_(num_partitions=3),
+            min_shared=1).to_pandas()
+        b = winnow_overlap_pairs(
+            _docs_ds(texts),
+            DEFAULT_CONFIG.with_(num_partitions=11, batch_size=7),
+            min_shared=1).to_pandas()
+        assert sorted(zip(a["a"], a["b"], a["shared"])) == \
+            sorted(zip(b["a"], b["b"], b["shared"]))
+
+    def test_validation(self, ray_session):
+        import pytest
+        from raydedup.stages.textstats import winnow_overlap_pairs
+        with pytest.raises(ValueError):
+            winnow_overlap_pairs(_docs_ds(["a b"]), min_shared=0)
