@@ -542,8 +542,10 @@ def dedup_weights(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
             .astype(np.int64) if len(node) else np.empty(0, np.int64)
         ref = ray.put((node_s, size_s))
 
+        from ..functions.broadcast import bcast_get
+
         def _weigh(t: pa.Table) -> pa.Table:
-            nd, sz = ray.get(ref)
+            nd, sz = bcast_get(ref)
             ids = np.asarray(t[id_col], dtype=np.int64)
             out = np.ones(len(ids), dtype=np.int64)
             if len(nd):
@@ -645,17 +647,23 @@ def cross_source_overlap(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
         .select_columns(["a", "b"]).materialize()
     ptabs = [t for t in ray.get(list(pairs.to_arrow_refs())) if len(t)]
     if not ptabs:
-        return pa.table({"source_a": pa.array([], pa.string()),
-                         "source_b": pa.array([], pa.string()),
-                         "n_pairs": pa.array([], pa.int64())})
+        import ray.data as rd
+        # Dataset, not a bare Table — the return type must not depend
+        # on whether the corpus happened to contain dup pairs
+        return rd.from_arrow(pa.table({
+            "source_a": pa.array([], pa.string()),
+            "source_b": pa.array([], pa.string()),
+            "n_pairs": pa.array([], pa.int64())}))
     cat = pa.concat_tables(ptabs)
     ids_sorted = np.unique(np.concatenate(
         [np.asarray(cat["a"], dtype=np.int64),
          np.asarray(cat["b"], dtype=np.int64)]))
     ids_ref = ray.put(ids_sorted)
 
+    from ..functions.broadcast import bcast_get
+
     def _semi(t: pa.Table) -> pa.Table:
-        nd = ray.get(ids_ref)
+        nd = bcast_get(ids_ref)
         ids = np.asarray(t[id_col], dtype=np.int64)
         pos = np.clip(np.searchsorted(nd, ids), 0, len(nd) - 1)
         m = pa.array(nd[pos] == ids)
@@ -674,7 +682,7 @@ def cross_source_overlap(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
     src_ref = ray.put((sid, src_sorted))
 
     def _label(t: pa.Table) -> pa.Table:
-        nd, src = ray.get(src_ref)
+        nd, src = bcast_get(src_ref)
         a = np.asarray(t["a"], dtype=np.int64)
         b = np.asarray(t["b"], dtype=np.int64)
         sa = src.take(pa.array(np.searchsorted(nd, a)))

@@ -179,13 +179,13 @@ def allpairs_jaccard(docs_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
                                  text_col=text_col)
     return _allpairs_core(sets_ds, cfg, threshold, id_col, set_col,
                           order, df_broadcast_max, max_bucket,
-                          cross_parity=False)
+                          cross_parity=False, counters=counters)
 
 
 def _allpairs_core(sets_ds, cfg: PipelineConfig, threshold,
                    id_col: str, set_col: str, order: str,
                    df_broadcast_max: int, max_bucket: int, *,
-                   cross_parity: bool):
+                   cross_parity: bool, counters=None):
     """Shared physical plan of the self-join (`allpairs_jaccard`) and the
     R-S cross-corpus join (`crosspairs_jaccard`).  With
     ``cross_parity=True`` the ids are assumed side-tagged in their low
@@ -271,9 +271,14 @@ def _allpairs_core(sets_ds, cfg: PipelineConfig, threshold,
             if cross_parity and len(lo):
                 cross = ((lo ^ hi) & 1) == 1
                 lo, hi = lo[cross], hi[cross]
+            emitted_n = len(lo)
             if len(lo):
                 pk = np.unique(np.stack([lo, hi], axis=1), axis=0)
                 lo, hi = pk[:, 0].copy(), pk[:, 1].copy()
+            if counters is not None:
+                counters.add.remote({
+                    "allpairs_bucket_pairs_emitted": int(emitted_n),
+                    "allpairs_candidates_local": int(len(lo))})
         part = (splitmix64(lo.view(np.uint64)
                            * np.uint64(0x9E3779B97F4A7C15)
                            ^ hi.view(np.uint64))
@@ -289,6 +294,8 @@ def _allpairs_core(sets_ds, cfg: PipelineConfig, threshold,
         pk = np.unique(np.stack([np.asarray(group["a"], dtype=np.int64),
                                  np.asarray(group["b"], dtype=np.int64)],
                                 axis=1), axis=0)
+        if counters is not None:
+            counters.add.remote({"allpairs_candidates": int(len(pk))})
         return pa.table({"a": pa.array(pk[:, 0], pa.int64()),
                          "b": pa.array(pk[:, 1], pa.int64())})
 
@@ -308,7 +315,7 @@ def crosspairs_jaccard(left_ds, right_ds,
                        threshold: float | None = ...,
                        id_col: str = "doc_id", text_col: str = "text",
                        order: str = "df", df_broadcast_max: int = 8_000_000,
-                       max_bucket: int = 20_000):
+                       max_bucket: int = 20_000, counters=None):
     """EXACT R-S similarity join: every ``(a, b, intersection, union,
     jaccard)`` pair with word-token Jaccard >= threshold where ``a``
     comes from ``left_ds`` and ``b`` from ``right_ds`` — the
@@ -347,7 +354,7 @@ def crosspairs_jaccard(left_ds, right_ds,
                                            zero_copy_batch=True)))
     scored = _allpairs_core(union, cfg, threshold, id_col, "tokens",
                             order, df_broadcast_max, max_bucket,
-                            cross_parity=True)
+                            cross_parity=True, counters=counters)
 
     def _decode(t: pa.Table) -> pa.Table:
         a = np.asarray(t["a"], dtype=np.int64)

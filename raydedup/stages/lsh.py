@@ -69,9 +69,14 @@ def explode_bands(sig_ds, cfg: PipelineConfig, id_col: str = "doc_id"):
 # the most an at-cap bucket can emit) down to SALT_CHUNK_MIN, so a
 # boilerplate flood that collapses 30% of a corpus into one band bucket
 # (SURVEY §"What's hard" #1) costs ~4L pairs, not 64L — each member
-# still meets ≥SALT_CHUNK_MIN-1 salted peers per band and the salts
-# differ across bands, so connectivity survives partial verify
-# failures.  Deterministic: chunk depends only on (L, cap).
+# still meets ≥SALT_CHUNK_MIN-1 chunk peers.  The chunk member order is
+# band-INDEPENDENT (a hash of the id alone — see _emit_run_pairs), so
+# identical buckets in different bands emit identical chains and the
+# global candidate dedup collapses them before verify; connectivity
+# rests on the within-chunk overlap chaining (each member meets
+# chunk−1 peers, consecutive chunks share one member), not on
+# cross-band chain diversity.  Deterministic: chunk depends only on
+# (L, cap).
 SALT_CHUNK = 128
 SALT_CHUNK_MIN = 8
 

@@ -161,7 +161,10 @@ def grouped_int_quantile(ds, col: str, key_col: str, q: float = 0.25,
     n_parts = cfg.num_partitions
 
     def _partial(t: pa.Table) -> pa.Table:
-        g = pa.table({"key": t[key_col].cast(pa.string()),
+        # null keys fill to '' (the hll_registers_by convention) — a
+        # None surviving into the reduce's lexsort would TypeError
+        g = pa.table({"key": pc.fill_null(t[key_col].cast(pa.string()),
+                                          ""),
                       "value": t[col].cast(pa.int64())}) \
             .group_by(["key", "value"]).aggregate([("value", "count")])
         kh = hash_utf8_array(g["key"].combine_chunks())
@@ -232,7 +235,8 @@ def percentile_filter(ds, col: str, key_col: str, q: float = 0.25,
         keys_h, thr_v = bcast_get(thr_ref)
         if not len(keys_h):
             return t
-        kh = hash_utf8_array(t[key_col].cast(pa.string()).combine_chunks())
+        kh = hash_utf8_array(pc.fill_null(t[key_col].cast(pa.string()),
+                                          "").combine_chunks())
         pos = np.clip(np.searchsorted(keys_h, kh), 0, len(keys_h) - 1)
         has = keys_h[pos] == kh
         vals = np.asarray(t[col].cast(pa.int64()), dtype=np.int64)

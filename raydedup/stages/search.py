@@ -98,7 +98,10 @@ def bm25_topk(docs_ds, query_terms: list[str],
     # ---- pass 1: one integer partial row per batch, summed driver-side
     def _stats(t: pa.Table) -> pa.Table:
         tf, dl = _tf_dl(t, text_col, qarr, sep)
-        cols = {"n_docs": pa.array([len(t)], pa.int64()),
+        # N counts docs with >=1 NON-EMPTY token — the oracle derives
+        # its stats from the dl CTE, where an empty/whitespace-only doc
+        # has no row; counting it here would shift every idf and avgdl
+        cols = {"n_docs": pa.array([int((dl > 0).sum())], pa.int64()),
                 "sum_dl": pa.array([int(dl.sum())], pa.int64())}
         present = (tf > 0).sum(axis=0)
         for j in range(m):

@@ -161,7 +161,11 @@ def crawl_diff(old_ds, new_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
         status = np.full(n, 3, dtype=np.int8)        # 0 add 1 rm 2 chg 3 same
         solo = starts[lens == 1]
         status[solo] = np.where(side[solo] == 1, 0, 1)
-        both = starts[lens == 2]                     # side 0 then side 1
+        # a 2-run must be one row per SIDE — a same-side duplicate
+        # (url-unique violation) stays status 3 and drops, like the
+        # run-length>2 case
+        both = starts[lens == 2]
+        both = both[(side[both] == 0) & (side[both + 1] == 1)]
         changed = (h1[both] != h1[both + 1]) | (h2[both] != h2[both + 1])
         status[both] = np.where(changed, 2, 3)
         keep = np.flatnonzero(first & np.isin(status, (0, 1, 2)))
@@ -248,7 +252,12 @@ def snapshot_drift(old_ds, new_ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
                 pc.equal(urls.slice(1), urls.slice(0, n - 1)))
         starts = np.flatnonzero(first)
         lens = np.diff(np.append(starts, n))
-        both = starts[lens == 2]                     # side 0 then side 1
+        both = starts[lens == 2]
+        # a 2-run must be one row per SIDE — a url duplicated within
+        # one snapshot (url-unique contract violation) also makes a
+        # 2-run, and scoring old-vs-old would fabricate a drift row
+        side = np.asarray(tab["side"], dtype=np.int64)
+        both = both[(side[both] == 0) & (side[both + 1] == 1)]
         changed = both[(h1[both] != h1[both + 1])
                        | (h2[both] != h2[both + 1])]
         if not len(changed):

@@ -150,6 +150,8 @@ def test_cross_source_overlap_empty(ray_session):
                  "another one zeta eta theta iota kappa lambda"],
         "source": ["a", "b"]}))
     out = nd.cross_source_overlap(docs, CFG)
-    tab = out if isinstance(out, pa.Table) else out.to_arrow()
-    assert len(tab) == 0
-    assert tab.schema.names == ["source_a", "source_b", "n_pairs"]
+    # return type must be a Dataset regardless of whether dup pairs
+    # exist (review finding: the no-pairs path returned a bare Table)
+    assert isinstance(out, rd.Dataset)
+    assert out.count() == 0
+    assert out.schema().names == ["source_a", "source_b", "n_pairs"]

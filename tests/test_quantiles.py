@@ -133,3 +133,15 @@ def test_percentile_filter_partition_invariance(ray_session):
                                                    batch_size=13)
                           ).to_pandas()
     assert sorted(zip(a["k"], a["x"])) == sorted(zip(b["k"], b["x"]))
+
+
+def test_grouped_quantile_null_keys(ray_session):
+    """Null group keys fill to '' (review finding: they used to
+    TypeError in the reduce's lexsort)."""
+    import ray.data as rd
+    from raydedup.stages.quantiles import grouped_int_quantile
+    tab = pa.table({"k": pa.array(["a", None, "a", None], pa.string()),
+                    "x": pa.array([10, 1, 20, 3], pa.int64())})
+    got = grouped_int_quantile(rd.from_arrow(tab), "x", "k", q=0.5,
+                               cfg=CFG).to_pandas()
+    assert dict(zip(got["k"], got["value"])) == {"a": 10, "": 1}

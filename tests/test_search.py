@@ -25,10 +25,11 @@ def _ds(docs, ids=None, n_blocks=4):
 
 def _ref_bm25(docs, terms, k, k1=1.2, b=0.75):
     """Pure-python reference with the SAME e6-per-term integer-sum
-    contract as the stage (and the SQL oracle)."""
+    contract as the stage (and the SQL oracle).  N counts only docs
+    with >=1 non-empty token — the oracle's dl-CTE convention."""
     toksets = [[w for w in d.split(" ") if w] for d in docs]
     dls = [len(t) for t in toksets]
-    n = len(docs)
+    n = sum(1 for d in dls if d > 0)
     avgdl = sum(dls) / n
     dfs = {t: sum(1 for ts in toksets if t in ts) for t in terms}
     out = []
@@ -95,6 +96,16 @@ class TestBM25:
         got = bm25_topk(_ds(docs, n_blocks=1), ["hash"], CFG, k=2).to_pandas()
         assert list(got["doc_id"]) == [0, 1]
         assert got["score_e6"].iloc[0] > got["score_e6"].iloc[1]
+
+    def test_empty_docs_excluded_from_stats(self, ray_session):
+        """Empty / whitespace-only docs must not count toward N or
+        avgdl — the SQL oracle's dl CTE has no row for them (review
+        finding: the engine used to count them, shifting every idf)."""
+        docs = _mk_docs(n=50, seed=17) + ["", "   ", ""]
+        got = bm25_topk(_ds(docs), ["hash", "scan"], CFG,
+                        k=10).to_pandas()
+        want = _ref_bm25(docs, ["hash", "scan"], 10)
+        assert list(zip(got["doc_id"], got["score_e6"])) == want
 
     def test_cli_search(self, ray_session, tmp_path, capsys):
         import argparse

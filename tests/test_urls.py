@@ -153,3 +153,42 @@ def test_snapshot_drift_planted(ray_session):
     assert out.loc["u/short", "jaccard"] == 0.0
     assert out.loc["u/short", "union"] == 0
     assert out.loc["u/short", "drift"] == "rewritten"
+
+
+def test_snapshot_drift_same_side_duplicate_dropped(ray_session):
+    """A url duplicated WITHIN one snapshot (url-unique violation)
+    must not fabricate a drift row from its two same-side copies
+    (review finding), and a legitimate cross-side pair in the same
+    run must still score."""
+    import ray.data as rd
+
+    from raydedup.stages.urls import snapshot_drift
+
+    base = " ".join(f"w{i}" for i in range(30))
+    old = rd.from_arrow(pa.table({
+        "url": pa.array(["u/dup", "u/dup", "u/ok"], pa.string()),
+        "text": pa.array([base, base + " variant", base], pa.string())}))
+    new = rd.from_arrow(pa.table({
+        "url": pa.array(["u/ok"], pa.string()),
+        "text": pa.array([base + " v2"], pa.string())}))
+    out = snapshot_drift(old, new, CFG, threshold=0.8).to_pandas()
+    assert sorted(out["url"]) == ["u/ok"]
+
+
+def test_crawl_diff_same_side_pair_dropped(ray_session):
+    """Two same-side copies of a url absent from the other snapshot
+    form a 2-run; it must drop like any url-unique violation, not be
+    labeled changed/same (review finding)."""
+    import ray.data as rd
+
+    from raydedup.stages.urls import crawl_diff
+
+    old = rd.from_arrow(pa.table({
+        "url": pa.array(["u/dd", "u/dd", "u/gone"], pa.string()),
+        "text": pa.array(["x", "y", "z"], pa.string())}))
+    new = rd.from_arrow(pa.table({
+        "url": pa.array(["u/new"], pa.string()),
+        "text": pa.array(["n"], pa.string())}))
+    got = crawl_diff(old, new, CFG).to_pandas()
+    d = dict(zip(got["url"], got["status"]))
+    assert d == {"u/gone": "removed", "u/new": "added"}
