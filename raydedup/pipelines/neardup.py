@@ -702,3 +702,108 @@ def cross_source_overlap(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
                             "source_b": t["source_b"],
                             "n_pairs": t["n_pairs"].cast(pa.int64())}),
         batch_format="pyarrow")
+
+
+def cluster_profile(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    source_col: str = "source",
+                    length_col: str = "n_chars",
+                    threshold: float | None = ..., counters=None):
+    """Per-near-dup-cluster audit table → Dataset(component, size,
+    n_sources, max_chars, sum_chars, keep_id) — the review-your-dedup
+    surface: a cluster spanning many sources is syndication (keep per
+    policy), one spanning one source is a crawler artifact (drop all
+    but one), and max/sum chars show what the min-id survivor rule is
+    about to discard.
+
+    Physical plan: cluster labels (bounded by the dup-doc count) are
+    broadcast as an id→component map; ONE streaming semi-map over the
+    corpus emits (component, source_hash, length, node) rows for
+    member docs only; those co-partition by hash(component) and each
+    cluster aggregates whole on its partition (distinct sources by
+    source-hash distinctness — the repo's hash-equality convention).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from ..functions.broadcast import bcast_get
+    from ..functions.hashing import hash_utf8_array, splitmix64
+    from ..functions.shuffle import hash_partition_map
+
+    n_parts = cfg.resolved_partitions()
+    labels = near_dup_clusters(docs.select_columns([id_col, text_col]),
+                               cfg, id_col=id_col, text_col=text_col,
+                               threshold=threshold,
+                               counters=counters).materialize()
+    ltabs = [t for t in ray.get(list(labels.to_arrow_refs())) if len(t)]
+    if not ltabs:
+        import ray.data as rd
+        z = pa.array([], pa.int64())
+        return rd.from_arrow(pa.table({
+            "component": z, "size": z, "n_sources": z,
+            "max_chars": z, "sum_chars": z, "keep_id": z}))
+    node = np.concatenate([np.asarray(t["node"], dtype=np.int64)
+                           for t in ltabs])
+    comp = np.concatenate([np.asarray(t["component"], dtype=np.int64)
+                           for t in ltabs])
+    order = np.argsort(node)
+    map_ref = ray.put((node[order], comp[order]))
+
+    def _rows(t: pa.Table) -> pa.Table:
+        nd, cp = bcast_get(map_ref)
+        ids = np.asarray(t[id_col], dtype=np.int64)
+        pos = np.clip(np.searchsorted(nd, ids), 0, len(nd) - 1)
+        hit = nd[pos] == ids
+        if not hit.any():
+            z = pa.array([], pa.int64())
+            return pa.table({"component": z, "src_h": z, "chars": z,
+                             "node": z, "part": z})
+        comp_v = cp[pos[hit]]
+        src_h = hash_utf8_array(
+            pa.compute.fill_null(t[source_col].cast(pa.string()), "")
+            .combine_chunks()).view(np.int64)[hit]
+        chars = np.asarray(t[length_col], dtype=np.int64)[hit]
+        part = (splitmix64(comp_v.view(np.uint64))
+                % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({"component": pa.array(comp_v, pa.int64()),
+                         "src_h": pa.array(src_h, pa.int64()),
+                         "chars": pa.array(chars, pa.int64()),
+                         "node": pa.array(ids[hit], pa.int64()),
+                         "part": pa.array(part, pa.int64())})
+
+    def _agg(group: pa.Table | None) -> pa.Table:
+        z = pa.array([], pa.int64())
+        if group is None or len(group) == 0:
+            return pa.table({"component": z, "size": z, "n_sources": z,
+                             "max_chars": z, "sum_chars": z,
+                             "keep_id": z})
+        c = np.asarray(group["component"], dtype=np.int64)
+        sh = np.asarray(group["src_h"], dtype=np.int64)
+        ch = np.asarray(group["chars"], dtype=np.int64)
+        nd = np.asarray(group["node"], dtype=np.int64)
+        order = np.argsort(c, kind="stable")
+        c, sh, ch, nd = c[order], sh[order], ch[order], nd[order]
+        first = np.ones(len(c), dtype=bool)
+        first[1:] = c[1:] != c[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(c))
+        size = ends - starts
+        max_chars = np.maximum.reduceat(ch, starts)
+        sum_chars = np.add.reduceat(ch, starts)
+        keep_id = np.minimum.reduceat(nd, starts)
+        pairs = np.unique(np.stack([c, sh], axis=1), axis=0)
+        nsrc = np.diff(np.append(
+            np.searchsorted(pairs[:, 0], c[starts]), len(pairs)))
+        return pa.table({
+            "component": pa.array(c[starts], pa.int64()),
+            "size": pa.array(size.astype(np.int64), pa.int64()),
+            "n_sources": pa.array(nsrc.astype(np.int64), pa.int64()),
+            "max_chars": pa.array(max_chars, pa.int64()),
+            "sum_chars": pa.array(sum_chars, pa.int64()),
+            "keep_id": pa.array(keep_id, pa.int64())})
+
+    stream = docs.select_columns([id_col, source_col, length_col])
+    return hash_partition_map(stream, "part", _agg, n_parts,
+                              map_fn=_rows,
+                              map_chunk_rows=cfg.batch_size)

@@ -3676,6 +3676,32 @@ WHERE i.i::DOUBLE / (sa.n + sb.n - i.i) >= 0.6
 """
 
 
+def q_cluster_profile(sf_dir):
+    """Per-near-dup-cluster audit table (pipelines/neardup.py::
+    cluster_profile): size, source diversity, length stats, and the
+    min-id survivor per cluster — the review-your-dedup surface.
+    Labels broadcast (bounded by the dup count), one streaming
+    semi-map, clusters aggregate whole on a hash(component)
+    exchange."""
+    from .neardup import cluster_profile
+    return cluster_profile(
+        _docs(sf_dir, ["doc_id", "text", "source", "n_chars"]), CFG)
+
+
+SQL_CLUSTER_PROFILE = SQL_NEAR_DUP_COMPONENTS.replace(
+    "SELECT n AS node, least(n, min(m)) AS component FROM reach GROUP BY n",
+    """, comp AS (
+  SELECT n AS node, least(n, min(m)) AS component FROM reach GROUP BY n
+)
+SELECT c.component, count(*)::BIGINT AS size,
+       count(DISTINCT d.source)::BIGINT AS n_sources,
+       max(d.n_chars)::BIGINT AS max_chars,
+       sum(d.n_chars)::BIGINT AS sum_chars,
+       min(c.node)::BIGINT AS keep_id
+FROM comp c JOIN documents d ON d.doc_id = c.node
+GROUP BY 1""")
+
+
 def q_winnow_overlap_pairs(sf_dir):
     """MOSS-style overlap pairs (stages/textstats.py::
     winnow_overlap_pairs): docs sharing >= 2 distinct winnowed
@@ -4481,6 +4507,7 @@ QUERIES = {
     "lang_length_quantiles": q_lang_length_quantiles,
     "length_percentile_filter": q_length_percentile_filter,
     "winnow_overlap_pairs": q_winnow_overlap_pairs,
+    "cluster_profile": q_cluster_profile,
 }
 
 ORACLES = {
@@ -4603,6 +4630,7 @@ ORACLES = {
     "lang_length_quantiles": SQL_LANG_LENGTH_QUANTILES,
     "length_percentile_filter": SQL_LENGTH_PERCENTILE_FILTER,
     "winnow_overlap_pairs": SQL_WINNOW_OVERLAP_PAIRS,
+    "cluster_profile": SQL_CLUSTER_PROFILE,
     # rows-only (non-SQL-expressible): approx_distinct_tokens (HLL —
     # DuckDB's approx_count_distinct is a different sketch; the register
     # fold is oracled via approx_distinct_scored/_by_lang),

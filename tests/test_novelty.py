@@ -155,3 +155,68 @@ def test_cross_source_overlap_empty(ray_session):
     assert isinstance(out, rd.Dataset)
     assert out.count() == 0
     assert out.schema().names == ["source_a", "source_b", "n_pairs"]
+
+
+class TestClusterProfile:
+    def _corpus(self):
+        """Two planted clusters: A = 3 near-identical docs (ids 0,1,2;
+        sources s0,s0,s1; lengths 100,120,110), B = 2 docs (ids 10,11;
+        both s2; lengths 50,60); singletons elsewhere."""
+        base_a = " ".join(f"a{i}" for i in range(40))
+        base_b = " ".join(f"b{i}" for i in range(40))
+        rows = [
+            (0, base_a, "s0", 100),
+            (1, base_a + " x", "s0", 120),
+            (2, base_a + " y", "s1", 110),
+            (10, base_b, "s2", 50),
+            (11, base_b + " z", "s2", 60),
+            (20, " ".join(f"u{i}" for i in range(30)), "s3", 70),
+        ]
+        return pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+            "n_chars": pa.array([r[3] for r in rows], pa.int64())})
+
+    def test_planted_clusters(self, ray_session):
+        import ray.data as rd
+
+        from raydedup.pipelines.neardup import cluster_profile
+        got = cluster_profile(rd.from_arrow(self._corpus()), CFG) \
+            .to_pandas().set_index("component").sort_index()
+        assert list(got.index) == [0, 10]
+        a = got.loc[0]
+        assert (a["size"], a["n_sources"], a["max_chars"],
+                a["sum_chars"], a["keep_id"]) == (3, 2, 120, 330, 0)
+        b = got.loc[10]
+        assert (b["size"], b["n_sources"], b["max_chars"],
+                b["sum_chars"], b["keep_id"]) == (2, 1, 60, 110, 10)
+
+    def test_no_clusters_returns_empty_dataset(self, ray_session):
+        import ray.data as rd
+
+        from raydedup.pipelines.neardup import cluster_profile
+        docs = rd.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": ["totally unique alpha beta gamma delta epsilon",
+                     "another one zeta eta theta iota kappa lambda"],
+            "source": ["a", "b"],
+            "n_chars": pa.array([10, 20], pa.int64())}))
+        out = cluster_profile(docs, CFG)
+        assert isinstance(out, rd.Dataset)
+        assert out.count() == 0
+        assert out.schema().names == ["component", "size", "n_sources",
+                                      "max_chars", "sum_chars", "keep_id"]
+
+    def test_partition_invariance(self, ray_session):
+        import ray.data as rd
+
+        from raydedup.pipelines.neardup import cluster_profile
+        tab = self._corpus()
+        a = cluster_profile(rd.from_arrow(tab), CFG).to_pandas()
+        b = cluster_profile(
+            rd.from_arrow([tab.slice(i, 2) for i in range(0, 6, 2)]),
+            DEFAULT_CONFIG.with_(num_partitions=7, batch_size=2)) \
+            .to_pandas()
+        assert sorted(map(tuple, a.values.tolist())) == \
+            sorted(map(tuple, b.values.tolist()))
