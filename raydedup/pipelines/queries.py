@@ -3676,6 +3676,30 @@ WHERE i.i::DOUBLE / (sa.n + sb.n - i.i) >= 0.6
 """
 
 
+def q_winnow_crosspairs(sf_dir):
+    """R-S winnow overlap (stages/textstats.py::winnow_crosspairs):
+    docs split by doc_id parity stand in for corpus vs increment;
+    cross pairs sharing >= 2 winnowed fingerprints hash-check against
+    the SQL R-S truth — completes the increment-vs-corpus family
+    (exact: incremental_dedup; LSH: incremental_near_dup; prefix:
+    crosspairs_jaccard; MOSS: this)."""
+    from ..stages.textstats import winnow_crosspairs
+
+    def _side(parity: int):
+        def _m(t: pa.Table) -> pa.Table:
+            ids = np.asarray(t["doc_id"], dtype=np.int64)
+            return t.filter(pa.array((ids % 2) == parity))
+        return _m
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    left = docs.map_batches(_side(0), batch_format="pyarrow",
+                            zero_copy_batch=True)
+    right = docs.map_batches(_side(1), batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return winnow_crosspairs(left, right, CFG, hash="md5",
+                             min_shared=2, max_df=1000)
+
+
 def q_cluster_profile(sf_dir):
     """Per-near-dup-cluster audit table (pipelines/neardup.py::
     cluster_profile): size, source diversity, length stats, and the
@@ -3748,6 +3772,17 @@ WHERE x.fingerprint IN (SELECT fingerprint FROM keepfp)
 GROUP BY 1, 2
 HAVING count(*) >= 2
 """
+
+SQL_WINNOW_CROSSPAIRS = SQL_WINNOW_OVERLAP_PAIRS.replace(
+    """SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS shared
+FROM fps x
+JOIN fps y ON y.fingerprint = x.fingerprint AND x.doc_id < y.doc_id
+WHERE x.fingerprint IN (SELECT fingerprint FROM keepfp)""",
+    """SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS shared
+FROM fps x
+JOIN fps y ON y.fingerprint = x.fingerprint
+WHERE x.doc_id % 2 = 0 AND y.doc_id % 2 = 1
+  AND x.fingerprint IN (SELECT fingerprint FROM keepfp)""")
 
 
 def q_lang_length_quantiles(sf_dir):
@@ -4508,6 +4543,7 @@ QUERIES = {
     "length_percentile_filter": q_length_percentile_filter,
     "winnow_overlap_pairs": q_winnow_overlap_pairs,
     "cluster_profile": q_cluster_profile,
+    "winnow_crosspairs": q_winnow_crosspairs,
 }
 
 ORACLES = {
@@ -4631,6 +4667,7 @@ ORACLES = {
     "length_percentile_filter": SQL_LENGTH_PERCENTILE_FILTER,
     "winnow_overlap_pairs": SQL_WINNOW_OVERLAP_PAIRS,
     "cluster_profile": SQL_CLUSTER_PROFILE,
+    "winnow_crosspairs": SQL_WINNOW_CROSSPAIRS,
     # rows-only (non-SQL-expressible): approx_distinct_tokens (HLL —
     # DuckDB's approx_count_distinct is a different sketch; the register
     # fold is oracled via approx_distinct_scored/_by_lang),

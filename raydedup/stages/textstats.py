@@ -536,10 +536,59 @@ def winnow_fingerprints(ds, cfg=None, *, id_col: str = "doc_id",
     return ds.map_batches(_fp, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def winnow_crosspairs(left_ds, right_ds, cfg=None, *,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      k: int = 5, w: int = 4, hash: str = "rabin",
+                      min_shared: int = 2, max_df: int = 1000):
+    """R-S form of `winnow_overlap_pairs`: (a from left, b from right,
+    shared) — probe an increment against an existing corpus for
+    PARTIAL overlap (the MOSS-tier counterpart of
+    allpairs.crosspairs_jaccard; the LSH tier's incremental_near_dup
+    and the exact tier's incremental_dedup complete the family).
+    Sides ride the id's low bit exactly as in the exact join
+    (left = 2*id, right = 2*id+1 — overlapping id spaces safe); only
+    cross-parity pairs survive emission; the df noise cut applies to
+    the UNION corpus, mirroring what a single re-run over
+    old+new would compute."""
+    from .allpairs import _SIDE_ID_MAX
+
+    def _tag(side_bit: int):
+        def _m(t: pa.Table) -> pa.Table:
+            ids = np.asarray(t[id_col], dtype=np.int64)
+            if len(ids) and int(np.abs(ids).max()) > _SIDE_ID_MAX:
+                raise ValueError(
+                    f"winnow_crosspairs: |{id_col}| exceeds 2^62-1; "
+                    "the parity side-tag would overflow int64")
+            return t.set_column(t.schema.get_field_index(id_col), id_col,
+                                pa.array(ids * 2 + side_bit, pa.int64()))
+        return _m
+
+    union = (left_ds.map_batches(_tag(0), batch_format="pyarrow",
+                                 zero_copy_batch=True)
+             .union(right_ds.map_batches(_tag(1), batch_format="pyarrow",
+                                         zero_copy_batch=True)))
+    scored = winnow_overlap_pairs(union, cfg, id_col=id_col,
+                                  text_col=text_col, k=k, w=w,
+                                  hash=hash, min_shared=min_shared,
+                                  max_df=max_df, _cross_parity=True)
+
+    def _decode(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["a"], dtype=np.int64)
+        b = np.asarray(t["b"], dtype=np.int64)
+        left = np.where((a & 1) == 0, a, b) >> 1
+        right = np.where((a & 1) == 1, a, b) >> 1
+        return pa.table({"a": pa.array(left, pa.int64()),
+                         "b": pa.array(right, pa.int64()),
+                         "shared": t["shared"]})
+
+    return scored.map_batches(_decode, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def winnow_overlap_pairs(ds, cfg=None, *, id_col: str = "doc_id",
                          text_col: str = "text", k: int = 5, w: int = 4,
                          hash: str = "rabin", min_shared: int = 2,
-                         max_df: int = 1000):
+                         max_df: int = 1000, _cross_parity: bool = False):
     """MOSS-style overlap detection (Schleimer et al. §5): pairs of
     documents sharing >= ``min_shared`` distinct winnowed fingerprints
     → Dataset(a, b, shared:int64), a < b.  Position-aware where
@@ -605,6 +654,9 @@ def winnow_overlap_pairs(ds, cfg=None, *, id_col: str = "doc_id",
             z = pa.array([], pa.int64())
             return pa.table({"a": z, "b": z, "n": z, "part": z})
         lo, hi = _all_pairs_of_runs(fp, ids)
+        if _cross_parity and len(lo):
+            cross = ((lo ^ hi) & 1) == 1
+            lo, hi = lo[cross], hi[cross]
         if not len(lo):
             z = pa.array([], pa.int64())
             return pa.table({"a": z, "b": z, "n": z, "part": z})

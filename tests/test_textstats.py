@@ -516,3 +516,57 @@ class TestWinnowOverlapPairs:
         from raydedup.stages.textstats import winnow_overlap_pairs
         with pytest.raises(ValueError):
             winnow_overlap_pairs(_docs_ds(["a b"]), min_shared=0)
+
+
+class TestWinnowCrosspairs:
+    def test_matches_brute_cross(self, ray_session):
+        import ray.data as rd
+
+        from raydedup.stages.textstats import winnow_crosspairs
+        rng = np.random.RandomState(31)
+        vocab = [f"t{i}" for i in range(200)]
+        left = [" ".join(rng.choice(vocab, size=rng.randint(12, 40)))
+                for _ in range(40)]
+        right = [" ".join(rng.choice(vocab, size=rng.randint(12, 40)))
+                 for _ in range(40)]
+        shared = " ".join(rng.choice(vocab, size=15))
+        for j in range(0, 24, 3):          # planted cross overlaps
+            right[j] = right[j] + " " + shared
+            left[j] = shared + " " + left[j]
+
+        def _ds(docs, ids):
+            return rd.from_arrow(pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(docs, pa.string())})).repartition(3)
+
+        got = winnow_crosspairs(_ds(left, range(40)),
+                                _ds(right, range(40)), DEFAULT_CONFIG,
+                                min_shared=1).to_pandas()
+        # brute truth over the union (df over union, cross pairs only)
+        union = list(left) + list(right)
+        want_all = TestWinnowOverlapPairs._brute_pairs(
+            union, min_shared=1)
+        want = {}
+        for (a, b), s in want_all.items():
+            # union index < 40 = left id a; >= 40 = right id b-40
+            if a < 40 <= b:
+                want[(a, b - 40)] = s
+        got_d = {} if len(got) == 0 else \
+            {(a, b): s for a, b, s in zip(got["a"], got["b"],
+                                          got["shared"])}
+        assert got_d == want and len(want) >= 8
+
+    def test_overlapping_id_spaces(self, ray_session):
+        import ray.data as rd
+
+        from raydedup.stages.textstats import winnow_crosspairs
+        run = " ".join(f"s{i}" for i in range(12))
+        lt = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                       "text": [run + " " + " ".join(f"l{i}" for i in range(10)),
+                                " ".join(f"m{i}" for i in range(15))]})
+        rt = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                       "text": [" ".join(f"q{i}" for i in range(15)),
+                                " ".join(f"r{i}" for i in range(10)) + " " + run]})
+        got = winnow_crosspairs(rd.from_arrow(lt), rd.from_arrow(rt),
+                                DEFAULT_CONFIG, min_shared=1).to_pandas()
+        assert set(zip(got["a"], got["b"])) == {(0, 1)}
