@@ -714,76 +714,70 @@ def cluster_profile(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
     surface: a cluster spanning many sources is syndication (keep per
     policy), one spanning one source is a crawler artifact (drop all
     but one), and max/sum chars show what the min-id survivor rule is
-    about to discard.
+    about to discard.  ``keep_id`` currently ALIASES ``component``
+    (CC labels components by min member id, which is also the default
+    survivor); it is kept as an explicit column so the survivor policy
+    is named in the schema even if the labeling convention changes.
+    NULL sources count toward size/sums but not n_sources (SQL
+    count(DISTINCT) semantics); distinct sources are counted by
+    source-hash distinctness (the repo's hash-equality convention).
 
-    Physical plan: cluster labels (bounded by the dup-doc count) are
-    broadcast as an id→component map; ONE streaming semi-map over the
-    corpus emits (component, source_hash, length, node) rows for
-    member docs only; those co-partition by hash(component) and each
-    cluster aggregates whole on its partition (distinct sources by
-    source-hash distinctness — the repo's hash-equality convention).
+    Physical plan: below ``NEAR_DEDUP_BROADCAST_MAX_DROPS`` labels,
+    the id→component map broadcasts and ONE streaming semi-map emits
+    member rows only (sources hashed AFTER the member filter); above
+    the gate — the 30%-dup regime where members are a large corpus
+    fraction anyway — labels and (id, source, length) rows co-partition
+    by hash(id) in a union-schema exchange, join partition-locally,
+    and re-route by hash(component).  Either way each cluster
+    aggregates whole on its hash(component) partition.
     """
     import numpy as np
     import pyarrow as pa
+    import pyarrow.compute as pc
     import ray
 
     from ..functions.broadcast import bcast_get
-    from ..functions.hashing import hash_utf8_array, splitmix64
-    from ..functions.shuffle import hash_partition_map
+    from ..functions.hashing import hash_utf8_array
+    from ..functions.shuffle import hash_partition_map, part_of
 
     n_parts = cfg.resolved_partitions()
     labels = near_dup_clusters(docs.select_columns([id_col, text_col]),
                                cfg, id_col=id_col, text_col=text_col,
                                threshold=threshold,
                                counters=counters).materialize()
-    ltabs = [t for t in ray.get(list(labels.to_arrow_refs())) if len(t)]
-    if not ltabs:
+    n_labels = labels.count()
+    empty_out = pa.table({
+        "component": pa.array([], pa.int64()),
+        "size": pa.array([], pa.int64()),
+        "n_sources": pa.array([], pa.int64()),
+        "max_chars": pa.array([], pa.int64()),
+        "sum_chars": pa.array([], pa.int64()),
+        "keep_id": pa.array([], pa.int64())})
+    if n_labels == 0:
         import ray.data as rd
-        z = pa.array([], pa.int64())
-        return rd.from_arrow(pa.table({
-            "component": z, "size": z, "n_sources": z,
-            "max_chars": z, "sum_chars": z, "keep_id": z}))
-    node = np.concatenate([np.asarray(t["node"], dtype=np.int64)
-                           for t in ltabs])
-    comp = np.concatenate([np.asarray(t["component"], dtype=np.int64)
-                           for t in ltabs])
-    order = np.argsort(node)
-    map_ref = ray.put((node[order], comp[order]))
+        return rd.from_arrow(empty_out)
 
-    def _rows(t: pa.Table) -> pa.Table:
-        nd, cp = bcast_get(map_ref)
-        ids = np.asarray(t[id_col], dtype=np.int64)
-        pos = np.clip(np.searchsorted(nd, ids), 0, len(nd) - 1)
-        hit = nd[pos] == ids
-        if not hit.any():
-            z = pa.array([], pa.int64())
-            return pa.table({"component": z, "src_h": z, "chars": z,
-                             "node": z, "part": z})
-        comp_v = cp[pos[hit]]
-        src_h = hash_utf8_array(
-            pa.compute.fill_null(t[source_col].cast(pa.string()), "")
-            .combine_chunks()).view(np.int64)[hit]
-        chars = np.asarray(t[length_col], dtype=np.int64)[hit]
-        part = (splitmix64(comp_v.view(np.uint64))
-                % np.uint64(n_parts)).astype(np.int64)
-        return pa.table({"component": pa.array(comp_v, pa.int64()),
-                         "src_h": pa.array(src_h, pa.int64()),
-                         "chars": pa.array(chars, pa.int64()),
-                         "node": pa.array(ids[hit], pa.int64()),
-                         "part": pa.array(part, pa.int64())})
+    def _src_cols(t: pa.Table, mask=None):
+        """(src_hash, src_valid) for the rows selected by mask (hash
+        AFTER the filter — non-members pay nothing)."""
+        src = t[source_col].cast(pa.string()).combine_chunks()
+        if mask is not None:
+            src = src.filter(pa.array(mask))
+        valid = src.is_valid().to_numpy(zero_copy_only=False)
+        sh = hash_utf8_array(pc.fill_null(src, "")).view(np.int64)
+        return sh, valid
 
-    def _agg(group: pa.Table | None) -> pa.Table:
-        z = pa.array([], pa.int64())
+    def _agg(group) -> pa.Table:
         if group is None or len(group) == 0:
-            return pa.table({"component": z, "size": z, "n_sources": z,
-                             "max_chars": z, "sum_chars": z,
-                             "keep_id": z})
+            return empty_out
         c = np.asarray(group["component"], dtype=np.int64)
         sh = np.asarray(group["src_h"], dtype=np.int64)
+        sv = np.asarray(group["src_v"], dtype=np.int64).astype(bool)
         ch = np.asarray(group["chars"], dtype=np.int64)
         nd = np.asarray(group["node"], dtype=np.int64)
         order = np.argsort(c, kind="stable")
-        c, sh, ch, nd = c[order], sh[order], ch[order], nd[order]
+        c, sh, sv, ch, nd = (c[order], sh[order], sv[order], ch[order],
+                             nd[order])
         first = np.ones(len(c), dtype=bool)
         first[1:] = c[1:] != c[:-1]
         starts = np.flatnonzero(first)
@@ -792,7 +786,11 @@ def cluster_profile(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
         max_chars = np.maximum.reduceat(ch, starts)
         sum_chars = np.add.reduceat(ch, starts)
         keep_id = np.minimum.reduceat(nd, starts)
-        pairs = np.unique(np.stack([c, sh], axis=1), axis=0)
+        # distinct NON-NULL sources per component
+        if sv.any():
+            pairs = np.unique(np.stack([c[sv], sh[sv]], axis=1), axis=0)
+        else:
+            pairs = np.empty((0, 2), np.int64)
         nsrc = np.diff(np.append(
             np.searchsorted(pairs[:, 0], c[starts]), len(pairs)))
         return pa.table({
@@ -804,6 +802,107 @@ def cluster_profile(docs, cfg: PipelineConfig = DEFAULT_CONFIG, *,
             "keep_id": pa.array(keep_id, pa.int64())})
 
     stream = docs.select_columns([id_col, source_col, length_col])
-    return hash_partition_map(stream, "part", _agg, n_parts,
-                              map_fn=_rows,
-                              map_chunk_rows=cfg.batch_size)
+
+    if n_labels <= NEAR_DEDUP_BROADCAST_MAX_DROPS:
+        ltabs = [t for t in ray.get(list(labels.to_arrow_refs()))
+                 if len(t)]
+        node = np.concatenate([np.asarray(t["node"], dtype=np.int64)
+                               for t in ltabs])
+        comp = np.concatenate([np.asarray(t["component"], dtype=np.int64)
+                               for t in ltabs])
+        order = np.argsort(node)
+        map_ref = ray.put((node[order], comp[order]))
+
+        def _rows(t: pa.Table) -> pa.Table:
+            nd, cp = bcast_get(map_ref)
+            ids = np.asarray(t[id_col], dtype=np.int64)
+            pos = np.clip(np.searchsorted(nd, ids), 0, len(nd) - 1)
+            hit = nd[pos] == ids
+            if not hit.any():
+                z = pa.array([], pa.int64())
+                return pa.table({"component": z, "src_h": z, "src_v": z,
+                                 "chars": z, "node": z, "part": z})
+            comp_v = cp[pos[hit]]
+            sh, sval = _src_cols(t, hit)
+            chars = np.asarray(t[length_col], dtype=np.int64)[hit]
+            return pa.table({"component": pa.array(comp_v, pa.int64()),
+                             "src_h": pa.array(sh, pa.int64()),
+                             "src_v": pa.array(sval.astype(np.int64),
+                                               pa.int64()),
+                             "chars": pa.array(chars, pa.int64()),
+                             "node": pa.array(ids[hit], pa.int64()),
+                             "part": pa.array(part_of(comp_v, n_parts),
+                                              pa.int64())})
+
+        return hash_partition_map(stream, "part", _agg, n_parts,
+                                  map_fn=_rows,
+                                  map_chunk_rows=cfg.batch_size)
+
+    # partitioned path: union-schema exchange co-keyed by hash(id)
+    # (tag 0 = label row carrying component; tag 1 = doc row carrying
+    # source/length), partition-local join, re-route by hash(component)
+    def _lab_rows(t: pa.Table) -> pa.Table:
+        node = np.asarray(t["node"], dtype=np.int64)
+        comp = np.asarray(t["component"], dtype=np.int64)
+        z = np.zeros(len(node), dtype=np.int64)
+        return pa.table({"node": pa.array(node, pa.int64()),
+                         "component": pa.array(comp, pa.int64()),
+                         "src_h": pa.array(z, pa.int64()),
+                         "src_v": pa.array(z, pa.int64()),
+                         "chars": pa.array(z, pa.int64()),
+                         "tag": pa.array(z, pa.int64()),
+                         "part": pa.array(part_of(node, n_parts),
+                                          pa.int64())})
+
+    def _doc_rows(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col], dtype=np.int64)
+        sh, sval = _src_cols(t)
+        chars = np.asarray(t[length_col], dtype=np.int64)
+        return pa.table({"node": pa.array(ids, pa.int64()),
+                         "component": pa.array(
+                             np.zeros(len(ids), np.int64), pa.int64()),
+                         "src_h": pa.array(sh, pa.int64()),
+                         "src_v": pa.array(sval.astype(np.int64),
+                                           pa.int64()),
+                         "chars": pa.array(chars, pa.int64()),
+                         "tag": pa.array(np.ones(len(ids), np.int64),
+                                         pa.int64()),
+                         "part": pa.array(part_of(ids, n_parts),
+                                          pa.int64())})
+
+    def _join(group) -> pa.Table:
+        z = pa.array([], pa.int64())
+        empty = pa.table({"component": z, "src_h": z, "src_v": z,
+                          "chars": z, "node": z, "part": z})
+        if group is None or len(group) == 0:
+            return empty
+        tag = np.asarray(group["tag"], dtype=np.int64)
+        node = np.asarray(group["node"], dtype=np.int64)
+        lab = tag == 0
+        lnode = node[lab]
+        lcomp = np.asarray(group["component"], dtype=np.int64)[lab]
+        lorder = np.argsort(lnode)
+        lnode, lcomp = lnode[lorder], lcomp[lorder]
+        dnode = node[~lab]
+        if not len(lnode) or not len(dnode):
+            return empty
+        pos = np.clip(np.searchsorted(lnode, dnode), 0, len(lnode) - 1)
+        hit = lnode[pos] == dnode
+        comp_v = lcomp[pos[hit]]
+        sh = np.asarray(group["src_h"], dtype=np.int64)[~lab][hit]
+        sv = np.asarray(group["src_v"], dtype=np.int64)[~lab][hit]
+        ch = np.asarray(group["chars"], dtype=np.int64)[~lab][hit]
+        return pa.table({"component": pa.array(comp_v, pa.int64()),
+                         "src_h": pa.array(sh, pa.int64()),
+                         "src_v": pa.array(sv, pa.int64()),
+                         "chars": pa.array(ch, pa.int64()),
+                         "node": pa.array(dnode[hit], pa.int64()),
+                         "part": pa.array(part_of(comp_v, n_parts),
+                                          pa.int64())})
+
+    tagged = labels.map_batches(_lab_rows, batch_format="pyarrow",
+                                zero_copy_batch=True).union(
+        stream.map_batches(_doc_rows, batch_format="pyarrow",
+                           zero_copy_batch=True))
+    joined = hash_partition_map(tagged, "part", _join, n_parts)
+    return hash_partition_map(joined, "part", _agg, n_parts)

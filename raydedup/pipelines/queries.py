@@ -4404,14 +4404,15 @@ FROM lab GROUP BY 1, 2
 # re-enter the window at least every other round.  The full surface is
 # swept every round regardless (tools/check_contract.py -> docs/
 # sweep_r{N}.log).
-#   r5 window: 3 new (k_core_trace, ann_ivf_scored,
-#   incremental_near_dup_bloom) + the 33 never-driver-checked + 14
-#   r3-green-only rows (events_window first among equals - its r4 fix
-#   never made a driver artifact).  Left out (all r3-driver-green,
-#   code untouched): substring_spans, substring_dedup_stats,
-#   media_bytes, edge_jaccard_nonzero, edge_jaccard_weighted,
-#   char_ngram_adjacent, repetition_stats, pii_scrub, quota_sample,
-#   mix_sample + the 50 r4-green rows.
+#   r5 FINAL window: 3 new-at-session-1 (k_core_trace, ann_ivf_scored,
+#   incremental_near_dup_bloom) + the 33 never-driver-checked +
+#   14 sessions-5/6 queries that would otherwise NEVER get a driver
+#   record (this is the last round; the contract's new-first rule
+#   wins over refreshing the 14 r3-green-only rows, which keep their
+#   r3 records and sit immediately after the window, events_window
+#   first).  Sweep-only (oracled + tested, committed sweep logs):
+#   approx_distinct_by_lang, ngram_novelty, dedup_weights,
+#   cross_source_overlap + everything r3/r4-driver-green.
 QUERIES = {
     "k_core_trace": q_k_core_trace,
     "ann_ivf_scored": q_ann_ivf_scored,
@@ -4449,6 +4450,20 @@ QUERIES = {
     "incremental_dedup_bloom": q_incremental_dedup_bloom,
     "incremental_near_dup": q_incremental_near_dup,
     "incremental_near_dup_matches": q_incremental_near_dup_matches,
+    "crosspairs_jaccard": q_crosspairs_jaccard,
+    "bm25_topk": q_bm25_topk,
+    "lang_length_quantiles": q_lang_length_quantiles,
+    "length_percentile_filter": q_length_percentile_filter,
+    "winnow_overlap_pairs": q_winnow_overlap_pairs,
+    "cluster_profile": q_cluster_profile,
+    "winnow_crosspairs": q_winnow_crosspairs,
+    "allpairs_jaccard": q_allpairs_jaccard,
+    "snapshot_drift": q_snapshot_drift,
+    "chunk_documents": q_chunk_documents,
+    "chunk_dup_stats": q_chunk_dup_stats,
+    "simhash_scored": q_simhash_scored,
+    "ann_lsh_scored": q_ann_lsh_scored,
+    "approx_distinct_scored": q_approx_distinct_scored,
     "events_window": q_events_window,
     "events_asof": q_events_asof,
     "decontam_kept": q_decontam_kept,
@@ -4529,21 +4544,7 @@ QUERIES = {
     "ngram_novelty": q_ngram_novelty,
     "dedup_weights": q_dedup_weights,
     "cross_source_overlap": q_cross_source_overlap,
-    "simhash_scored": q_simhash_scored,
-    "ann_lsh_scored": q_ann_lsh_scored,
-    "chunk_documents": q_chunk_documents,
-    "chunk_dup_stats": q_chunk_dup_stats,
-    "snapshot_drift": q_snapshot_drift,
-    "approx_distinct_scored": q_approx_distinct_scored,
     "approx_distinct_by_lang": q_approx_distinct_by_lang_scored,
-    "allpairs_jaccard": q_allpairs_jaccard,
-    "crosspairs_jaccard": q_crosspairs_jaccard,
-    "bm25_topk": q_bm25_topk,
-    "lang_length_quantiles": q_lang_length_quantiles,
-    "length_percentile_filter": q_length_percentile_filter,
-    "winnow_overlap_pairs": q_winnow_overlap_pairs,
-    "cluster_profile": q_cluster_profile,
-    "winnow_crosspairs": q_winnow_crosspairs,
 }
 
 ORACLES = {

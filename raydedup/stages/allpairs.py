@@ -310,6 +310,36 @@ def _allpairs_core(sets_ds, cfg: PipelineConfig, threshold,
 _SIDE_ID_MAX = (1 << 62) - 1   # |id| bound so 2*id (+1) stays in int64
 
 
+def tag_side(ds, side_bit: int, id_col: str, op_name: str):
+    """Tag a dataset's ids with a side in the low bit (left = 2*id,
+    right = 2*id+1) for the R-S join family — shared by
+    `crosspairs_jaccard` and textstats.winnow_crosspairs so the
+    overflow guard and encoding cannot diverge.  The guard compares
+    both signs explicitly: ``np.abs(int64.min)`` wraps negative, so an
+    abs()-based check would silently pass the one id that overflows."""
+    def _m(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col], dtype=np.int64)
+        if len(ids) and (int(ids.max()) > _SIDE_ID_MAX
+                         or int(ids.min()) < -_SIDE_ID_MAX):
+            raise ValueError(
+                f"{op_name}: |{id_col}| exceeds 2^62-1; "
+                "the parity side-tag would overflow int64")
+        return t.set_column(t.schema.get_field_index(id_col), id_col,
+                            pa.array(ids * 2 + side_bit, pa.int64()))
+    return ds.map_batches(_m, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def decode_sides(a: np.ndarray, b: np.ndarray
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of `tag_side` for an unordered cross pair: returns
+    (left original id, right original id).  Arithmetic shift
+    floor-divides, so negative ids round-trip exactly."""
+    left = np.where((a & 1) == 0, a, b) >> 1
+    right = np.where((a & 1) == 1, a, b) >> 1
+    return left, right
+
+
 def crosspairs_jaccard(left_ds, right_ds,
                        cfg: PipelineConfig = DEFAULT_CONFIG, *,
                        threshold: float | None = ...,
@@ -336,31 +366,15 @@ def crosspairs_jaccard(left_ds, right_ds,
                                text_col=text_col)
     right_sets = doc_token_sets(right_ds, cfg, id_col=id_col,
                                 text_col=text_col)
-
-    def _tag(side_bit: int):
-        def _m(t: pa.Table) -> pa.Table:
-            ids = np.asarray(t[id_col], dtype=np.int64)
-            if len(ids) and int(np.abs(ids).max()) > _SIDE_ID_MAX:
-                raise ValueError(
-                    f"crosspairs_jaccard: |{id_col}| exceeds 2^62-1; "
-                    "the parity side-tag would overflow int64")
-            return t.set_column(t.schema.get_field_index(id_col), id_col,
-                                pa.array(ids * 2 + side_bit, pa.int64()))
-        return _m
-
-    union = (left_sets.map_batches(_tag(0), batch_format="pyarrow",
-                                   zero_copy_batch=True)
-             .union(right_sets.map_batches(_tag(1), batch_format="pyarrow",
-                                           zero_copy_batch=True)))
+    union = tag_side(left_sets, 0, id_col, "crosspairs_jaccard").union(
+        tag_side(right_sets, 1, id_col, "crosspairs_jaccard"))
     scored = _allpairs_core(union, cfg, threshold, id_col, "tokens",
                             order, df_broadcast_max, max_bucket,
                             cross_parity=True, counters=counters)
 
     def _decode(t: pa.Table) -> pa.Table:
-        a = np.asarray(t["a"], dtype=np.int64)
-        b = np.asarray(t["b"], dtype=np.int64)
-        left = np.where((a & 1) == 0, a, b) >> 1
-        right = np.where((a & 1) == 1, a, b) >> 1
+        left, right = decode_sides(np.asarray(t["a"], dtype=np.int64),
+                                   np.asarray(t["b"], dtype=np.int64))
         return pa.table({"a": pa.array(left, pa.int64()),
                          "b": pa.array(right, pa.int64()),
                          "intersection": t["intersection"],

@@ -550,33 +550,18 @@ def winnow_crosspairs(left_ds, right_ds, cfg=None, *,
     cross-parity pairs survive emission; the df noise cut applies to
     the UNION corpus, mirroring what a single re-run over
     old+new would compute."""
-    from .allpairs import _SIDE_ID_MAX
+    from .allpairs import decode_sides, tag_side
 
-    def _tag(side_bit: int):
-        def _m(t: pa.Table) -> pa.Table:
-            ids = np.asarray(t[id_col], dtype=np.int64)
-            if len(ids) and int(np.abs(ids).max()) > _SIDE_ID_MAX:
-                raise ValueError(
-                    f"winnow_crosspairs: |{id_col}| exceeds 2^62-1; "
-                    "the parity side-tag would overflow int64")
-            return t.set_column(t.schema.get_field_index(id_col), id_col,
-                                pa.array(ids * 2 + side_bit, pa.int64()))
-        return _m
-
-    union = (left_ds.map_batches(_tag(0), batch_format="pyarrow",
-                                 zero_copy_batch=True)
-             .union(right_ds.map_batches(_tag(1), batch_format="pyarrow",
-                                         zero_copy_batch=True)))
+    union = tag_side(left_ds, 0, id_col, "winnow_crosspairs").union(
+        tag_side(right_ds, 1, id_col, "winnow_crosspairs"))
     scored = winnow_overlap_pairs(union, cfg, id_col=id_col,
                                   text_col=text_col, k=k, w=w,
                                   hash=hash, min_shared=min_shared,
                                   max_df=max_df, _cross_parity=True)
 
     def _decode(t: pa.Table) -> pa.Table:
-        a = np.asarray(t["a"], dtype=np.int64)
-        b = np.asarray(t["b"], dtype=np.int64)
-        left = np.where((a & 1) == 0, a, b) >> 1
-        right = np.where((a & 1) == 1, a, b) >> 1
+        left, right = decode_sides(np.asarray(t["a"], dtype=np.int64),
+                                   np.asarray(t["b"], dtype=np.int64))
         return pa.table({"a": pa.array(left, pa.int64()),
                          "b": pa.array(right, pa.int64()),
                          "shared": t["shared"]})

@@ -220,3 +220,34 @@ class TestClusterProfile:
             .to_pandas()
         assert sorted(map(tuple, a.values.tolist())) == \
             sorted(map(tuple, b.values.tolist()))
+
+    def test_partitioned_path_identical(self, ray_session, monkeypatch):
+        """Above the broadcast gate the union-schema exchange path must
+        produce the same profile (review finding: the gate was
+        missing entirely)."""
+        import ray.data as rd
+
+        import raydedup.pipelines.neardup as nd
+        tab = self._corpus()
+        want = nd.cluster_profile(rd.from_arrow(tab), CFG).to_pandas()
+        monkeypatch.setattr(nd, "NEAR_DEDUP_BROADCAST_MAX_DROPS", 0)
+        got = nd.cluster_profile(rd.from_arrow(tab), CFG).to_pandas()
+        assert sorted(map(tuple, got.values.tolist())) == \
+            sorted(map(tuple, want.values.tolist()))
+
+    def test_null_source_not_counted_distinct(self, ray_session):
+        """NULL sources count toward size/sums but not n_sources —
+        SQL count(DISTINCT) semantics (review finding)."""
+        import ray.data as rd
+
+        from raydedup.pipelines.neardup import cluster_profile
+        base = " ".join(f"n{i}" for i in range(40))
+        tab = pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array([base, base + " x", base + " y"]),
+            "source": pa.array(["web", None, None], pa.string()),
+            "n_chars": pa.array([10, 20, 30], pa.int64())})
+        got = cluster_profile(rd.from_arrow(tab), CFG).to_pandas()
+        assert len(got) == 1
+        r = got.iloc[0]
+        assert (r["size"], r["n_sources"], r["sum_chars"]) == (3, 1, 60)

@@ -61,13 +61,10 @@ def _docs_ds(n_docs: int, n_blocks: int = 64):
         out = None
         for j in range(50):
             off = j - run_at
-            shared = np.char.add(np.char.add("r", pk), f"_{j}")
-            # token index within the run must match across the pair:
-            # use off, not j, in the run-token name
-            run_tok = np.char.add(np.char.add("r", pk), "_x")
             own = np.char.add(np.char.add("o", iu), f"_{j}")
             use_run = in_pair & (off >= 0) & (off < 20)
-            # run token r{pair}_{off}
+            # run token r{pair}_{off}: the token index within the run
+            # must match across the pair (off, not j)
             offs = np.where(use_run, off, 0).astype("U4")
             run_tok = np.char.add(np.char.add(np.char.add("r", pk), "_"),
                                   offs)
