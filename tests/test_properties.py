@@ -149,3 +149,81 @@ def test_weighted_jaccard_matches_python(a_sets, b_sets):
         want_ws = sum(w[x] for x in sa) + sum(w[x] for x in sb)
         assert abs(wi[i] - want_wi) < 1e-9
         assert abs(wu[i] - (want_ws - want_wi)) < 1e-9
+
+
+# ------------------------ round-5 kernels: side tags, BM25, quantiles
+
+side_ids = st.lists(st.integers(min_value=-(2**62) + 1,
+                                max_value=2**62 - 1),
+                    min_size=1, max_size=50)
+
+
+@settings(max_examples=80, deadline=None)
+@given(side_ids, side_ids)
+def test_side_tag_decode_roundtrip(left, right):
+    """tag_side/decode_sides: any cross pair of tagged ids decodes to
+    the original (left, right) pair regardless of canonical order."""
+    from raydedup.stages.allpairs import decode_sides
+    la = np.asarray(left, dtype=np.int64) * 2
+    rb = np.asarray(right, dtype=np.int64) * 2 + 1
+    n = min(len(la), len(rb))
+    a = np.minimum(la[:n], rb[:n])      # canonical a<b order
+    b = np.maximum(la[:n], rb[:n])
+    gl, gr = decode_sides(a, b)
+    assert (gl == np.asarray(left[:n], dtype=np.int64)).all()
+    assert (gr == np.asarray(right[:n], dtype=np.int64)).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(0, 30), min_size=2, max_size=120),
+       st.lists(st.text(alphabet="abcd", min_size=1, max_size=2),
+                min_size=2, max_size=120),
+       st.sampled_from([0.1, 0.25, 0.5, 0.9, 1.0]))
+def test_grouped_quantile_reduce_matches_duckdb(vals, keys, q):
+    """The partition-local rank-read kernel (same arithmetic the
+    distributed _reduce runs) matches DuckDB quantile_disc per group
+    on arbitrary key/value multisets."""
+    import math
+
+    import duckdb
+    n = min(len(vals), len(keys))
+    vals, keys = vals[:n], keys[:n]
+    got = {}
+    for k in set(keys):
+        kv = sorted(v for v, kk in zip(vals, keys) if kk == k)
+        rank = max(1, math.ceil(q * len(kv)))
+        got[k] = kv[rank - 1]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT unnest(?) AS k, unnest(?) AS v",
+                [keys, vals])
+    want = dict(con.execute(
+        "SELECT k, quantile_disc(v, ?) FROM t GROUP BY k", [q]).fetchall())
+    assert got == want
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(1, 5), min_size=2, max_size=30),
+       st.lists(st.integers(10, 60), min_size=2, max_size=30))
+def test_bm25_contract_properties(tfs, dls):
+    """The e6-integer BM25 contract: scores are positive when tf>0,
+    monotonically non-decreasing in tf and non-increasing in dl
+    (same idf), and invariant to term summation order."""
+    import math
+    n = min(len(tfs), len(dls))
+    tfs, dls = tfs[:n], dls[:n]
+    N, df = 1000, 37
+    idf = math.log((N - df + 0.5) / (df + 0.5) + 1)
+    avgdl = sum(dls) / len(dls)
+
+    def c_e6(tf, dl):
+        c = idf * tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75
+                                                  + 0.75 * dl / avgdl))
+        return int(math.copysign(math.floor(abs(c * 1e6) + 0.5), c))
+
+    for tf, dl in zip(tfs, dls):
+        assert c_e6(tf, dl) > 0
+        assert c_e6(tf + 1, dl) >= c_e6(tf, dl)
+        assert c_e6(tf, dl + 10) <= c_e6(tf, dl)
+    # integer sum is order-invariant by construction
+    parts = [c_e6(tf, dl) for tf, dl in zip(tfs, dls)]
+    assert sum(parts) == sum(reversed(parts))
